@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named engine query: a Spark DataFrame builder over a testdata
+  * scale-factor directory, plus (when SQL-expressible) the equivalent
+  * DuckDB oracle SQL the driver cross-checks against.
+  *
+  * Contract (driver): result column names must match the oracle SQL's
+  * exactly; the compare sorts columns by name and hashes values, so
+  * every computed column is aliased identically on both sides, every
+  * query ends in a deterministic ORDER BY, and floating-point
+  * aggregation goes through [[Det]] so both engines compute
+  * bit-identical doubles.
+  */
+final case class GraftQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+/** Table loaders for the driver-generated parquet corpus (TESTDATA.md).
+  * Plain `spark.read.parquet` — Catalyst handles column pruning and
+  * filter pushdown into the scan; at cluster scale these would be
+  * partitioned/bucketed table reads behind the same API.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String) = t(s, d, "region")
+  def nation(s: SparkSession, d: String) = t(s, d, "nation")
+  def customer(s: SparkSession, d: String) = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String) = t(s, d, "supplier")
+  def part(s: SparkSession, d: String) = t(s, d, "part")
+  def orders(s: SparkSession, d: String) = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String) = t(s, d, "lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
+    * microseconds — exactly what DuckDB does when it loads the same
+    * file, so both engines see identical timestamps. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String) = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+}
+
+/** Cross-engine deterministic numerics.
+  *
+  * Summing doubles is order-dependent, and Spark's shuffle order differs
+  * from DuckDB's scan order, so `SUM(double)` would drift in the last
+  * bits (≈1e-3 absolute at sf0.1 magnitudes). All money/rate columns in
+  * the corpus carry ≤2 decimal places, so we sum EXACT decimals and cast
+  * the final exact value to double — both engines then produce the same
+  * IEEE-754 bits regardless of aggregation order.
+  *
+  * Scales are chosen so chained decimal arithmetic never exceeds
+  * precision 38 in either engine (Spark: p1+p2+1; DuckDB: w1+w2):
+  * prices decimal(12,2), rates decimal(9,4).
+  */
+object Det {
+  /** price-like column (|x| < 1e10, 2dp) as exact decimal */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** rate-like column (|x| < 1e5, ≤4dp) as exact decimal */
+  def dec4(c: Column): Column = c.cast(DecimalType(9, 4))
+  /** deterministic SUM(double) — exact decimal sum, then one cast */
+  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** deterministic AVG(double) — exact sum / exact count, one fp divide */
+  def davg(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  /** Tighter casts for multiply chains: per-row prices < 1e7 (2dp) and
+    * rates < 10 (2dp). A (9,2)·(13,2)·(13,2) chain peaks at precision
+    * 37 in Spark / width 35 in DuckDB — below 38, so no precision-loss
+    * rounding in either engine and the product stays exact. */
+  def price(c: Column): Column = c.cast(DecimalType(9, 2))
+  def rate(c: Column): Column = c.cast(DecimalType(3, 2))
+
+  /** SQL mirrors (DuckDB side) of the above */
+  def sqlDec2(e: String): String = s"CAST($e AS DECIMAL(12,2))"
+  def sqlPrice(e: String): String = s"CAST($e AS DECIMAL(9,2))"
+  def sqlRate(e: String): String = s"CAST($e AS DECIMAL(3,2))"
+  def sqlDec4(e: String): String = s"CAST($e AS DECIMAL(9,4))"
+  def sqlDsum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(12,2))) AS DOUBLE)"
+  def sqlDavg(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)"
+}
+
+/** Single registry the driver contract ([[SparkEntry]]) is generated
+  * from; every module contributes its queries here. */
+object Registry {
+  def all: Seq[GraftQuery] =
+    graft.operators.RelationalQueries.all
+}

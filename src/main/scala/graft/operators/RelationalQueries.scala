@@ -1,0 +1,571 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational operator surface (SURVEY.md §2.2): scans, filters,
+  * projections, hash/broadcast/semi/anti/outer/theta joins, grouped and
+  * global aggregation, rollup/cube/grouping sets, windows, set ops,
+  * sort/limit/top-k, subqueries, conditional aggregation.
+  *
+  * The reference engine (Redundancy/fileMapReduce) has none of these as
+  * operators — its Mapper/Reducer user code implements filter/project/
+  * fold by hand (reference `interfaces.go:17-64`); here each capability
+  * is a declarative Spark plan so Catalyst gets pushdown/pruning/join
+  * selection for free, and each is mirrored as DuckDB oracle SQL.
+  *
+  * Scale notes are on each query: broadcast hints for dimension tables,
+  * exact-decimal aggregation for cross-engine determinism (see
+  * [[graft.Det]]), deterministic total ORDER BY for the hash compare.
+  */
+object RelationalQueries {
+  import Det._
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  // ---------------------------------------------------------------- scans
+
+  /** TPC-H Q1-style pricing summary — the flagship. Map-side partial
+    * aggregation + 6-group final agg; shipdate filter pushed to parquet. */
+  val q01PricingSummary: GraftQuery = q(
+    "q01_pricing_summary",
+    "groupBy agg with exact-decimal sums (ref: per-job Reducer fold, mapreduce.go:433)",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(${sqlPrice("l_extendedprice")} * (1 - ${sqlRate("l_discount")})) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(${sqlPrice("l_extendedprice")} * (1 - ${sqlRate("l_discount")}) * (1 + ${sqlRate("l_tax")})) AS DOUBLE) AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(price(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          * (lit(1) + rate(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Scan + filter + project; predicate and column pruning reach the
+    * parquet reader (PushedFilters in .explain). */
+  val q02FilterProject: GraftQuery = q(
+    "q02_filter_project",
+    "pushed-down scan filter + projection (ref: Filter+Mapper, interfaces.go:4,17)",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+      |  AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
+        && col("l_shipdate") < lit("1997-02-01").cast(TimestampType)
+        && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Whole-table fold to one row — the direct analog of the reference's
+    * single global Reducer per job (interfaces.go:50-64). Partial
+    * aggregation makes this a single-row shuffle at any scale. */
+  val q03GlobalAgg: GraftQuery = q(
+    "q03_global_agg",
+    "global fold: sum/min/max/count/count-distinct (ref: Reducer, mapreduce.go:433-454)",
+    s"""SELECT ${sqlDsum("l_quantity")} AS total_qty,
+       |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       |  COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).agg(
+      dsum(col("l_quantity")).as("total_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"),
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** Global sort + limit: Spark TakeOrderedAndProject — per-partition
+    * top-k then merge on driver; no full sort at scale. */
+  val q04TopK: GraftQuery = q(
+    "q04_topk",
+    "order-by + limit → TakeOrderedAndProject (ref: batch Sorter, mapreduce.go:461)",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Fact⋈dim⋈dim with explicit broadcast of the small sides — no
+    * shuffle of `orders` for the dimension joins at 100 TB. */
+  val q05JoinBroadcast: GraftQuery = q(
+    "q05_join_broadcast",
+    "broadcast hash join of dims onto fact (ref: none; SURVEY §2.2)",
+    s"""SELECT n_name,
+       |  ${sqlDsum("o_totalprice")} AS total_revenue, COUNT(*) AS n_orders
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q5-shaped 5-way join. lineitem⋈orders is the only
+    * shuffle-sized join; region/nation/customer broadcast. */
+  val q06JoinMultiway: GraftQuery = q(
+    "q06_join_multiway",
+    "5-way join, one shuffle join + broadcasts (ref: none; SURVEY §2.2)",
+    s"""SELECT n_name,
+       |  CAST(SUM(${sqlPrice("l_extendedprice")} * (1 - ${sqlRate("l_discount")})) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(price(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join ≙ EXISTS — ships only the key column of the probe. */
+  val q07SemiJoin: GraftQuery = q(
+    "q07_semi_join",
+    "left_semi ≙ EXISTS (ref: none; SURVEY §2.2)",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join ≙ NOT EXISTS. */
+  val q08AntiJoin: GraftQuery = q(
+    "q08_anti_join",
+    "left_anti ≙ NOT EXISTS (ref: none; SURVEY §2.2)",
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Left outer join preserving order-less customers; COALESCE'd exact
+    * decimal sum keeps nulls out of the hashed output. */
+  val q09OuterJoin: GraftQuery = q(
+    "q09_outer_join",
+    "left outer join + per-key agg (ref: none; SURVEY §2.2)",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec2(col("o_totalprice"))), lit(0)).cast(DoubleType).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Theta (non-equi) self-join: nation pairs within a region. Spark
+    * plans BroadcastNestedLoopJoin on the tiny table — fine; the
+    * equi-part (same region) could also be a hash join key. */
+  val q10ThetaJoin: GraftQuery = q(
+    "q10_theta_join",
+    "non-equi self-join (ref: none; SURVEY §2.2)",
+    """SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+      |FROM nation a JOIN nation b
+      |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      |ORDER BY regionkey, nation_a, nation_b""".stripMargin) { (s, d) =>
+    val a = Tables.nation(s, d).select(
+      col("n_nationkey").as("ka"), col("n_name").as("nation_a"),
+      col("n_regionkey").as("regionkey"))
+    val b = Tables.nation(s, d).select(
+      col("n_nationkey").as("kb"), col("n_name").as("nation_b"),
+      col("n_regionkey").as("rb"))
+    a.join(b, col("regionkey") === col("rb") && col("ka") < col("kb"))
+      .select("nation_a", "nation_b", "regionkey")
+      .orderBy("regionkey", "nation_a", "nation_b")
+  }
+
+  // ----------------------------------------------------- grouped aggregation
+
+  /** GROUP BY + HAVING; map-side partial agg then post-agg filter. */
+  val q11GroupHaving: GraftQuery = q(
+    "q11_group_having",
+    "grouped agg + having (ref: none; SURVEY §2.2)",
+    s"""SELECT l_suppkey, COUNT(*) AS n_items, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_suppkey
+       |HAVING COUNT(*) > 100
+       |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_items") > 100)
+      .orderBy("l_suppkey")
+  }
+
+  /** DISTINCT — a shuffle dedup on the projected columns only. */
+  val q12Distinct: GraftQuery = q(
+    "q12_distinct",
+    "distinct projection (ref: none; SURVEY §2.2)",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** ROLLUP with grouping_id; subtotal rows get 'ALL' sentinels so the
+    * hashed output is null-free and ordering is engine-agnostic. */
+  val q13Rollup: GraftQuery = q(
+    "q13_rollup",
+    "rollup + grouping_id (ref: none; SURVEY §2.2)",
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "returnflag", "linestatus")
+  }
+
+  /** CUBE over two dims. */
+  val q14Cube: GraftQuery = q(
+    "q14_cube",
+    "cube + grouping_id (ref: none; SURVEY §2.2)",
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY gid, orderstatus, orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "orderstatus", "orderpriority")
+  }
+
+  // ----------------------------------------------------------- windows
+
+  /** Per-group top-k via row_number — the scalable "top n per key"
+    * idiom (single shuffle by partition key, no global sort). */
+  val q15WindowRank: GraftQuery = q(
+    "q15_window_rank",
+    "row_number top-k per group (ref: none; SURVEY §2.2)",
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .orderBy("l_returnflag", "rn")
+  }
+
+  /** Running total per customer — exact-decimal windowed SUM so frame
+    * evaluation order (segment tree vs streaming) can't change bits. */
+  val q16WindowRunning: GraftQuery = q(
+    "q16_window_running",
+    "running sum over ordered frame (ref: none; SURVEY §2.2)",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** lag/lead: gap in days between a customer's consecutive orders.
+    * Exact integer day arithmetic on both engines. */
+  val q17LagLead: GraftQuery = q(
+    "q17_lag_lead",
+    "lag/lead offsets (ref: none; SURVEY §2.2)",
+    """SELECT o_custkey, o_orderkey,
+      |  COALESCE(DATE_DIFF('day', CAST(LAG(o_orderdate) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |    CAST(o_orderdate AS DATE)), -1) AS days_since_prev
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(
+          datediff(col("o_orderdate").cast(DateType),
+            lag(col("o_orderdate"), 1).over(w).cast(DateType)),
+          lit(-1)).cast(LongType).as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ------------------------------------------------------------ set ops
+
+  val q18Union: GraftQuery = q(
+    "q18_union",
+    "UNION (distinct) of two predicates (ref: MultiFilter OR is path-only, glob.go:9)",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(c.filter(col("c_acctbal") > 9000).select("c_custkey"))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  val q19Intersect: GraftQuery = q(
+    "q19_intersect",
+    "INTERSECT (ref: none; SURVEY §2.2)",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val q20Except: GraftQuery = q(
+    "q20_except",
+    "EXCEPT (ref: none; SURVEY §2.2)",
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  // ----------------------------------------------------- scalar functions
+
+  /** String function coverage — all codegen'd built-ins, no UDFs. */
+  val q21StringFuncs: GraftQuery = q(
+    "q21_string_funcs",
+    "string scalar functions (ref: user mapper code, mapreduce_test.go:151)",
+    """SELECT p_partkey,
+      |  UPPER(p_name) AS name_upper,
+      |  SUBSTR(p_name, 1, 8) AS name_prefix,
+      |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |  CONCAT(p_brand, ':', p_type) AS brand_type,
+      |  REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      length(col("p_name")).cast(LongType).as("name_len"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_type"), "ECONOMY", "ECO").as("type_short"))
+      .orderBy("p_partkey")
+  }
+
+  /** Date/time function coverage; integer outputs cast to BIGINT on
+    * both sides (DuckDB's year() is int64, Spark's is int32). */
+  val q22DateFuncs: GraftQuery = q(
+    "q22_date_funcs",
+    "date/time scalar functions (ref: none; SURVEY §2.2)",
+    """SELECT o_orderkey,
+      |  CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(DAYOFMONTH(o_orderdate) AS BIGINT) AS order_day,
+      |  DATE_TRUNC('month', o_orderdate) AS order_month_start
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("order_year"),
+        month(col("o_orderdate")).cast(LongType).as("order_month"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("order_day"),
+        date_trunc("month", col("o_orderdate")).as("order_month_start"))
+      .orderBy("o_orderkey")
+  }
+
+  /** CASE WHEN bucketing + conditional counts. */
+  val q23CaseExpr: GraftQuery = q(
+    "q23_case_expr",
+    "CASE WHEN bucketing (ref: none; SURVEY §2.2)",
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |            WHEN o_totalprice < 200000 THEN 'medium'
+      |            ELSE 'large' END AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** JSON extraction from events.props via regexp (identical RE2-safe
+    * pattern both engines) + grouped exact sums. */
+  val q24JsonExtract: GraftQuery = q(
+    "q24_json_extract",
+    "semi-structured props parsing (ref: LoaderFunc JSON parse, mapreduce_test.go:363)",
+    """SELECT event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType))
+          .cast(LongType).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------- subqueries
+
+  /** IN-subquery (planned as semi join). */
+  val q25InSubquery: GraftQuery = q(
+    "q25_in_subquery",
+    "IN subquery → semi join (ref: none; SURVEY §2.2)",
+    """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+        .select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Scalar subquery threshold — exact decimal avg so both engines
+    * compare against the same double. */
+  val q26ScalarSubquery: GraftQuery = q(
+    "q26_scalar_subquery",
+    "scalar subquery vs exact global avg (ref: none; SURVEY §2.2)",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val thresholdDf = o.agg(davg(col("o_totalprice")).as("avg_price"))
+    o.join(broadcast(thresholdDf))
+      .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Conditional aggregation ("manual pivot") — one pass, no joins. */
+  val q27ConditionalPivot: GraftQuery = q(
+    "q27_conditional_pivot",
+    "pivot via conditional agg (ref: none; SURVEY §2.2)",
+    s"""SELECT l_linestatus,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN ${sqlDec2("l_quantity")} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_a,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN ${sqlDec2("l_quantity")} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_n,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN ${sqlDec2("l_quantity")} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_r
+       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+    def cond(flag: String) =
+      sum(when(col("l_returnflag") === flag, dec2(col("l_quantity")))
+        .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(cond("A").as("qty_a"), cond("N").as("qty_n"), cond("R").as("qty_r"))
+      .orderBy("l_linestatus")
+  }
+
+  /** GROUPING SETS (via Spark SQL on a temp view — exercises the SQL
+    * entry path of the engine as well). */
+  val q28GroupingSets: GraftQuery = q(
+    "q28_grouping_sets",
+    "GROUPING SETS (ref: none; SURVEY §2.2)",
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
+    q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
+    q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,
+    q13Rollup, q14Cube, q15WindowRank, q16WindowRunning, q17LagLead,
+    q18Union, q19Intersect, q20Except, q21StringFuncs, q22DateFuncs,
+    q23CaseExpr, q24JsonExtract, q25InSubquery, q26ScalarSubquery,
+    q27ConditionalPivot, q28GroupingSets)
+}
