@@ -94,5 +94,9 @@ object Det {
   * from; every module contributes its queries here. */
 object Registry {
   def all: Seq[GraftQuery] =
-    graft.operators.RelationalQueries.all
+    graft.operators.RelationalQueries.all ++
+      graft.operators.DedupQueries.all ++
+      graft.operators.TextQueries.all ++
+      graft.operators.SimilarityQueries.all ++
+      graft.operators.EventQueries.all
 }

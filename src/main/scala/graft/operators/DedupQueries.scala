@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines over the
+  * `documents` table: exact (content-hash groupBy), n-gram/word-set
+  * Jaccard pair scoring, and MinHash+LSH banding.
+  *
+  * Scale design: exact dedup is one hash-partitioned groupBy on the
+  * content digest (never on the full text — the 16-byte digest is the
+  * shuffle key). MinHash-LSH is the 100 TB near-dup path: signatures
+  * are a per-row map-side computation, banding turns all-pairs O(n²)
+  * into a groupBy on band keys, and only same-bucket candidates are
+  * ever paired. The md5-min hash family keeps every value reproducible
+  * in the DuckDB oracle.
+  */
+object DedupQueries {
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** Exact-duplicate groups by content digest. The digest (not the
+    * text) is the groupBy key, so the shuffle carries 32 hex chars per
+    * row regardless of document size. */
+  val dd01ExactGroups: GraftQuery = q(
+    "dd01_exact_dup_groups",
+    "exact dedup via content-hash groupBy",
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keeper_doc
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc"))
+      .orderBy("content_hash")
+  }
+
+  /** Keep-first dedup: the surviving doc_id per distinct content. */
+  val dd02KeepFirst: GraftQuery = q(
+    "dd02_dedup_keep_first",
+    "dedup keeping min doc_id per distinct text",
+    """SELECT MIN(doc_id) AS doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Word-set Jaccard similarity for all pairs in a bounded cohort
+    * (doc_id < 60 — the oracle-checkable miniature of the LSH
+    * candidate-pair scoring stage; at scale the same pair scorer runs
+    * only on same-bucket candidates from dd04/dd05). Exact integer
+    * set sizes; one final double division. */
+  val dd03JaccardPairs: GraftQuery = q(
+    "dd03_jaccard_pairs",
+    "n-gram (word-set) Jaccard pair scoring",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id < 60),
+      |cnt AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, inter,
+      |  CAST(inter AS DOUBLE) / CAST(ca.c + cb.c - inter AS DOUBLE) AS jaccard
+      |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / CAST(ca.c + cb.c - inter AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d).filter(col("doc_id") < 60)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = tok.select(col("doc_id").as("doc_a"), col("w"))
+    val b = tok.select(col("doc_id").as("doc_b"), col("w").as("wb"))
+    val pairs = a.join(b, col("w") === col("wb") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast(DoubleType) /
+      (col("ca") + col("cb") - col("inter")).cast(DoubleType)
+    pairs
+      .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), col("doc_a") === col("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), col("doc_b") === col("db"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures (4 hashes from the md5('j:'||word) family) +
+    * 2 LSH bands of 2 rows each. Entirely map-side per document after
+    * the token explode; reproducible in any engine with md5. */
+  val dd04MinhashSignatures: GraftQuery = q(
+    "dd04_minhash_signatures",
+    "MinHash signature + LSH band keys per document",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    MIN(md5('0:' || w)) AS s0, MIN(md5('1:' || w)) AS s1,
+      |    MIN(md5('2:' || w)) AS s2, MIN(md5('3:' || w)) AS s3
+      |  FROM tok GROUP BY doc_id)
+      |SELECT doc_id, s0, s1, s2, s3,
+      |  md5(s0 || s1) AS band1, md5(s2 || s3) AS band2
+      |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def mh(j: Int) = min(md5(concat(lit(s"$j:"), col("w")))).as(s"s$j")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy("doc_id")
+      .agg(mh(0), mh(1), mh(2), mh(3))
+      .withColumn("band1", md5(concat(col("s0"), col("s1"))))
+      .withColumn("band2", md5(concat(col("s2"), col("s3"))))
+      .orderBy("doc_id")
+  }
+
+  /** LSH candidate buckets: documents sharing band1 are near-dup
+    * candidates. This groupBy-on-band-key is what replaces the O(n²)
+    * all-pairs join at scale. */
+  val dd05LshBuckets: GraftQuery = q(
+    "dd05_lsh_buckets",
+    "LSH banding: near-dup candidate buckets",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, MIN(md5('0:' || w)) AS s0, MIN(md5('1:' || w)) AS s1
+      |  FROM tok GROUP BY doc_id)
+      |SELECT md5(s0 || s1) AS bucket, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM sig GROUP BY md5(s0 || s1)
+      |HAVING COUNT(*) > 1
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("w")))).as("s0"),
+        min(md5(concat(lit("1:"), col("w")))).as("s1"))
+      .groupBy(md5(concat(col("s0"), col("s1"))).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("bucket")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
+    dd04MinhashSignatures, dd05LshBuckets)
+}

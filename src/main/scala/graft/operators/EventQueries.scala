@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators over `events`, expressed in batch form so the
+  * DuckDB oracle can check them; `graft.streaming.EventStreams` runs
+  * the same aggregations as Structured Streaming queries (watermarks +
+  * windows) and the test suite asserts batch/stream equivalence.
+  *
+  * Timestamps: all arithmetic is on exact epoch-microsecond longs
+  * (Spark `unix_micros` ≡ DuckDB `epoch_us`), never on floating point.
+  */
+object EventQueries {
+  import Det._
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** Tumbling 1-hour windows per event type — the batch face of the
+    * streaming `window(ts, "1 hour")` aggregation. */
+  val ev01Tumbling: GraftQuery = q(
+    "ev01_tumbling_window",
+    "tumbling 1h window agg (batch ≡ streaming window())",
+    s"""SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+       |FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+       |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Sessionization with a 30-minute inactivity gap: flag session
+    * starts with lag(), number sessions with a running sum — the batch
+    * face of `session_window` / mapGroupsWithState. Exact µs integer
+    * arithmetic throughout. */
+  val ev02Sessionize: GraftQuery = q(
+    "ev02_sessionize",
+    "gap-based sessionization (batch ≡ session_window)",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS is_start
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevUs = lag(unix_micros(col("ts")), 1).over(order)
+    Tables.events(s, d)
+      .withColumn("is_start",
+        when(unix_micros(col("ts")) - prevUs > 1800000000L || prevUs.isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_start")).over(running).cast(LongType))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Per-user daily activity with a 7-day-window rolling event count —
+    * sliding-window shape over event time (RANGE frame on day grain). */
+  val ev03RollingDaily: GraftQuery = q(
+    "ev03_rolling_daily",
+    "daily counts + 7-day rolling window per user",
+    """WITH daily AS (
+      |  SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY user_id, DATE_TRUNC('day', ts))
+      |SELECT user_id, day, n,
+      |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      |FROM daily ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_7d", sum(col("n")).over(w).cast(LongType))
+      .orderBy("user_id", "day")
+  }
+
+  /** Funnel: per user, did a view precede a purchase? Conditional
+    * min-timestamp comparison — the batch face of pattern detection. */
+  val ev04Funnel: GraftQuery = q(
+    "ev04_funnel",
+    "view→purchase funnel via conditional min timestamps",
+    """SELECT user_id,
+      |  MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+      |  CASE WHEN MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |         < MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+      |    THEN 1 ELSE 0 END AS converted
+      |FROM events GROUP BY user_id
+      |HAVING MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+      |   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val firstView = min(when(col("event_type") === "view", col("ts")))
+    val firstPurchase = min(when(col("event_type") === "purchase", col("ts")))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(firstView.as("first_view"), firstPurchase.as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull)
+      .select(col("user_id"), col("first_view"), col("first_purchase"),
+        when(col("first_view") < col("first_purchase"), 1).otherwise(0).as("converted"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily, ev04Funnel)
+}

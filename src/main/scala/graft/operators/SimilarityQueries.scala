@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the correctness baseline and
+  * a sign-bit (SimHash/random-hyperplane family) bucketed variant as
+  * the scale path — bucketing turns all-pairs O(n²) into a groupBy on
+  * bucket keys plus small per-bucket scans, the same shape an IVF
+  * index gives.
+  *
+  * Determinism: dot products are generated as a fixed left-associated
+  * 64-term double expression (float→double casts are exact, IEEE-754
+  * mul/add/sqrt are deterministic), so Spark and DuckDB agree
+  * bit-for-bit with a plain arithmetic oracle — no approximate vector
+  * extension required on the oracle side.
+  */
+object SimilarityQueries {
+
+  private val DIM = 64
+
+  /** Left-associated Σ aᵢ·bᵢ over two array columns (Spark side). */
+  private def dotExpr(a: String, b: String): Column =
+    (1 to DIM).map(i =>
+      element_at(col(a), i).cast(DoubleType) * element_at(col(b), i).cast(DoubleType))
+      .reduceLeft(_ + _)
+
+  /** Left-associated Σ aᵢ² (Spark side). */
+  private def norm2Expr(a: String): Column =
+    (1 to DIM).map { i =>
+      val e = element_at(col(a), i).cast(DoubleType); e * e
+    }.reduceLeft(_ + _)
+
+  /** SQL mirrors — identical association order. */
+  private def sqlDot(a: String, b: String): String =
+    (1 to DIM).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+  private def sqlNorm2(a: String): String =
+    (1 to DIM).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  /** Sign-bit LSH bucket from 8 fixed coordinate hyperplanes (dims
+    * 1,9,…,57): an 8-bit code. At 100 TB the bucket id is the shuffle
+    * key; brute-force scoring happens only within buckets. */
+  private def bucketExpr(a: String): Column =
+    (0 until 8).map { j =>
+      when(element_at(col(a), j * 8 + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+  private def sqlBucket(a: String): String =
+    (0 until 8).map(j =>
+      s"(CASE WHEN $a.embedding[${j * 8 + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " + ", ")")
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** Brute-force cosine top-10 for 3 query vectors against the whole
+    * table. The query side is tiny → broadcast; candidates stream. */
+  val sm01CosineTopK: GraftQuery = q(
+    "sm01_cosine_topk",
+    "brute-force cosine top-k (ANN baseline)",
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${sqlDot("q", "c")} / (SQRT(${sqlNorm2("q")}) * SQRT(${sqlNorm2("c")})) AS cosine
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 3),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+       |  FROM pairs)
+       |SELECT query_id, cand_id, cosine, rn FROM ranked
+       |WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val cosine = dotExpr("qe", "ce") / (sqrt(norm2Expr("qe")) * sqrt(norm2Expr("ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(qv).join(cv, col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 10)
+      .orderBy("query_id", "rn")
+  }
+
+  /** SimHash-style sign-bit bucket histogram — the partition layout
+    * the scalable ANN path shuffles by. */
+  val sm02SimhashBuckets: GraftQuery = q(
+    "sm02_simhash_buckets",
+    "sign-bit LSH bucket histogram",
+    s"""SELECT ${sqlBucket("e")} AS bucket, COUNT(*) AS n_vecs,
+       |  MIN(vec_id) AS first_vec
+       |FROM embeddings e GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .groupBy(bucketExpr("embedding").as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+      .orderBy("bucket")
+  }
+
+  /** Bucketed ANN: same cosine scoring as sm01 but only within the
+    * query's LSH bucket — the 100 TB execution shape (equi-join on
+    * bucket id instead of an all-pairs cross join). */
+  val sm03AnnBucketed: GraftQuery = q(
+    "sm03_ann_bucketed",
+    "LSH-bucketed approximate nearest neighbors",
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${sqlDot("q", "c")} / (SQRT(${sqlNorm2("q")}) * SQRT(${sqlNorm2("c")})) AS cosine
+       |  FROM coded q JOIN coded c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+       |  FROM pairs)
+       |SELECT query_id, cand_id, cosine, rn FROM ranked
+       |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val coded = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketExpr("embedding").as("bucket"))
+    val qv = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val cv = coded.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      col("bucket").as("cbucket"))
+    val cosine = dotExpr("qe", "ce") / (sqrt(norm2Expr("qe")) * sqrt(norm2Expr("ce")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(qv)
+      .join(cv, col("bucket") === col("cbucket") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Per-vector L2 norm + label — embedding hygiene stats (map-only). */
+  val sm04Norms: GraftQuery = q(
+    "sm04_vector_norms",
+    "per-vector L2 norm (map-side vector op)",
+    s"""SELECT vec_id, label, SQRT(${sqlNorm2("e")}) AS l2_norm
+       |FROM embeddings e WHERE vec_id < 200 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("label"), sqrt(norm2Expr("embedding")).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms)
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, language-ID heuristics, document fingerprinting, and term
+  * document-frequency — the per-document stages of a training-data
+  * pipeline. Everything is a per-row scalar computation (map-side,
+  * codegen'd built-ins, no UDFs) except the final small aggregations,
+  * so each scales linearly with zero extra shuffles.
+  */
+object TextQueries {
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** Token/char statistics per language. Whitespace tokenization; all
+    * integer arithmetic until one final division. */
+  val tx01TokenStats: GraftQuery = q(
+    "tx01_token_stats",
+    "token counting + per-language stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS chars_per_token
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val ntok = size(split(col("text"), " ")).cast(LongType)
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ntok).cast(LongType).as("total_tokens"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+      .orderBy("lang")
+  }
+
+  /** Per-document quality score: token count, mean token length,
+    * stopword ratio, type-token ratio (distinct/total words). The
+    * classic cheap heuristics used to filter web-scale corpora. */
+  val tx02QualityScore: GraftQuery = q(
+    "tx02_quality_score",
+    "doc quality heuristics: stopword ratio, type-token ratio",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast(LongType)
+    val nTypes = size(array_distinct(toks)).cast(LongType)
+    val nStop = size(filter(toks, w => w.isin("the", "a"))).cast(LongType)
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"), nTypes.as("n_types"), nStop.as("n_stop"),
+        (nStop.cast(DoubleType) / nTok.cast(DoubleType)).as("stop_ratio"),
+        (nTypes.cast(DoubleType) / nTok.cast(DoubleType)).as("type_token_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by stopword-profile scoring (n-gram-heuristic family):
+    * score each language by marker-token hits, argmax with a fixed
+    * tie-break order, and report the confusion against the labeled
+    * `lang` column. Marker hits are exact substring counts via the
+    * replace-length trick — identical in any SQL engine. */
+  val tx03LangId: GraftQuery = q(
+    "tx03_langid",
+    "language-ID heuristic + confusion vs labels",
+    """WITH scored AS (
+      |  SELECT lang,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, 'the', ''))) / 3 AS hits_en,
+      |    (LENGTH(text) - LENGTH(REPLACE(text, 'data', ''))) / 4 AS hits_x
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN hits_en >= hits_x THEN 'en' ELSE 'xx' END AS pred,
+      |  COUNT(*) AS n
+      |FROM scored GROUP BY lang, CASE WHEN hits_en >= hits_x THEN 'en' ELSE 'xx' END
+      |ORDER BY lang, pred""".stripMargin) { (s, d) =>
+    def hits(m: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), m, ""))) / m.length
+    Tables.documents(s, d)
+      .select(col("lang"), hits("the").as("hits_en"), hits("data").as("hits_x"))
+      .select(col("lang"),
+        when(col("hits_en") >= col("hits_x"), "en").otherwise("xx").as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  /** Content fingerprints: full digest + 64-bit prefix, over normalized
+    * text. The normalized-digest is the key exact-dedup runs on when
+    * "duplicate" means case/punctuation-insensitive. */
+  val tx04Fingerprint: GraftQuery = q(
+    "tx04_fingerprint",
+    "normalized document fingerprinting",
+    """SELECT doc_id,
+      |  md5(lower(text)) AS fp,
+      |  substr(md5(lower(text)), 1, 16) AS fp64
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        md5(lower(col("text"))).as("fp"),
+        substring(md5(lower(col("text"))), 1, 16).as("fp64"))
+      .orderBy("doc_id")
+  }
+
+  /** Term document-frequency (the DF half of TF-IDF): distinct-word
+    * explode then a 31-key groupBy; df_ratio replaces ln(N/df) to stay
+    * engine-exact (no transcendental functions in the compare). */
+  val tx05TermDf: GraftQuery = q(
+    "tx05_term_df",
+    "term document frequency (TF-IDF building block)",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS total FROM documents)
+      |SELECT word, COUNT(*) AS df,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT total FROM n) AS DOUBLE) AS df_ratio
+      |FROM tok GROUP BY word ORDER BY df DESC, word LIMIT 30""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val total = docs.count()
+    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("df_ratio", col("df").cast(DoubleType) / lit(total).cast(DoubleType))
+      .orderBy(col("df").desc, col("word"))
+      .limit(30)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf)
+}
