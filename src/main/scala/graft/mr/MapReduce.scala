@@ -1,0 +1,147 @@
+package graft.mr
+
+import graft.sources.{Corpus, PathPredicate}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's job model (`jobs.go:9-20`) re-expressed Spark-first.
+  *
+  * A job is: a path filter, an optional directory-files filter
+  * (hierarchy context), a flatMap-shaped mapper
+  * `(path, parents, content) → 0..n records` (reference
+  * `interfaces.go:17-27` — strictly a flatMap, covering projection,
+  * filtering and record splitting), and a distributive reduction
+  * `(zero, fold, merge)`.
+  *
+  * Departures from the reference, by design (SURVEY.md §7.3):
+  *  - the goroutine pipeline / batching / backpressure machinery
+  *    (mapreduce.go:39-129,356-399) is replaced by Spark's scheduler;
+  *  - reduction is partial-per-partition then merged — the
+  *    distributed reduction the reference left as a TODO
+  *    (readme.md:44); its `Sorter` per-batch sort semantic
+  *    (mapreduce.go:461-477) maps to an optional partition-local sort
+  *    before folding (`sortWithinPartitions`);
+  *  - errors fail the whole run via Spark task failure → exception,
+  *    matching the reference's first-error-cancels-everything
+  *    (mapreduce.go:215-220).
+  */
+final case class MapReduceJob[M, R](
+    name: String,
+    filter: PathPredicate,
+    mapper: (String, Seq[Array[Byte]], Array[Byte]) => IterableOnce[M],
+    zero: R,
+    fold: (R, M) => R,
+    merge: (R, R) => R,
+    directoryFiles: Option[PathPredicate] = None,
+    sortKey: Option[M => Long] = None,
+    finish: R => Unit = (_: R) => ())(implicit val enc: Encoder[M])
+  extends CorpusJob {
+
+  /** Run the map phase only, as a typed Dataset (composable with the
+    * whole relational surface). */
+  def mapped(files: DataFrame): Dataset[M] = {
+    val pred = filter
+    val parentsFor = ParentStacks.resolver(files, directoryFiles)
+    val m = mapper
+    files
+      .filter(col("path").isNotNull)
+      .flatMap { row =>
+        val path = row.getAs[String]("path")
+        if (pred.matches(path))
+          m(path, parentsFor(path), row.getAs[Array[Byte]]("content"))
+        else Iterator.empty
+      }(enc)
+  }
+
+  def run(files: DataFrame): Any = {
+    val ds = mapped(files)
+    val sorted = sortKey match {
+      case Some(k) =>
+        // Reference Sorter semantics: sort is per delivered batch, not
+        // global (interfaces.go:54). Partition-local sort is the
+        // faithful distributed equivalent.
+        import org.apache.spark.sql.Encoders
+        ds.map(v => (k(v), v))(Encoders.tuple(Encoders.scalaLong, enc))
+          .sortWithinPartitions(col("_1"))
+          .map(_._2)(enc)
+      case None => ds
+    }
+    val (z, f, mg) = (zero, fold, merge)
+    // Partial fold per partition, merge on driver: partial+final
+    // aggregation — the distributed reduction the reference TODO'd.
+    val partials = sorted.mapPartitions(it => Iterator.single(it.foldLeft(z)(f)))(
+      org.apache.spark.sql.Encoders.kryo[Any].asInstanceOf[Encoder[R]])
+      .collect()
+    val result = partials.foldLeft(z)(mg)
+    finish(result)
+    result
+  }
+}
+
+trait CorpusJob extends Serializable {
+  def name: String
+  def run(files: DataFrame): Any
+}
+
+/** Hierarchy context (SURVEY.md §1.3, §7.3): files matching a job's
+  * `directoryFiles` filter become ancestor context for every file in
+  * the *strict* subtree below their folder, ordered root→leaf —
+  * reference semantics from work.go:68-100 / mapreduce.go:152-204,
+  * including the rule that a file in the same folder as a directory
+  * file does NOT see it (both load in the same folder pass).
+  *
+  * Directory files are few and small by contract (the reference holds
+  * them all in one in-process map, mapreduce.go:187), so this is a
+  * hand-rolled broadcast join: collect the matching rows, broadcast
+  * the sorted stack table, resolve per row map-side. No shuffle.
+  */
+object ParentStacks {
+  def resolver(files: DataFrame, dirFilter: Option[PathPredicate])
+      : String => Seq[Array[Byte]] =
+    dirFilter match {
+      case None => _ => Nil
+      case Some(pred) =>
+        val dirRows = files
+          .filter(r => pred.matches(r.getAs[String]("path"))) // executor-side
+          .collect() // only the few matching directory files reach the driver
+          .map(r => (r.getAs[String]("dir"), r.getAs[Int]("depth"),
+            r.getAs[String]("path"), r.getAs[Array[Byte]]("content")))
+          .sortBy(t => (t._2, t._3)) // root→leaf, stable within a folder
+        path => {
+          val fileDir = path.lastIndexOf('/') match {
+            case -1 => ""
+            case i  => path.substring(0, i)
+          }
+          dirRows.collect {
+            case (dfDir, _, _, content)
+                if dfDir != fileDir &&
+                  (dfDir.isEmpty || fileDir.startsWith(dfDir + "/")) =>
+              content
+          }.toSeq
+        }
+    }
+}
+
+/** Multi-job executor (reference `MapReduce(filesystem, jobs)`,
+  * mapreduce.go:12-221): N jobs over ONE traversal. The reference
+  * pays listing+open+parse once and fans results out to each job's
+  * pipeline; here the corpus DataFrame is materialized once
+  * (MEMORY_AND_DISK) and every job's plan reads the cached copy —
+  * the multi-query optimization Catalyst doesn't do across actions
+  * (SURVEY.md §4).
+  */
+object MapReduceRunner {
+  def run(spark: SparkSession, corpus: DataFrame, jobs: Seq[CorpusJob])
+      : Map[String, Any] = {
+    val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count() // materialize once, before any job reads it
+      jobs.map(j => j.name -> j.run(cached)).toMap
+    } finally { cached.unpersist(); () }
+  }
+
+  def runOnDirectory(spark: SparkSession, root: String, jobs: Seq[CorpusJob])
+      : Map[String, Any] =
+    run(spark, Corpus.read(spark, root), jobs)
+}

@@ -1,0 +1,209 @@
+package graft
+
+import graft.mr.{MapReduceJob, MapReduceRunner}
+import graft.sources.{Corpus, MultiGlob, PathGlob}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Ports of the reference's end-to-end semantic tests
+  * (mapreduce_test.go) onto the Spark-native engine: same fixtures,
+  * same invariants (9 newlines, sum 195, child·parent products,
+  * ancestor-stack depths, fail-fast errors, 1000-file smoke). */
+/** Serializable helpers — mapper closures must not capture the suite. */
+object MrTestFns extends Serializable {
+  def parseValue(bytes: Array[Byte]): Int = {
+    val m = """"value":\s*(\d+)""".r.findFirstMatchIn(new String(bytes, "UTF-8"))
+    m.map(_.group(1).toInt).getOrElse(sys.error("no value"))
+  }
+}
+
+class MapReduceSpec extends AnyFunSuite {
+  import TestSpark.spark.implicits._
+  import MrTestFns.parseValue
+  private def spark = TestSpark.spark
+  private val fixtures = "src/test/resources/refFixtures"
+
+  test("TestLineCounter: 9 newlines across a/**.txt (mapreduce_test.go:106-137)") {
+    val job = MapReduceJob[Int, Int](
+      name = "lines",
+      filter = PathGlob("**/*.txt"),
+      mapper = (_, _, content) => Iterator.single(content.count(_ == '\n'.toByte)),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val res = MapReduceRunner.runOnDirectory(spark, s"$fixtures/a", Seq(job))
+    assert(res("lines") == 9)
+  }
+
+  test("TestLineSum: sum 195 via record-splitting mapper (mapreduce_test.go:139-183)") {
+    val job = MapReduceJob[Int, Int](
+      name = "sum",
+      filter = PathGlob("**/*.txt"),
+      // one output per line — the flatMap/record-splitting shape
+      mapper = (_, _, content) =>
+        new String(content, "UTF-8").split("\n").iterator
+          .filter(_.nonEmpty).map(_.toInt),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val res = MapReduceRunner.runOnDirectory(spark, s"$fixtures/a", Seq(job))
+    assert(res("sum") == 195)
+  }
+
+  test("filter routing: */c/*.txt maps only a/c/f.txt (mapreduce_test.go:65-78)") {
+    val job = MapReduceJob[String, List[String]](
+      name = "routed",
+      filter = PathGlob("*/c/*.txt"),
+      mapper = (path, _, _) => Iterator.single(path),
+      zero = Nil, fold = (acc, p) => p :: acc, merge = _ ++ _)
+    val res = MapReduceRunner.runOnDirectory(spark, fixtures, Seq(job))
+    assert(res("routed") == List("a/c/f.txt"))
+  }
+
+  test("TestDirectoryFiles: child*parent = 6 (mapreduce_test.go:403-429)") {
+    val job = MapReduceJob[Int, Int](
+      name = "product",
+      filter = PathGlob("*/*.json"),
+      directoryFiles = Some(PathGlob("*.json")),
+      mapper = (_, parents, content) =>
+        Iterator.single(parents.map(parseValue).product * parseValue(content)),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val res = MapReduceRunner.runOnDirectory(spark, s"$fixtures/json", Seq(job))
+    assert(res("product") == 6)
+  }
+
+  test("ExampleMapReduce: sum of child*parent = 14 (mapreduce_test.go:553-603)") {
+    val job = MapReduceJob[Int, Int](
+      name = "example",
+      filter = PathGlob("*/*.json"),
+      directoryFiles = Some(PathGlob("parent.json")),
+      mapper = (_, parents, content) =>
+        Iterator.single(parents.map(parseValue).product * parseValue(content)),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val res = MapReduceRunner.runOnDirectory(spark, s"$fixtures/example", Seq(job))
+    assert(res("example") == 14)
+  }
+
+  private def virtualTree = Seq(
+    "folder/folder/folder/map.txt" -> "data".getBytes,
+    "folder/folder/file.txt" -> "ctx2".getBytes,
+    "folder/file.txt" -> "ctx1".getBytes,
+    "file.txt" -> "ctx0".getBytes)
+
+  test("TestMultipleDirectoryFiles: 3 ancestors visible (mapreduce_test.go:431-461)") {
+    val corpus = Corpus.fromRecords(spark, virtualTree)
+    val job = MapReduceJob[Int, Int](
+      name = "nparents",
+      filter = PathGlob("**/map.txt"),
+      directoryFiles = Some(MultiGlob(Seq(PathGlob("file.txt"), PathGlob("**/file.txt")))),
+      mapper = (_, parents, _) => Iterator.single(parents.size),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val res = MapReduceRunner.run(spark, corpus, Seq(job))
+    assert(res("nparents") == 3)
+  }
+
+  test("TestDirectoryFilesWithMultipleJobs: per-job stacks differ (mapreduce_test.go:463-503)") {
+    val corpus = Corpus.fromRecords(spark, virtualTree)
+    def job(n: String, dirGlobs: Seq[String]) = MapReduceJob[Int, Int](
+      name = n,
+      filter = PathGlob("**/map.txt"),
+      directoryFiles = Some(PathGlob(dirGlobs)),
+      mapper = (_, parents, _) => Iterator.single(parents.size),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val res = MapReduceRunner.run(spark, corpus, Seq(
+      job("two", Seq("file.txt", "folder/file.txt")),
+      job("one", Seq("file.txt"))))
+    assert(res("two") == 2)
+    assert(res("one") == 1)
+  }
+
+  test("parents are ordered root→leaf (work.go:82-91 append order)") {
+    val corpus = Corpus.fromRecords(spark, virtualTree)
+    val job = MapReduceJob[Seq[String], Seq[String]](
+      name = "order",
+      filter = PathGlob("**/map.txt"),
+      directoryFiles = Some(PathGlob(Seq("file.txt", "**/file.txt"))),
+      mapper = (_, parents, _) =>
+        Iterator.single(parents.map(b => new String(b, "UTF-8"))),
+      zero = Nil, fold = (_, v) => v, merge = (a, b) => if (b.nonEmpty) b else a)
+    val res = MapReduceRunner.run(spark, corpus, Seq(job))
+    assert(res("order") == Seq("ctx0", "ctx1", "ctx2"))
+  }
+
+  test("same-folder directory file is NOT a parent of its siblings (mapreduce.go:152-198)") {
+    val corpus = Corpus.fromRecords(spark, Seq(
+      "folder/file.txt" -> "ctx".getBytes,
+      "folder/data.txt" -> "data".getBytes))
+    val job = MapReduceJob[Int, Int](
+      name = "siblings",
+      filter = PathGlob("**/data.txt"),
+      directoryFiles = Some(PathGlob("**/file.txt")),
+      mapper = (_, parents, _) => Iterator.single(parents.size),
+      zero = 0, fold = _ + _, merge = _ + _)
+    assert(MapReduceRunner.run(spark, corpus, Seq(job))("siblings") == 0)
+  }
+
+  test("TestMappingLargeNumberOfItems: 1000 virtual files (mapreduce_test.go:513-531)") {
+    val corpus = Corpus.fromRecords(spark,
+      (0 until 1000).map(i => s"dir$i/f$i.txt" -> s"$i".getBytes))
+    val job = MapReduceJob[Int, Int](
+      name = "count1000",
+      filter = PathGlob("**/*.txt"),
+      mapper = (_, _, _) => Iterator.single(1),
+      zero = 0, fold = _ + _, merge = _ + _)
+    assert(MapReduceRunner.run(spark, corpus, Seq(job))("count1000") == 1000)
+  }
+
+  test("TestMapperError: first error fails the run (mapreduce_test.go:195-274)") {
+    val job = MapReduceJob[Int, Int](
+      name = "boom",
+      filter = PathGlob("**/*.txt"),
+      mapper = (path, _, _) =>
+        if (path.endsWith("f.txt")) throw new IllegalStateException(s"mapper failed on $path")
+        else Iterator.single(1),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val e = intercept[Exception] {
+      MapReduceRunner.runOnDirectory(spark, s"$fixtures/a", Seq(job))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("multi-job single materialization: two jobs over one cached corpus (mapreduce.go:162-184)") {
+    val lines = MapReduceJob[Int, Int](
+      name = "lines", filter = PathGlob("**/*.txt"),
+      mapper = (_, _, c) => Iterator.single(c.count(_ == '\n'.toByte)),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val sum = MapReduceJob[Int, Int](
+      name = "sum", filter = PathGlob("**/*.txt"),
+      mapper = (_, _, c) =>
+        new String(c, "UTF-8").split("\n").iterator.filter(_.nonEmpty).map(_.toInt),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val res = MapReduceRunner.runOnDirectory(spark, s"$fixtures/a", Seq(lines, sum))
+    assert(res == Map("lines" -> 9, "sum" -> 195))
+  }
+
+  test("sortKey gives partition-sorted streams (interfaces.go:54 batch-sort semantics)") {
+    val corpus = Corpus.fromRecords(spark,
+      (0 until 100).map(i => s"f$i.txt" -> s"${100 - i}".getBytes))
+    val job = MapReduceJob[Int, List[Int]](
+      name = "sorted",
+      filter = PathGlob("*.txt"),
+      mapper = (_, _, c) => Iterator.single(new String(c, "UTF-8").toInt),
+      zero = Nil,
+      fold = (acc, v) => v :: acc, // reversed per-partition stream
+      merge = _ ++ _,
+      sortKey = Some((v: Int) => v.toLong))
+    val res = MapReduceRunner.run(spark, corpus, Seq(job))("sorted")
+      .asInstanceOf[List[Int]]
+    // each partition's stream arrived ascending ⇒ each folded chunk is
+    // descending after the prepend-reverse; globally we just check the
+    // multiset and that chunks exist
+    assert(res.toSet == (1 to 100).toSet)
+  }
+}
