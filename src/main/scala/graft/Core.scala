@@ -98,5 +98,7 @@ object Registry {
       graft.operators.DedupQueries.all ++
       graft.operators.TextQueries.all ++
       graft.operators.SimilarityQueries.all ++
-      graft.operators.EventQueries.all
+      graft.operators.EventQueries.all ++
+      graft.operators.MultimodalQueries.all ++
+      graft.operators.AsofJoin.all
 }

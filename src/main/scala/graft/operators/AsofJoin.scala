@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of (backward) join — an operator Spark lacks natively
+  * (SURVEY.md §2.2 "range/as-of"). Implemented by composition, per the
+  * preference order in §7.4: union the two sides tagged left/right,
+  * sort within each key partition by (time, tag, tiebreak), and carry
+  * the latest right-side payload forward with
+  * `last(..., ignoreNulls).over(rows unbounded preceding..current)`.
+  *
+  * Cost shape: ONE shuffle (by key) + ONE partition-local sort — the
+  * same cost as a sort-merge join, with none of the O(n·m) range-probe
+  * blowup a naive theta join would give. Ties on the right side at the
+  * same timestamp resolve to the greatest tiebreak column, which the
+  * oracle mirrors with ORDER BY ... DESC LIMIT 1.
+  */
+object AsofJoin {
+
+  /** left(keyCol, timeCol, ...) ⟕asof right(keyCol, timeCol, payload...):
+    * each left row gains the payload of the latest right row with the
+    * same key and time ≤ the left row's time (inclusive). */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String], tiebreak: String): DataFrame = {
+    val payloadNames = (Seq(rightTime, tiebreak) ++ payloadCols).distinct
+    val payloadType = StructType(payloadNames.map(n => right.schema(n)))
+    val lrowType = StructType(left.schema.fields)
+    val l = left.select(
+      col(key).as("__key"), col(leftTime).as("__t"), lit(1).as("__tag"),
+      lit(Long.MaxValue).as("__tb"),
+      lit(null).cast(payloadType).as("__payload"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+    val r = right.select(
+      col(key).as("__key"), col(rightTime).as("__t"), lit(0).as("__tag"),
+      col(tiebreak).cast(LongType).as("__tb"),
+      struct(payloadNames.map(col): _*).as("__payload"),
+      lit(null).cast(lrowType).as("__lrow"))
+    val unioned = l.unionByName(r)
+    // right rows sort before left rows at equal time (inclusive ≤);
+    // among right ties, greater tiebreak wins (later in sort → last())
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__lrow.*"), col("__asof"))
+  }
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** Each event joined to the user's latest order as of the event time
+    * (user_id ≡ customer key in the synthetic corpus). */
+  val aj01EventOrders: GraftQuery = q(
+    "aj01_asof_join",
+    "as-of backward join: event → latest prior order",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT o.o_orderkey FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey,
+      |  (SELECT o.o_totalprice FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_totalprice
+      |FROM events e WHERE e.event_id < 500
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d).filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    val ev = events.withColumn("o_custkey", col("user_id"))
+    backward(ev, orders,
+      key = "o_custkey", leftTime = "ts", rightTime = "o_orderdate",
+      payloadCols = Seq("o_totalprice"), tiebreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("__asof.o_orderkey").as("last_orderkey"),
+        col("__asof.o_totalprice").as("last_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Range (band) join: quantity banded into named buckets via an
+    * inline dimension — planned as a broadcast join with a range
+    * predicate (no shuffle of the fact side). */
+  val rj01RangeBand: GraftQuery = q(
+    "rj01_range_join",
+    "range/band join against an inline dimension",
+    """WITH bands(lo, hi, band) AS (VALUES
+      |  (0, 10, 'low'), (10, 25, 'mid'), (25, 100, 'high'))
+      |SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band ORDER BY band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = Seq((0, 10, "low"), (10, 25, "mid"), (25, 100, "high"))
+      .toDF("lo", "hi", "band")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_qty"))
+      .orderBy("band")
+  }
+
+  val all: Seq[GraftQuery] = Seq(aj01EventOrders, rj01RangeBand)
+}

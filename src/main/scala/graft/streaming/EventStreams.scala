@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming operators over the `events` schema
+  * `(event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string)`.
+  *
+  * Each transformation takes a plain DataFrame and works identically on
+  * a batch frame or a `readStream` frame — Structured Streaming's
+  * incrementalization is Catalyst's job, not the operator author's. The
+  * test suite exploits that: it runs the same function both ways and
+  * asserts equal results (the oracle for streaming is our own batch
+  * path, which is itself DuckDB-checked via ev01/ev02).
+  *
+  * The reference has no streaming at all (readme.md:42,48 — unchecked
+  * TODOs); this is new Spark-native surface mandated by SURVEY §2.2.
+  *
+  * Scale: windowed aggregations shuffle by (window, key) and keep only
+  * per-window state; watermarks bound state size — at 100 TB/day the
+  * state store holds one entry per open window per key, not per event.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type. With a watermark, late
+    * events beyond 10 minutes are dropped and closed windows are
+    * emitted exactly once in append mode. */
+  def tumblingHourly(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Session windows with a 30-minute inactivity gap per user — the
+    * built-in incremental form of ev02_sessionize. */
+  def userSessions(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+  }
+
+  /** Streaming exact dedup on event_id: state-backed dropDuplicates;
+    * the watermark lets the state store evict ids older than the
+    * lateness bound (unbounded state otherwise — the 100 TB footgun). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Per-type running counts in update mode (no watermark needed). */
+  def typeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Batch/stream equivalence: the same EventStreams transformation run
+  * (a) directly on a batch DataFrame and (b) through a file
+  * readStream + memory sink, must agree. The batch side is itself
+  * oracle-checked (ev01/ev02), so this transitively checks streaming
+  * against DuckDB. */
+class StreamingSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Materialize the (ns-fixed) events table to a fresh dir, split in
+    * two files so the stream runs >1 microbatch and advances the
+    * watermark between them. */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev = Tables.events(spark, sf).orderBy("ts").cache()
+    ev.limit(500).coalesce(1).write.mode("append").parquet(dir)
+    ev.orderBy("ts").exceptAll(ev.orderBy("ts").limit(500))
+      .coalesce(1).write.mode("append").parquet(dir)
+    ev.unpersist()
+    dir
+  }
+
+  private def runStream(transform: DataFrame => DataFrame,
+      mode: String, name: String): DataFrame = {
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+    val q = transform(src).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("tumbling window: streaming complete mode ≡ batch") {
+    val batch = EventStreams.tumblingHourly(
+      Tables.events(spark, sf), withWatermarkCol = false)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = runStream(EventStreams.tumblingHourly(_, withWatermarkCol = false),
+      "complete", "tumbling_complete")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("tumbling window append mode emits only watermark-closed windows, consistent with batch") {
+    val emitted = runStream(EventStreams.tumblingHourly(_), "append", "tumbling_append")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStreams.tumblingHourly(
+      Tables.events(spark, sf), withWatermarkCol = false)
+      .orderBy("window_start", "event_type").collect().toSeq
+    // append-mode output is a prefix subset of the batch result —
+    // every emitted window must match the batch aggregate exactly
+    assert(emitted.nonEmpty)
+    assert(emitted.toSet.subsetOf(batch.toSet))
+  }
+
+  test("session windows: streaming complete mode ≡ batch") {
+    val batch = EventStreams.userSessions(
+      Tables.events(spark, sf), withWatermarkCol = false)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val stream = runStream(EventStreams.userSessions(_, withWatermarkCol = false),
+      "complete", "sessions_complete")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows agree with the batch sessionizer (ev02) on session count") {
+    val viaSessionWindow = EventStreams.userSessions(
+      Tables.events(spark, sf), withWatermarkCol = false).count()
+    val viaBatchQuery =
+      SparkEntry.queries("ev02_sessionize")(spark, sf).count()
+    assert(viaSessionWindow == viaBatchQuery)
+  }
+
+  test("streaming dedup drops re-delivered events") {
+    // stage a copy of the first file again → duplicate event_ids
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val ev = Tables.events(spark, sf).limit(200).cache()
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.dedupedEvents(src)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup_n")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("dedup_n").collect()(0).getLong(0)
+    assert(n == 200) // 400 delivered, 200 distinct
+    ev.unpersist()
+  }
+}
