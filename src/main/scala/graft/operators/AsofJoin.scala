@@ -36,7 +36,13 @@ object AsofJoin {
       lit(Long.MaxValue).as("__tb"),
       lit(null).cast(payloadType).as("__payload"),
       struct(left.columns.map(col): _*).as("__lrow"))
-    val r = right.select(
+    // Right rows whose key never occurs on the left can't contribute:
+    // semi-join them away before the sort (at scale the left is often
+    // selective, and this shrinks the windowed sort to matching keys).
+    val rightPruned = right.join(
+      left.select(col(key).as("__semikey")).distinct(),
+      col(key) === col("__semikey"), "left_semi")
+    val r = rightPruned.select(
       col(key).as("__key"), col(rightTime).as("__t"), lit(0).as("__tag"),
       col(tiebreak).cast(LongType).as("__tb"),
       struct(payloadNames.map(col): _*).as("__payload"),
