@@ -146,7 +146,86 @@ object DedupQueries {
       .orderBy("bucket")
   }
 
+  /** Embedding-cosine near-duplicates, bucketed: candidate pairs come
+    * only from the same sign-bit LSH bucket (the 100 TB shape — an
+    * equi-join on bucket id, never an all-pairs cross join), then the
+    * exact cosine confirms. Same deterministic 64-term arithmetic as
+    * sm01 (see [[SimilarityQueries]]). */
+  val dd06EmbeddingNearDup: GraftQuery = {
+    val dim = 64
+    def sqlDot(a: String, b: String) = (1 to dim).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    def sqlNorm2(a: String) = (1 to dim).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    def sqlBucket(a: String) = (0 until 8).map(j =>
+      s"(CASE WHEN $a.embedding[${j * 8 + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("(", " + ", ")")
+    q("dd06_embedding_neardup",
+      "embedding-cosine near-dup pairs via LSH buckets",
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${sqlDot("a", "b")} / (SQRT(${sqlNorm2("a")}) * SQRT(${sqlNorm2("b")})) AS cosine
+         |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      def bucketExpr(a: String) = (0 until 8).map { j =>
+        when(element_at(col(a), j * 8 + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+      }.reduceLeft(_ + _)
+      def dot(a: String, b: String) = (1 to dim).map(i =>
+        element_at(col(a), i).cast(DoubleType) * element_at(col(b), i).cast(DoubleType))
+        .reduceLeft(_ + _)
+      def norm2(a: String) = (1 to dim).map { i =>
+        val e = element_at(col(a), i).cast(DoubleType); e * e
+      }.reduceLeft(_ + _)
+      val coded = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucketExpr("embedding").as("bucket"))
+      val a = coded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("bucket"))
+      val b = coded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("bucket").as("bb"))
+      a.join(b, col("bucket") === col("bb") && col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot("ea", "eb") / (sqrt(norm2("ea")) * sqrt(norm2("eb")))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    }
+  }
+
+  /** Text SimHash: 8-bit signature where bit j is the sign of the
+    * occurrence-weighted sum of words' md5-derived bits — one explode +
+    * one groupBy, all integer arithmetic, reproducible in any engine
+    * with md5 and bitwise AND. */
+  val dd07Simhash: GraftQuery = {
+    def sqlBitSum(j: Int) =
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), ${1 + j / 4}, 1)) - 1) & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END)"
+    val sqlHash = (0 until 8).map(j =>
+      s"(CASE WHEN ${sqlBitSum(j)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    q("dd07_simhash",
+      "8-bit SimHash document fingerprint",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT doc_id, $sqlHash AS simhash
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      def hexVal(j: Int) =
+        conv(substring(md5(col("w")), 1 + j / 4, 1), 16, 10).cast(LongType)
+      def bitSum(j: Int) =
+        sum(when(hexVal(j).bitwiseAND(lit(1L << (j % 4))) > 0, 1).otherwise(-1))
+      val hashExpr = (0 until 8).map(j =>
+        when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduceLeft(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(hashExpr.as("simhash"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
-    dd04MinhashSignatures, dd05LshBuckets)
+    dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash)
 }

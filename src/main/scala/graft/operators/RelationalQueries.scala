@@ -560,7 +560,34 @@ object RelationalQueries {
         |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
+  /** Supplier-side join (touches the last remaining corpus table). */
+  val q29SupplierJoin: GraftQuery = q(
+    "q29_supplier_join",
+    "supplier⋈nation broadcast join + agg (ref: none; SURVEY §2.2)",
+    s"""SELECT n_name, COUNT(*) AS n_suppliers,
+       |  ${sqlDsum("s_acctbal")} AS total_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** HLL sketch cardinality (approx_count_distinct). No oracle — the
+    * sketch is engine-specific; the driver records a rows-only check.
+    * Exact distinct for the same column is oracle-checked in q03. */
+  val hll01ApproxDistinct: GraftQuery = GraftQuery(
+    "hll01_approx_distinct",
+    (s, d) => Tables.lineitem(s, d).agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+    None,
+    "HLL++ sketch cardinality — constant memory at any scale")
+
   val all: Seq[GraftQuery] = Seq(
+    q29SupplierJoin, hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

@@ -135,6 +135,26 @@ object TextQueries {
       .limit(30)
   }
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the pre-tokenizer
+    * split most BPE vocabularies assume) — vs naive whitespace count. */
+  val tx06BpeTokens: GraftQuery = q(
+    "tx06_bpe_tokens",
+    "regex (BPE-style pre-tokenizer) token counting",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf)
+    tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
+    tx06BpeTokens)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.{Corpus, Formats}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-trips through every supported format (reader+writer parity —
+  * the reference only ever reads; writers are our Finalizer
+  * generalization). */
+class FormatsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parquet/json/csv roundtrip preserves rows") {
+    val src = Tables.nation(spark, sf)
+    val n = src.count()
+    Seq("parquet", "json", "csv").foreach { fmt =>
+      val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/out"
+      Formats.write(src, fmt, dir,
+        options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
+      val back = Formats.read(spark, fmt, dir,
+        if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true") else Map.empty)
+      assert(back.count() == n, fmt)
+      assert(back.select("n_name").distinct().count() ==
+        src.select("n_name").distinct().count(), fmt)
+    }
+  }
+
+  test("partitionBy layout enables partition pruning on read-back") {
+    val src = Tables.orders(spark, sf)
+      .withColumn("status", col("o_orderstatus"))
+    val dir = Files.createTempDirectory("graft-part").toString + "/out"
+    Formats.write(src, "parquet", dir, partitionBy = Seq("status"))
+    val pruned = Formats.read(spark, "parquet", dir).filter(col("status") === "F")
+    assert(pruned.count() ==
+      Tables.orders(spark, sf).filter(col("o_orderstatus") === "F").count())
+    // physical plan reads only the selected partition directory
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("status=O"))
+  }
+
+  test("text format writes one line per row; binaryFile reads bytes back") {
+    val dir = Files.createTempDirectory("graft-text").toString + "/out"
+    Formats.write(
+      Tables.documents(spark, sf).select(col("text")).limit(50), "text", dir)
+    val lines = Formats.read(spark, "text", dir)
+    assert(lines.count() == 50)
+    val bin = Formats.read(spark, "binaryFile", dir,
+      Map("pathGlobFilter" -> "*.txt"))
+    assert(bin.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+  }
+
+  test("corpus reader composes with relational ops (files as a table)") {
+    val corpus = Corpus.read(spark, "src/test/resources/refFixtures")
+    val byDir = corpus.groupBy(col("dir")).agg(count(lit(1)).as("n"))
+      .orderBy("dir").collect()
+    assert(byDir.map(_.getLong(1)).sum == corpus.count())
+    assert(corpus.filter(col("path").endsWith(".json")).count() == 5)
+  }
+}
