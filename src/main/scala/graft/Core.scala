@@ -100,5 +100,6 @@ object Registry {
       graft.operators.SimilarityQueries.all ++
       graft.operators.EventQueries.all ++
       graft.operators.MultimodalQueries.all ++
-      graft.operators.AsofJoin.all
+      graft.operators.AsofJoin.all ++
+      graft.operators.TypedQueries.all
 }

@@ -53,6 +53,31 @@ class FormatsSpec extends AnyFunSuite {
       Set("path", "modificationTime", "length", "content"))
   }
 
+  test("bucketed tables co-locate equi-joins (no shuffle in the plan)") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(s, sf).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+      Tables.customer(s, sf).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+      val joined = s.table("orders_bkt")
+        .join(s.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables.orders(s, sf).join(Tables.customer(s, sf),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS orders_bkt")
+      s.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("corpus reader composes with relational ops (files as a table)") {
     val corpus = Corpus.read(spark, "src/test/resources/refFixtures")
     val byDir = corpus.groupBy(col("dir")).agg(count(lit(1)).as("n"))
