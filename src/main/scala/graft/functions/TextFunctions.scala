@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Composable Column-level text analytics — the building blocks the
+  * canned queries in [[graft.operators.TextQueries]] /
+  * [[graft.operators.DedupQueries]] are assembled from, exposed so
+  * library users can put them in their own plans. All are codegen'd
+  * built-in compositions (no UDFs): per-row, shuffle-free, linear.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-style pre-tokenizer: letter runs, digit runs, single marks. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Distinct-word / total-word ratio — vocabulary richness. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast(DoubleType) /
+      size(tokens(text)).cast(DoubleType)
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(stopwords: _*))).cast(DoubleType) /
+      size(tokens(text)).cast(DoubleType)
+
+  /** Exact substring occurrence count (replace-length trick). */
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), "")))
+      / needle.length).cast(LongType)
+
+  /** Normalized content fingerprint (case-insensitive md5). */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** MinHash component j over the word set, using the md5('j:'||w)
+    * hash family — reproducible in any engine. */
+  def minhash(text: Column, j: Int): Column =
+    array_min(transform(array_distinct(tokens(text)),
+      w => md5(concat(lit(s"$j:"), w))))
+
+  /** k-component MinHash signature as an array column. */
+  def minhashSignature(text: Column, k: Int): Column =
+    array((0 until k).map(minhash(text, _)): _*)
+
+  /** LSH band key over signature components [from, until). */
+  def lshBand(text: Column, from: Int, until: Int): Column =
+    md5(concat_ws("", (from until until).map(minhash(text, _)): _*))
+}

@@ -58,4 +58,53 @@ object EventStreams {
   /** Per-type running counts in update mode (no watermark needed). */
   def typeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * totals emitted on every update — the escape hatch for stateful
+    * logic `session_window`/agg can't express (reference analog: a
+    * long-lived per-job Reducer goroutine folding a stream,
+    * mapreduce.go:401-431, but keyed and distributed here). State is
+    * one small case class per user; a production deployment bounds it
+    * with state TTL (GroupStateTimeout). */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[EventRow])
+      : org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Stream-stream join: views joined to purchases by the same user
+    * within 30 minutes after the view. Both sides watermarked so the
+    * join state is bounded (Spark evicts rows once they can no longer
+    * match). */
+  def viewToPurchase(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+  }
 }

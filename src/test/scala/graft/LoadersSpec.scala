@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.sources.{Corpus, Loaders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Loader hooks + composable text functions: the reference's semantic
+  * invariants (9 lines, sum 195, parsed JSON values) re-expressed as
+  * pure DataFrame plans over the corpus — no user closures at all. */
+class LoadersSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val fixtures = "src/test/resources/refFixtures"
+
+  test("lines loader: 9 lines, integer sum 195 — declaratively") {
+    val lines = Loaders.lines(Corpus.read(spark, s"$fixtures/a"))
+      .filter(col("line").=!=(""))
+    assert(lines.count() == 9)
+    val total = lines.agg(sum(col("line").cast(IntegerType))).collect()(0).getLong(0)
+    assert(total == 195)
+  }
+
+  test("json loader parses once, shares across consumers") {
+    val schema = StructType(Seq(StructField("value", IntegerType)))
+    val loaded = Loaders.json(Corpus.read(spark, s"$fixtures/json"), schema)
+    val vals = loaded.select(col("path"), col("json.value").as("v"))
+      .orderBy("path").collect()
+    assert(vals.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("parent.json", 2), ("subfolder/child.json", 3)))
+  }
+
+  test("child*parent via pure DataFrame plan (no mapper closure) = 6") {
+    val schema = StructType(Seq(StructField("value", IntegerType)))
+    val loaded = Loaders.json(Corpus.read(spark, s"$fixtures/json"), schema)
+    val dirFiles = loaded.filter(col("depth") === 0)
+      .select(col("json.value").as("pv"))
+    val children = loaded.filter(col("depth") === 1)
+      .select(col("json.value").as("cv"))
+    val product = children.crossJoin(broadcast(dirFiles))
+      .agg(sum(col("cv") * col("pv"))).collect()(0).getLong(0)
+    assert(product == 6)
+  }
+
+  test("TextFunctions minhash/lshBand agree with the dd04 query") {
+    val sf = "/root/testdata/sf0.001"
+    val viaFns = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        TextFunctions.minhash(col("text"), 0).as("s0"),
+        TextFunctions.minhash(col("text"), 1).as("s1"),
+        TextFunctions.lshBand(col("text"), 0, 2).as("band"))
+      .orderBy("doc_id").limit(50).collect()
+    val viaQuery = SparkEntry.queries("dd04_minhash_signatures")(spark, sf)
+      .select(col("doc_id"), col("s0"), col("s1"), col("band1"))
+      .orderBy("doc_id").limit(50).collect()
+    assert(viaFns.map(_.toSeq).toSeq == viaQuery.map(_.toSeq).toSeq)
+  }
+
+  test("TextFunctions occurrences matches replace-trick semantics") {
+    val df = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row("the cat the dog the")),
+      StructType(Seq(StructField("t", StringType))))
+    assert(df.select(TextFunctions.occurrences(col("t"), "the"))
+      .collect()(0).getLong(0) == 3)
+  }
+}

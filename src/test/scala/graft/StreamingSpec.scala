@@ -84,6 +84,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaSessionWindow == viaBatchQuery)
   }
 
+  test("flatMapGroupsWithState: final per-user totals equal batch groupBy") {
+    import TestSpark.spark.implicits._
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .as[EventStreams.EventRow]
+    val q = EventStreams.runningUserTotals(src)
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode emits one row per user per microbatch; the LAST row
+    // per user is the final state — compare counts with batch
+    val finalCounts = spark.table("running_totals")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(finalCounts == batch)
+  }
+
+  test("stream-stream join (view→purchase within 30min) ≡ batch join") {
+    val streamed = runStream(EventStreams.viewToPurchase, "append", "ss_join")
+      .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
+      .collect().toSeq
+    val batch = EventStreams.viewToPurchase(Tables.events(spark, sf))
+      .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops re-delivered events") {
     // stage a copy of the first file again → duplicate event_ids
     val dir = Files.createTempDirectory("graft-dedup").toString
