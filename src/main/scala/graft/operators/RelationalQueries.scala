@@ -575,6 +575,24 @@ object RelationalQueries {
       .orderBy("n_name")
   }
 
+  /** Exact interpolated percentiles (sort-based; both engines use the
+    * same linear interpolation on the same 2dp inputs). */
+  val q30Percentiles: GraftQuery = q(
+    "q30_percentiles",
+    "exact percentile / quantile_cont (ref: none; SURVEY §2.2)",
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -587,7 +605,7 @@ object RelationalQueries {
     "HLL++ sketch cardinality — constant memory at any scale")
 
   val all: Seq[GraftQuery] = Seq(
-    q29SupplierJoin, hll01ApproxDistinct,
+    q29SupplierJoin, q30Percentiles, hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

@@ -30,16 +30,39 @@ object Corpus {
     StructField("content", BinaryType, nullable = true)))
 
   /** Read a directory tree rooted at `root` as a corpus DataFrame. */
-  def read(spark: SparkSession, root: String): DataFrame = {
+  def read(spark: SparkSession, root: String): DataFrame =
+    readFiltered(spark, root, None)
+
+  /** Read with a path predicate. The basename of a glob whose
+    * directory part is all globstars is pushed into the source's
+    * `pathGlobFilter` (files skipped at listing time — the distributed
+    * analog of the reference's scan-time pruning, work.go:68-99); the
+    * exact predicate is always re-applied post-scan, mirroring the
+    * reference's CouldMatch-prune / Match-confirm split. */
+  def readFiltered(spark: SparkSession, root: String,
+      predicate: Option[PathPredicate]): DataFrame = {
     val rootUri = "file:" + new java.io.File(root).getAbsolutePath
-    val raw = spark.read.format("binaryFile")
+    val reader = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .load(root)
-    withDerivedColumns(
-      raw.select(
+    val pushed = predicate match {
+      case Some(PathGlob(p)) =>
+        val segs = p.split("/")
+        // pushable iff every directory segment is a globstar (any depth)
+        if (segs.length == 1) reader.option("pathGlobFilter", segs.head)
+        else if (segs.init.forall(_ == "**"))
+          reader.option("pathGlobFilter", segs.last)
+        else reader
+      case _ => reader
+    }
+    val base = withDerivedColumns(
+      pushed.load(root).select(
         regexp_replace(col("path"), java.util.regex.Pattern.quote(rootUri + "/"), "")
           .as("path"),
         col("length"), col("content")))
+    predicate match {
+      case Some(pred) => base.filter(r => pred.matches(r.getAs[String]("path")))
+      case None => base
+    }
   }
 
   /** In-memory corpus (the reference's StaticVirtualFileSystem,

@@ -78,6 +78,18 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus glob pushdown: pathGlobFilter for **-shaped globs, exact post-filter always") {
+    import graft.sources.PathGlob
+    val pushable = Corpus.readFiltered(spark, "src/test/resources/refFixtures",
+      Some(PathGlob("**/*.txt")))
+    assert(pushable.select("path").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a/b/d.txt", "a/b/e.txt", "a/c/f.txt", "example/file.txt"))
+    val nonPushable = Corpus.readFiltered(spark, "src/test/resources/refFixtures",
+      Some(PathGlob("*/c/*.txt")))
+    assert(nonPushable.select("path").collect().map(_.getString(0)).toSeq ==
+      Seq("a/c/f.txt"))
+  }
+
   test("corpus reader composes with relational ops (files as a table)") {
     val corpus = Corpus.read(spark, "src/test/resources/refFixtures")
     val byDir = corpus.groupBy(col("dir")).agg(count(lit(1)).as("n"))
