@@ -593,6 +593,45 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Spark's relational pivot operator (groupBy().pivot().agg()) —
+    * same semantics as q27's conditional aggregation but through the
+    * dedicated API; explicit pivot values keep the plan single-pass. */
+  val q31PivotApi: GraftQuery = q(
+    "q31_pivot_api",
+    "pivot operator with explicit values (ref: none; SURVEY §2.2)",
+    """SELECT l_linestatus,
+      |  COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS n_a,
+      |  COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
+      |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0L)).as("n_a"),
+        coalesce(col("N"), lit(0L)).as("n_n"),
+        coalesce(col("R"), lit(0L)).as("n_r"))
+      .orderBy("l_linestatus")
+  }
+
+  /** posexplode — the 1→n generator (UDTF shape; ref Mapper's
+    * record-splitting, mapreduce_test.go:142-158) with ordinality. */
+  val q32Posexplode: GraftQuery = q(
+    "q32_posexplode",
+    "generator/UDTF: posexplode with ordinality",
+    """SELECT doc_id,
+      |  CAST(unnest(range(1, len(string_split(text, ' '))+1)) AS BIGINT) AS pos,
+      |  unnest(string_split(text, ' ')) AS word
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("word"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -605,7 +644,8 @@ object RelationalQueries {
     "HLL++ sketch cardinality — constant memory at any scale")
 
   val all: Seq[GraftQuery] = Seq(
-    q29SupplierJoin, q30Percentiles, hll01ApproxDistinct,
+    q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
+    hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,
