@@ -172,14 +172,9 @@ object DedupQueries {
          |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      graft.plans.VectorExpressions.register(s)
       def bucketExpr(a: String) = (0 until 8).map { j =>
         when(element_at(col(a), j * 8 + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
-      }.reduceLeft(_ + _)
-      def dot(a: String, b: String) = (1 to dim).map(i =>
-        element_at(col(a), i).cast(DoubleType) * element_at(col(b), i).cast(DoubleType))
-        .reduceLeft(_ + _)
-      def norm2(a: String) = (1 to dim).map { i =>
-        val e = element_at(col(a), i).cast(DoubleType); e * e
       }.reduceLeft(_ + _)
       val coded = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), bucketExpr("embedding").as("bucket"))
@@ -189,7 +184,8 @@ object DedupQueries {
         col("bucket").as("bb"))
       a.join(b, col("bucket") === col("bb") && col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          (dot("ea", "eb") / (sqrt(norm2("ea")) * sqrt(norm2("eb")))).as("cosine"))
+          graft.plans.VectorExpressions.cosine_similarity(col("ea"), col("eb"))
+            .as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy("vec_a", "vec_b")
     }

@@ -121,5 +121,51 @@ object EventQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily, ev04Funnel)
+  /** Time-interval self-join (the batch face of the watermarked
+    * stream-stream join in EventStreams.viewToPurchase): purchases
+    * within 30 minutes after a view by the same user. Exact µs bounds. */
+  val ev05IntervalJoin: GraftQuery = q(
+    "ev05_interval_join",
+    "time-interval join (batch ≡ stream-stream join)",
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id, p.value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(v.ts)
+      | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+      |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        unix_micros(col("ts")).as("vt"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        unix_micros(col("ts")).as("pt"), col("value"))
+    v.join(p, col("vu") === col("pu")
+      && col("pt") >= col("vt") && col("pt") <= col("vt") + 1800000000L)
+      .select(col("view_id"), col("purchase_id"), col("value"))
+      .orderBy("view_id", "purchase_id")
+  }
+
+  /** RANGE frame over event time: per-user 30-day trailing spend using
+    * a numeric range on exact epoch-µs — event-time windows without
+    * bucketing. */
+  val ev06RangeFrame: GraftQuery = q(
+    "ev06_range_frame",
+    "RANGE BETWEEN interval frame on event time",
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-2592000000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        sum(dec2(col("value"))).over(w).cast(DoubleType).as("spend_30d"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
+    ev04Funnel, ev05IntervalJoin, ev06RangeFrame)
 }
