@@ -632,6 +632,30 @@ object RelationalQueries {
       .orderBy("doc_id", "pos")
   }
 
+  /** The custom TopK whole-operator (graft.plans.TopKPerGroup):
+    * logical node + strategy + two-stage physical plan with k-bounded
+    * per-group heaps — the shuffle carries ≤ k rows per group per map
+    * task instead of every row, and nothing is ever sorted. The oracle
+    * is the equivalent window idiom. */
+  val q33TopKOperator: GraftQuery = q(
+    "q33_topk_operator",
+    "custom LogicalPlan+Strategy+SparkPlan top-k per group",
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      |  FROM lineitem) t
+      |WHERE rn <= 3
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    graft.plans.TopKPerGroup.perGroup(
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      Seq(col("l_suppkey")),
+      struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      k = 3)
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -645,7 +669,7 @@ object RelationalQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
-    hll01ApproxDistinct,
+    q33TopKOperator, hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,
