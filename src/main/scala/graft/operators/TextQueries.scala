@@ -154,7 +154,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** True rolling-hash fingerprint: h ← (h·31 + v(w)) mod p folded
+    * left over the token stream (v = 16-bit md5-derived word value;
+    * first token seeds the fold). Order-sensitive — unlike the set
+    * hashes (dd04/dd07), permuted documents get different prints. One
+    * higher-order-function fold per row, no explode, no shuffle. */
+  val tx07RollingHash: GraftQuery = {
+    val M = 1000000007L
+    q("tx07_rolling_hash",
+      "order-sensitive rolling-hash document fingerprint",
+      s"""WITH v AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), w ->
+         |    CAST((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) AS BIGINT)) AS vals
+         |  FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(vals, (h, x) -> CAST((h * 31 + x) % $M AS BIGINT)) AS rolling_fp
+         |FROM v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val vals = transform(split(col("text"), " "),
+        w => conv(substring(md5(w), 1, 4), 16, 10).cast(LongType))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+            element_at(vals, 1),
+            (h, x) => (h * 31 + x) % M).as("rolling_fp"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
-    tx06BpeTokens)
+    tx06BpeTokens, tx07RollingHash)
 }

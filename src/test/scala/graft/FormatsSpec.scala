@@ -90,6 +90,27 @@ class FormatsSpec extends AnyFunSuite {
       Seq("a/c/f.txt"))
   }
 
+  test("corrupt files fail fast by default; ignoreCorruptFiles skips them (ref fail-fast errors.go)") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    Tables.nation(spark, sf).coalesce(1).write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/garbage.parquet"),
+      "this is not parquet".getBytes)
+    // default: first bad file aborts the query (reference: first error
+    // cancels the whole run, mapreduce.go:215-220)
+    val e = intercept[Exception] {
+      spark.read.parquet(s"$dir/*.parquet").count()
+    }
+    assert(e != null)
+    // lenient mode: corrupt file skipped, good rows survive
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try {
+      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+      assert(spark.read.schema(Tables.nation(spark, sf).schema)
+        .parquet(s"$dir/*.parquet").count() ==
+        Tables.nation(spark, sf).count())
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+
   test("corpus reader composes with relational ops (files as a table)") {
     val corpus = Corpus.read(spark, "src/test/resources/refFixtures")
     val byDir = corpus.groupBy(col("dir")).agg(count(lit(1)).as("n"))

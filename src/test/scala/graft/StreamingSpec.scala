@@ -119,6 +119,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("foreachBatch multi-sink: one stream feeds two outputs from a shared batch (ref multi-job fan-out)") {
+    val outA = Files.createTempDirectory("graft-sinkA").toString
+    val outB = Files.createTempDirectory("graft-sinkB").toString
+    val src = spark.readStream
+      .schema(Tables.events(spark, sf).schema)
+      .parquet(stagedDir)
+    val q = src.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // the reference pays the scan once and fans out per job
+      // (mapreduce.go:162-184); foreachBatch is the streaming analog —
+      // persist the microbatch, feed N sinks
+      val shared = batch.persist()
+      shared.groupBy("event_type").count()
+        .write.mode("append").parquet(outA)
+      shared.groupBy("user_id").count()
+        .write.mode("append").parquet(outB)
+      shared.unpersist()
+      ()
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val a = spark.read.parquet(outA).groupBy("event_type").agg(sum("count"))
+    val b = spark.read.parquet(outB).groupBy("user_id").agg(sum("count"))
+    assert(a.count() == Tables.events(spark, sf).select("event_type").distinct().count())
+    assert(b.count() == Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
   test("streaming dedup drops re-delivered events") {
     // stage a copy of the first file again → duplicate event_ids
     val dir = Files.createTempDirectory("graft-dedup").toString
