@@ -101,5 +101,6 @@ object Registry {
       graft.operators.EventQueries.all ++
       graft.operators.MultimodalQueries.all ++
       graft.operators.AsofJoin.all ++
-      graft.operators.TypedQueries.all
+      graft.operators.TypedQueries.all ++
+      graft.operators.IvfQueries.all
 }
