@@ -656,6 +656,42 @@ object RelationalQueries {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** Multiset set-ops (bag semantics — duplicates preserved). */
+  val q34ExceptAll: GraftQuery = q(
+    "q34_except_all",
+    "EXCEPT ALL / INTERSECT ALL bag semantics (ref: none; SURVEY §2.2)",
+    """SELECT x FROM (
+      |  SELECT l_suppkey AS x FROM lineitem WHERE l_quantity > 25
+      |  EXCEPT ALL
+      |  SELECT l_suppkey AS x FROM lineitem WHERE l_returnflag = 'A') t
+      |ORDER BY x""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") > 25).select(col("l_suppkey").as("x"))
+      .exceptAll(li.filter(col("l_returnflag") === "A").select(col("l_suppkey").as("x")))
+      .orderBy("x")
+  }
+
+  /** Deterministic stratified sample: Bernoulli-by-hash (md5-derived
+    * per-row coin with per-stratum thresholds) — reproducible in any
+    * engine, unlike RNG-seeded sample(). The hash coin is the scalable
+    * sampling idiom: no state, no coordination, stable under retries. */
+  val q35HashSample: GraftQuery = q(
+    "q35_hash_sample",
+    "deterministic hash-based stratified sampling",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1)
+      |      < (CASE o_orderstatus WHEN 'O' THEN 2 WHEN 'F' THEN 4 ELSE 8 END)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val coin = conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 1), 16, 10)
+      .cast(IntegerType)
+    val threshold = when(col("o_orderstatus") === "O", 2)
+      .when(col("o_orderstatus") === "F", 4).otherwise(8)
+    Tables.orders(s, d)
+      .filter(coin < threshold)
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -669,7 +705,7 @@ object RelationalQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
-    q33TopKOperator, hll01ApproxDistinct,
+    q33TopKOperator, q34ExceptAll, q35HashSample, hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

@@ -35,6 +35,7 @@ final case class MultiGlob(filters: Seq[PathPredicate]) extends PathPredicate {
   * bug noted at glob.go:35).
   */
 final case class PathGlob(pattern: String) extends PathPredicate {
+  import PathGlob.{Exact, Globstar, RegexSeg, Segment}
 
   @transient private lazy val segs: Array[Segment] =
     pattern.split("/", -1).map {
@@ -44,11 +45,6 @@ final case class PathGlob(pattern: String) extends PathPredicate {
           s.split("\\*", -1).map(Pattern.quote).mkString("[^/]*")))
       case s => Exact(s)
     }
-
-  private sealed trait Segment extends Serializable
-  private case object Globstar extends Segment
-  private final case class Exact(s: String) extends Segment
-  private final case class RegexSeg(p: Pattern) extends Segment
 
   private def segMatch(seg: Segment, s: String): Boolean = seg match {
     case Globstar    => true // handled structurally, not per-segment
@@ -90,6 +86,11 @@ final case class PathGlob(pattern: String) extends PathPredicate {
 }
 
 object PathGlob {
+  private[sources] sealed trait Segment extends Serializable
+  private[sources] case object Globstar extends Segment
+  private[sources] final case class Exact(s: String) extends Segment
+  private[sources] final case class RegexSeg(p: Pattern) extends Segment
+
   val Wildcard = "*"
   val RecursiveWildcard = "**"
   def apply(patterns: Seq[String]): PathPredicate =
