@@ -29,18 +29,21 @@ object MultimodalQueries {
 
   /** Deterministic fake decode: stands in for image decode /
     * resize / frame sampling. Derives shape from payload length and
-    * boundary bytes only, so an external SQL oracle can recompute it. */
-  object FakeDecoder extends Serializable {
+    * boundary bytes only, so an external SQL oracle can recompute it.
+    * Instantiated once per partition (the codec-handle contract) and
+    * reused across the batch — the md5 digest is reset, not realloc'd. */
+  final class FakeDecoder extends Serializable {
+    private val md = java.security.MessageDigest.getInstance("MD5")
     def decode(r: MediaRecord): MediaFeatures = {
       val first = if (r.payload.nonEmpty) r.payload(0) & 0xffL else 0L
       val last = if (r.payload.nonEmpty) r.payload(r.payload.length - 1) & 0xffL else 0L
+      md.reset()
       MediaFeatures(
         doc_id = r.doc_id,
         width = 16L + first % 16L,
         height = 16L + last % 16L,
         n_frames = 1L + r.n_bytes % 4L,
-        checksum = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.payload).map("%02x".format(_)).mkString)
+        checksum = md.digest(r.payload).map("%02x".format(_)).mkString)
     }
   }
 
@@ -61,7 +64,7 @@ object MultimodalQueries {
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      val decoder = FakeDecoder // per-partition handle (stub)
+      val decoder = new FakeDecoder // ONE handle per partition
       batch.map(decoder.decode)
     }
   }

@@ -692,6 +692,26 @@ object RelationalQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Array/higher-order function coverage: sort, dedup, slice,
+    * membership, element arithmetic — Spark array_* ≡ DuckDB list_*. */
+  val q36ArrayFuncs: GraftQuery = q(
+    "q36_array_funcs",
+    "array + higher-order functions (ref: none; SURVEY §2.2)",
+    """SELECT doc_id,
+      |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS first5_sorted,
+      |  list_contains(string_split(text, ' '), 'the') AS has_the,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS BIGINT) AS n_long_words
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 5)).as("first5_sorted"),
+        array_contains(toks, "the").as("has_the"),
+        size(filter(toks, w => length(w) > 4)).cast(LongType).as("n_long_words"))
+      .orderBy("doc_id")
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -705,7 +725,8 @@ object RelationalQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
-    q33TopKOperator, q34ExceptAll, q35HashSample, hll01ApproxDistinct,
+    q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
+    hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,
