@@ -659,7 +659,7 @@ object RelationalQueries {
   /** Multiset set-ops (bag semantics — duplicates preserved). */
   val q34ExceptAll: GraftQuery = q(
     "q34_except_all",
-    "EXCEPT ALL / INTERSECT ALL bag semantics (ref: none; SURVEY §2.2)",
+    "EXCEPT ALL bag semantics (ref: none; SURVEY §2.2)",
     """SELECT x FROM (
       |  SELECT l_suppkey AS x FROM lineitem WHERE l_quantity > 25
       |  EXCEPT ALL
@@ -690,6 +690,21 @@ object RelationalQueries {
       .filter(coin < threshold)
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
+  }
+
+  /** Multiset intersection (pairs up duplicate occurrences). */
+  val q37IntersectAll: GraftQuery = q(
+    "q37_intersect_all",
+    "INTERSECT ALL bag semantics (ref: none; SURVEY §2.2)",
+    """SELECT x FROM (
+      |  SELECT l_suppkey AS x FROM lineitem WHERE l_quantity > 25
+      |  INTERSECT ALL
+      |  SELECT l_suppkey AS x FROM lineitem WHERE l_returnflag = 'A') t
+      |ORDER BY x""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") > 25).select(col("l_suppkey").as("x"))
+      .intersectAll(li.filter(col("l_returnflag") === "A").select(col("l_suppkey").as("x")))
+      .orderBy("x")
   }
 
   /** Array/higher-order function coverage: sort, dedup, slice,
@@ -726,7 +741,7 @@ object RelationalQueries {
   val all: Seq[GraftQuery] = Seq(
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
-    hll01ApproxDistinct,
+    q37IntersectAll, hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

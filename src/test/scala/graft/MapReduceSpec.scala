@@ -188,6 +188,19 @@ class MapReduceSpec extends AnyFunSuite {
     assert(res == Map("lines" -> 9, "sum" -> 195))
   }
 
+  test("finish receives the reduced value (ref Finalizer, interfaces.go:66-78)") {
+    val sink = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val job = MapReduceJob[Int, Int](
+      name = "finish",
+      filter = PathGlob("**/*.txt"),
+      mapper = (_, _, c) =>
+        new String(c, "UTF-8").split("\n").iterator.filter(_.nonEmpty).map(_.toInt),
+      zero = 0, fold = _ + _, merge = _ + _,
+      finish = (r: Int) => { sink.set(r); () })
+    MapReduceRunner.runOnDirectory(spark, s"$fixtures/a", Seq(job))
+    assert(sink.get() == 195)
+  }
+
   test("sortKey gives partition-sorted streams (interfaces.go:54 batch-sort semantics)") {
     val corpus = Corpus.fromRecords(spark,
       (0 until 100).map(i => s"f$i.txt" -> s"${100 - i}".getBytes))
