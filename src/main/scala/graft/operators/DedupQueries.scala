@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -91,8 +92,9 @@ object DedupQueries {
   }
 
   /** MinHash signatures (4 hashes from the md5('j:'||word) family) +
-    * 2 LSH bands of 2 rows each. Entirely map-side per document after
-    * the token explode; reproducible in any engine with md5. */
+    * 2 LSH bands of 2 rows each. Computed per-row with array
+    * higher-order functions (TextFunctions.minhash) — fully map-side,
+    * no explode, no shuffle; reproducible in any engine with md5. */
   val dd04MinhashSignatures: GraftQuery = q(
     "dd04_minhash_signatures",
     "MinHash signature + LSH band keys per document",
@@ -107,11 +109,9 @@ object DedupQueries {
       |SELECT doc_id, s0, s1, s2, s3,
       |  md5(s0 || s1) AS band1, md5(s2 || s3) AS band2
       |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
-    def mh(j: Int) = min(md5(concat(lit(s"$j:"), col("w")))).as(s"s$j")
+    def mh(j: Int) = TextFunctions.minhash(col("text"), j).as(s"s$j")
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .groupBy("doc_id")
-      .agg(mh(0), mh(1), mh(2), mh(3))
+      .select(col("doc_id"), mh(0), mh(1), mh(2), mh(3))
       .withColumn("band1", md5(concat(col("s0"), col("s1"))))
       .withColumn("band2", md5(concat(col("s2"), col("s3"))))
       .orderBy("doc_id")
@@ -135,11 +135,8 @@ object DedupQueries {
       |HAVING COUNT(*) > 1
       |ORDER BY bucket""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-      .groupBy("doc_id")
-      .agg(min(md5(concat(lit("0:"), col("w")))).as("s0"),
-        min(md5(concat(lit("1:"), col("w")))).as("s1"))
-      .groupBy(md5(concat(col("s0"), col("s1"))).as("bucket"))
+      .select(col("doc_id"), TextFunctions.lshBand(col("text"), 0, 2).as("bucket"))
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") > 1)
@@ -152,16 +149,7 @@ object DedupQueries {
     * exact cosine confirms. Same deterministic 64-term arithmetic as
     * sm01 (see [[SimilarityQueries]]). */
   val dd06EmbeddingNearDup: GraftQuery = {
-    val dim = 64
-    def sqlDot(a: String, b: String) = (1 to dim).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
-      .mkString("(", " + ", ")")
-    def sqlNorm2(a: String) = (1 to dim).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
-      .mkString("(", " + ", ")")
-    def sqlBucket(a: String) = (0 until 8).map(j =>
-      s"(CASE WHEN $a.embedding[${j * 8 + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString("(", " + ", ")")
+    import VectorSql.{sqlBucket, sqlDot, sqlNorm2}
     q("dd06_embedding_neardup",
       "embedding-cosine near-dup pairs via LSH buckets",
       s"""WITH coded AS (
@@ -173,11 +161,9 @@ object DedupQueries {
          |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       graft.plans.VectorExpressions.register(s)
-      def bucketExpr(a: String) = (0 until 8).map { j =>
-        when(element_at(col(a), j * 8 + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
-      }.reduceLeft(_ + _)
       val coded = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), bucketExpr("embedding").as("bucket"))
+        .select(col("vec_id"), col("embedding"),
+          VectorSql.bucketExpr("embedding").as("bucket"))
       val a = coded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("bucket"))
       val b = coded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),

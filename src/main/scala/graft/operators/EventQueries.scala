@@ -44,7 +44,7 @@ object EventQueries {
     "ev02_sessionize",
     "gap-based sessionization (batch ≡ session_window)",
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
       |        PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
       |      OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -52,7 +52,7 @@ object EventQueries {
       |  FROM events),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -60,7 +60,7 @@ object EventQueries {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
     val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val running = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevUs = lag(unix_micros(col("ts")), 1).over(order)
     Tables.events(s, d)
@@ -74,24 +74,30 @@ object EventQueries {
       .orderBy("user_id", "session_id")
   }
 
-  /** Per-user daily activity with a 7-day-window rolling event count —
-    * sliding-window shape over event time (RANGE frame on day grain). */
+  /** Per-user daily activity with a trailing-7-CALENDAR-day rolling
+    * event count: a RANGE frame over the integer day number, so gaps
+    * in activity age out correctly (a ROWS frame would instead span
+    * the last 7 *active* days, however old). */
   val ev03RollingDaily: GraftQuery = q(
     "ev03_rolling_daily",
-    "daily counts + 7-day rolling window per user",
+    "daily counts + trailing-7-calendar-day rolling window per user",
     """WITH daily AS (
-      |  SELECT user_id, DATE_TRUNC('day', ts) AS day, COUNT(*) AS n
+      |  SELECT user_id, DATE_TRUNC('day', ts) AS day,
+      |    epoch_us(DATE_TRUNC('day', ts)) // 86400000000 AS daynum,
+      |    COUNT(*) AS n
       |  FROM events GROUP BY user_id, DATE_TRUNC('day', ts))
       |SELECT user_id, day, n,
-      |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day
-      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY daynum
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
       |FROM daily ORDER BY user_id, day""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      .rowsBetween(-6, Window.currentRow)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("daynum"))
+      .rangeBetween(-6, Window.currentRow)
     Tables.events(s, d)
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("daynum", expr("unix_micros(day) div 86400000000"))
       .withColumn("n_7d", sum(col("n")).over(w).cast(LongType))
+      .drop("daynum")
       .orderBy("user_id", "day")
   }
 

@@ -20,17 +20,9 @@ import org.apache.spark.sql.types._
   */
 object IvfQueries {
 
-  private val DIM = 64
-  private val CELLS = 16
+  import VectorSql.{sqlDot, sqlNorm2}
 
-  private def sqlDot(a: String, b: String): String =
-    (1 to DIM).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
-      .mkString("(", " + ", ")")
-  private def sqlNorm2(a: String): String =
-    (1 to DIM).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
-      .mkString("(", " + ", ")")
+  private val CELLS = 16
 
   /** vectors × centroids cosine, argmax by (cosine desc, cid) —
     * shared SQL prefix of both queries. */

@@ -21,36 +21,13 @@ import org.apache.spark.sql.types._
   * extension required on the oracle side.
   */
 object SimilarityQueries {
-
-  private val DIM = 64
+  import VectorSql.{bucketExpr, sqlBucket, sqlDot, sqlNorm2}
 
   /** Cosine via the native codegen'd expressions (graft.plans) —
     * ascending-index double accumulation, bit-identical to the
-    * left-associated SQL chain the oracle evaluates. */
+    * left-associated SQL chain the oracle evaluates (see VectorSql). */
   private def cosineExpr(a: String, b: String): Column =
     VectorExpressions.cosine_similarity(col(a), col(b))
-
-  /** SQL mirrors — identical association order. */
-  private def sqlDot(a: String, b: String): String =
-    (1 to DIM).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
-      .mkString("(", " + ", ")")
-  private def sqlNorm2(a: String): String =
-    (1 to DIM).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
-      .mkString("(", " + ", ")")
-
-  /** Sign-bit LSH bucket from 8 fixed coordinate hyperplanes (dims
-    * 1,9,…,57): an 8-bit code. At 100 TB the bucket id is the shuffle
-    * key; brute-force scoring happens only within buckets. */
-  private def bucketExpr(a: String): Column =
-    (0 until 8).map { j =>
-      when(element_at(col(a), j * 8 + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
-    }.reduceLeft(_ + _)
-  private def sqlBucket(a: String): String =
-    (0 until 8).map(j =>
-      s"(CASE WHEN $a.embedding[${j * 8 + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString("(", " + ", ")")
 
   private def q(name: String, doc: String, sql: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -54,16 +55,17 @@ object TextQueries {
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio
       |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = split(col("text"), " ")
-    val nTok = size(toks).cast(LongType)
+    val t = col("text")
+    val toks = TextFunctions.tokens(t)
     val nTypes = size(array_distinct(toks)).cast(LongType)
     val nStop = size(filter(toks, w => w.isin("the", "a"))).cast(LongType)
     Tables.documents(s, d)
       .filter(col("doc_id") < 300)
       .select(col("doc_id"),
-        nTok.as("n_tokens"), nTypes.as("n_types"), nStop.as("n_stop"),
-        (nStop.cast(DoubleType) / nTok.cast(DoubleType)).as("stop_ratio"),
-        (nTypes.cast(DoubleType) / nTok.cast(DoubleType)).as("type_token_ratio"))
+        TextFunctions.tokenCount(t).as("n_tokens"), nTypes.as("n_types"),
+        nStop.as("n_stop"),
+        TextFunctions.stopwordRatio(t, Seq("the", "a")).as("stop_ratio"),
+        TextFunctions.typeTokenRatio(t).as("type_token_ratio"))
       .orderBy("doc_id")
   }
 
@@ -85,8 +87,7 @@ object TextQueries {
       |  COUNT(*) AS n
       |FROM scored GROUP BY lang, CASE WHEN hits_en >= hits_x THEN 'en' ELSE 'xx' END
       |ORDER BY lang, pred""".stripMargin) { (s, d) =>
-    def hits(m: String) =
-      (length(col("text")) - length(regexp_replace(col("text"), m, ""))) / m.length
+    def hits(m: String) = TextFunctions.occurrences(col("text"), m)
     Tables.documents(s, d)
       .select(col("lang"), hits("the").as("hits_en"), hits("data").as("hits_x"))
       .select(col("lang"),
@@ -108,8 +109,8 @@ object TextQueries {
     Tables.documents(s, d)
       .filter(col("doc_id") < 300)
       .select(col("doc_id"),
-        md5(lower(col("text"))).as("fp"),
-        substring(md5(lower(col("text"))), 1, 16).as("fp64"))
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        substring(TextFunctions.fingerprint(col("text")), 1, 16).as("fp64"))
       .orderBy("doc_id")
   }
 
@@ -127,10 +128,13 @@ object TextQueries {
       |  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT total FROM n) AS DOUBLE) AS df_ratio
       |FROM tok GROUP BY word ORDER BY df DESC, word LIMIT 30""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val total = docs.count()
+    // total stays IN the plan (broadcast scalar), not a driver action
+    val total = docs.agg(count(lit(1)).as("total"))
     docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("df"))
-      .withColumn("df_ratio", col("df").cast(DoubleType) / lit(total).cast(DoubleType))
+      .join(broadcast(total))
+      .withColumn("df_ratio", col("df").cast(DoubleType) / col("total").cast(DoubleType))
+      .drop("total")
       .orderBy(col("df").desc, col("word"))
       .limit(30)
   }

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -21,10 +22,24 @@ import org.apache.spark.sql.functions.call_function
   */
 object VectorExpressions {
 
+  /** Fail analysis (not runtime) when an input isn't array<float> —
+    * getFloat over e.g. an array<double> would silently read garbage. */
+  private def requireFloatArrays(name: String, children: Seq[Expression])
+      : TypeCheckResult =
+    if (children.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> inputs, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+
   /** Σ aᵢ·bᵢ over two float arrays, accumulated in double. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArrays("dot_product", Seq(left, right))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -62,6 +77,8 @@ object VectorExpressions {
   /** √(Σ aᵢ²) over a float array. */
   case class L2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatArrays("l2_norm", Seq(child))
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       var acc = 0.0

@@ -44,12 +44,20 @@ object Corpus {
     val rootUri = "file:" + new java.io.File(root).getAbsolutePath
     val reader = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
+    // A basename is only pushable if it's safe under BOTH glob
+    // dialects: Hadoop's pathGlobFilter treats ? [ ] { } as
+    // metacharacters that PathGlob treats literally, so pushing such a
+    // pattern could silently prune files the predicate matches (or
+    // throw at listing time). '*' is the only shared metachar.
+    def hadoopSafe(seg: String): Boolean =
+      seg.forall(c => c == '*' || c.isLetterOrDigit || "._-".contains(c))
     val pushed = predicate match {
       case Some(PathGlob(p)) =>
         val segs = p.split("/")
         // pushable iff every directory segment is a globstar (any depth)
-        if (segs.length == 1) reader.option("pathGlobFilter", segs.head)
-        else if (segs.init.forall(_ == "**"))
+        if (segs.length == 1 && hadoopSafe(segs.head))
+          reader.option("pathGlobFilter", segs.head)
+        else if (segs.init.forall(_ == "**") && hadoopSafe(segs.last))
           reader.option("pathGlobFilter", segs.last)
         else reader
       case _ => reader

@@ -7,8 +7,10 @@ class ContractSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("entry returns rows") {
-    assert(SparkEntry.entry(spark).count() > 0)
+  test("entry returns rows and is the pricing-summary flagship") {
+    val e = SparkEntry.entry(spark)
+    assert(e.count() > 0)
+    assert(e.columns.contains("sum_charge"), "entry must be q01_pricing_summary")
   }
 
   test("every oracleSql key has a queries entry, names are unique") {
