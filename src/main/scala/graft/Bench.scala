@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // median-of-N timed runs (default 3): single-run spread on
+    // sub-second queries is ±50% on this machine (BASELINE.md)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,20 +18,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // warm-up pass absorbs JIT/codegen/file-footer costs, then one
-      // timed steady-state execution — stable across runs
+      // warm-up pass absorbs JIT/codegen/file-footer costs, then
+      // median of `runs` steady-state executions
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      // a failing query is reported as -1, never as a fast success
-      val elapsed =
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // a failing query is reported as -1, never as a fast success
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      }
+      val elapsed =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.size / 2)
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query map on its own line FIRST; the driver tail-captures
+    // stdout, so the LAST line must be the compact total-only JSON
+    // (a single giant line gets its front — the total — truncated).
+    println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    // a broken query must not shrink the headline total and exit 0
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -44,12 +44,20 @@ final case class MapReduceJob[M, R](
     val pred = filter
     val parentsFor = ParentStacks.resolver(files, directoryFiles)
     val m = mapper
+    val jobName = name
     files
       .filter(col("path").isNotNull)
       .flatMap { row =>
         val path = row.getAs[String]("path")
         if (pred.matches(path))
-          m(path, parentsFor(path), row.getAs[Array[Byte]]("content"))
+          try m(path, parentsFor(path), row.getAs[Array[Byte]]("content"))
+          catch {
+            // typed failure context (reference errors.go:5-33: every
+            // error is wrapped with the job and path that produced
+            // it) — a million-file run must say WHERE it died, not
+            // just surface the raw mapper exception
+            case e: Exception => throw GraftJobException(jobName, path, e)
+          }
         else Iterator.empty
       }(enc)
   }
@@ -84,6 +92,15 @@ trait CorpusJob extends Serializable {
   def run(files: DataFrame): Any
 }
 
+/** Mapper failure wrapped with its job and path (reference
+  * errors.go:5-33 — `fileError`/`jobError` context chain). Spark
+  * re-wraps task failures in SparkException, but this message — job +
+  * path — survives in the cause chain and the task log. */
+final case class GraftJobException(jobName: String, path: String,
+    cause: Exception)
+  extends RuntimeException(
+    s"graft job '$jobName' failed on path '$path': ${cause.getMessage}", cause)
+
 /** Hierarchy context (SURVEY.md §1.3, §7.3): files matching a job's
   * `directoryFiles` filter become ancestor context for every file in
   * the *strict* subtree below their folder, ordered root→leaf —
@@ -95,6 +112,13 @@ trait CorpusJob extends Serializable {
   * them all in one in-process map, mapreduce.go:187), so this is a
   * hand-rolled broadcast join: collect the matching rows, broadcast
   * the sorted stack table, resolve per row map-side. No shuffle.
+  *
+  * Intentional divergence: when SEVERAL files in one folder match
+  * `directoryFiles`, ALL are kept as context, path-ordered within the
+  * folder — the reference keeps exactly one (its per-folder map entry
+  * is overwritten per job, mapreduce.go:193, so the survivor is
+  * iteration-order luck). Keeping all, deterministically ordered, is
+  * strictly more informative and reproducible.
   */
 object ParentStacks {
   def resolver(files: DataFrame, dirFilter: Option[PathPredicate])

@@ -36,18 +36,30 @@ object IvfQueries {
        |  FROM embeddings v CROSS JOIN centroids c),
        |assigned AS (SELECT vec_id, cid, cos_c FROM scored WHERE rc = 1)""".stripMargin
 
+  /** Nearest-centroid assignment, computed map-side: the centroid set
+    * collapses to ONE broadcast row holding a cid-sorted
+    * `array<struct<cid, cemb>>`, and each vector picks its argmax with
+    * a per-row `transform` + `array_max` loop — zero shuffle of the
+    * corpus and no 16×-inflated pair set (the round-1 window-over-
+    * crossJoin shape shuffled 16n rows to pick a per-row max). The
+    * struct max is lexicographic (cos desc via max, ties → max of
+    * -cid = smallest cid), exactly the oracle's ROW_NUMBER pick. */
   private def assignedDf(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
-    val centroids = e.filter(col("vec_id") < CELLS)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val scored = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        VectorExpressions.cosine_similarity(col("embedding"), col("cemb")).as("cos_c"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))
-    scored.withColumn("rc", row_number().over(w)).filter(col("rc") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"), col("cos_c"))
+    val centArr = e.filter(col("vec_id") < CELLS)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cemb")))).as("cents"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          VectorExpressions.cosine_similarity(col("embedding"), c.getField("cemb"))
+            .as("cos_c"),
+          (-c.getField("cid")).as("neg_cid"),
+          c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cid").as("cid"), col("best.cos_c").as("cos_c"))
   }
 
   private def q(name: String, doc: String, sql: String)(

@@ -302,24 +302,37 @@ object RelationalQueries {
 
   // ----------------------------------------------------------- windows
 
-  /** Per-group top-k via row_number — the scalable "top n per key"
-    * idiom (single shuffle by partition key, no global sort). */
+  /** Per-group top-k with rank numbers. The naive window idiom
+    * (`row_number() over (partition by l_returnflag ...)`) is a scale
+    * trap here: l_returnflag has THREE values, so the whole fact table
+    * would shuffle into 3 tasks and each would sort its full group.
+    * Instead the k-bounded [[graft.plans.TopKPerGroup]] operator prunes
+    * map-side (≤ k rows per group per task cross the shuffle), and the
+    * rank window runs over the ≤ 3·k surviving rows — same answer,
+    * bounded shuffle, no full-group sort at any scale. */
   val q15WindowRank: GraftQuery = q(
     "q15_window_rank",
-    "row_number top-k per group (ref: none; SURVEY §2.2)",
+    "top-k per group with ranks — k-bounded TopK operator, not a 3-partition window (ref: none; SURVEY §2.2)",
     """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
       |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
       |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
       |  FROM lineitem) t
       |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin) { (s, d) =>
+    // desc lexicographic struct order ⇒ price DESC, then -orderkey
+    // DESC = orderkey ASC, -linenumber DESC = linenumber ASC — the
+    // unique (orderkey, linenumber) tail makes ties deterministic
+    val top = graft.plans.TopKPerGroup.perGroup(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+      Seq(col("l_returnflag")),
+      struct(col("l_extendedprice"), -col("l_orderkey"), -col("l_linenumber")),
+      k = 5)
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"))
+    top
       .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 5)
       .orderBy("l_returnflag", "rn")
   }
 

@@ -24,6 +24,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * `requiredChildDistribution`), then a final TopK. Ties must be
   * broken by the caller's order expression (pass a struct ending in a
   * unique key) — same contract as a deterministic ORDER BY.
+  *
+  * Memory bound: the partial stage keeps ≤ k rows for EVERY group its
+  * partition sees, in an in-memory map with no spill — per-task memory
+  * is O(k · groups-per-partition · row size). That is the operator's
+  * intended envelope: low-to-moderate group cardinality where the
+  * window idiom's full-group sort is the waste. For an unbounded /
+  * very-high-cardinality group key, prefer the spillable window idiom
+  * (`row_number().over(...)` ≤ k) — Spark's WindowExec sorts via
+  * spillable UnsafeExternalSorter and never holds more than a spill
+  * page of groups in memory.
   */
 object TopKPerGroup {
 

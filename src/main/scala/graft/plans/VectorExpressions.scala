@@ -34,12 +34,26 @@ object VectorExpressions {
       s"$name requires array<float> inputs, got " +
         children.map(_.dataType.simpleString).mkString(", "))
 
-  /** Σ aᵢ·bᵢ over two float arrays, accumulated in double. */
+  /** Σ aᵢ·bᵢ over two float arrays, accumulated in double.
+    *
+    * NULL semantics: a NULL array OR a NULL element anywhere in either
+    * array makes the whole result NULL (standard SQL propagation —
+    * never silently treat a null element as 0). The element null
+    * check is only emitted when the array type admits null elements,
+    * so the non-null embeddings hot path keeps the bare loop. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArrays("dot_product", Seq(left, right))
+
+    private def mayHaveNullElements: Boolean =
+      Seq(left, right).exists(_.dataType match {
+        case ArrayType(_, containsNull) => containsNull
+        case _ => false
+      })
+    override def nullable: Boolean =
+      left.nullable || right.nullable || mayHaveNullElements
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -48,6 +62,7 @@ object VectorExpressions {
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -59,10 +74,17 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
+        // ev.isNull is only a mutable slot when nullable=true; the
+        // check is gated on the same condition as nullable
+        val nullCheck =
+          if (mayHaveNullElements)
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  $nullCheck
            |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
            |}
            |${ev.value} = $acc;
@@ -74,17 +96,26 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** √(Σ aᵢ²) over a float array. */
+  /** √(Σ aᵢ²) over a float array. NULL array or NULL element → NULL
+    * result (same propagation contract as [[DotProduct]]). */
   case class L2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def checkInputDataTypes(): TypeCheckResult =
       requireFloatArrays("l2_norm", Seq(child))
+
+    private def mayHaveNullElements: Boolean = child.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+    override def nullable: Boolean = child.nullable || mayHaveNullElements
+
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       var acc = 0.0
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        if (x.isNullAt(i)) return null
         val v = x.getFloat(i).toDouble
         acc += v * v
         i += 1
@@ -97,9 +128,14 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         val v = ctx.freshName("v")
+        val nullCheck =
+          if (mayHaveNullElements)
+            s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |double $acc = 0.0;
            |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  $nullCheck
            |  double $v = (double) $a.getFloat($i);
            |  $acc += $v * $v;
            |}

@@ -33,15 +33,31 @@ object Corpus {
   def read(spark: SparkSession, root: String): DataFrame =
     readFiltered(spark, root, None)
 
-  /** Read with a path predicate. The basename of a glob whose
-    * directory part is all globstars is pushed into the source's
-    * `pathGlobFilter` (files skipped at listing time — the distributed
-    * analog of the reference's scan-time pruning, work.go:68-99); the
-    * exact predicate is always re-applied post-scan, mirroring the
-    * reference's CouldMatch-prune / Match-confirm split. */
+  /** Read with a path predicate. Two listing-time prunes, both always
+    * re-checked by the exact predicate post-scan (the reference's
+    * CouldMatch-prune / Match-confirm split, work.go:19-37):
+    *
+    *  1. Subtree restriction: the predicate's longest static directory
+    *     prefix moves INTO the load root (`a/b/«**»/«*».txt` lists only
+    *     `root/a/b`, never a sibling subtree) — the distributed analog
+    *     of the reference's traversal skipping subtrees no filter
+    *     could match (work.go:68-99, jobs.go:35-43). At 100 TB trees
+    *     listing is the dominant cost; a glob rooted in one shard must
+    *     not pay for the whole corpus.
+    *  2. Basename pushdown: a remaining glob whose directory part is
+    *     all globstars pushes its basename into the source's
+    *     `pathGlobFilter` (files dropped during listing).
+    */
   def readFiltered(spark: SparkSession, root: String,
       predicate: Option[PathPredicate]): DataFrame = {
     val rootUri = "file:" + new java.io.File(root).getAbsolutePath
+    val prefix = predicate.map(_.staticPrefix).getOrElse(Nil)
+    val loadRoot = (root +: prefix).mkString("/")
+    // a restricted root may simply not exist — that's "no matches",
+    // not an error (the reference's traversal just never finds it)
+    if (prefix.nonEmpty && !new java.io.File(loadRoot).isDirectory)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val reader = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
     // A basename is only pushable if it's safe under BOTH glob
@@ -53,7 +69,9 @@ object Corpus {
       seg.forall(c => c == '*' || c.isLetterOrDigit || "._-".contains(c))
     val pushed = predicate match {
       case Some(PathGlob(p)) =>
-        val segs = p.split("/")
+        // the static prefix is already consumed by the load root;
+        // pushability is judged on what remains
+        val segs = p.split("/", -1).drop(prefix.length)
         // pushable iff every directory segment is a globstar (any depth)
         if (segs.length == 1 && hadoopSafe(segs.head))
           reader.option("pathGlobFilter", segs.head)
@@ -63,7 +81,7 @@ object Corpus {
       case _ => reader
     }
     val base = withDerivedColumns(
-      pushed.load(root).select(
+      pushed.load(loadRoot).select(
         regexp_replace(col("path"), java.util.regex.Pattern.quote(rootUri + "/"), "")
           .as("path"),
         col("length"), col("content")))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.sources.{Corpus, Loaders}
+import graft.sources.{Corpus, Loaders, PathGlob}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -19,6 +19,32 @@ class LoadersSpec extends AnyFunSuite {
     assert(lines.count() == 9)
     val total = lines.agg(sum(col("line").cast(IntegerType))).collect()(0).getLong(0)
     assert(total == 195)
+  }
+
+  test("static-prefix subtree pruning: sibling subtree is never listed (work.go:68-99)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-prune").toFile
+    def write(rel: String, content: String): Unit = {
+      val f = new java.io.File(root, rel)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, content.getBytes); ()
+    }
+    write("a/b/keep.txt", "k")
+    write("a/b/deep/keep2.txt", "k2")
+    write("a/other/skip.txt", "s")
+    write("sibling/huge.txt", "x")
+    val df = Corpus.readFiltered(spark, root.getAbsolutePath,
+      Some(PathGlob("a/b/**/*.txt")))
+    assert(df.select("path").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a/b/deep/keep2.txt", "a/b/keep.txt"))
+    // inputFiles reflects the source's actual listing: with the static
+    // prefix pushed into the load root, the sibling subtrees were
+    // never visited — not merely filtered out afterwards
+    val listed = df.inputFiles
+    assert(listed.nonEmpty && listed.forall(_.contains("/a/b/")),
+      s"listing escaped the a/b subtree: ${listed.mkString(", ")}")
+    // a restricted root that does not exist means "no matches"
+    assert(Corpus.readFiltered(spark, root.getAbsolutePath,
+      Some(PathGlob("nosuch/dir/*.txt"))).count() == 0)
   }
 
   test("json loader parses once, shares across consumers") {

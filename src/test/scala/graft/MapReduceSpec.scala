@@ -171,7 +171,31 @@ class MapReduceSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       MapReduceRunner.runOnDirectory(spark, s"$fixtures/a", Seq(job))
     }
-    assert(e.getMessage != null)
+    // typed context (errors.go:5-33): the failing JOB and PATH must be
+    // readable from the exception chain, not just the raw mapper error
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("boom"), s"job name missing from: $chain")
+    assert(chain.contains("c/f.txt"), s"failing path missing from: $chain")
+  }
+
+  test("a directory file matching the job filter is itself also mapped (mapreduce.go:179-181)") {
+    val corpus = Corpus.fromRecords(spark, Seq(
+      "a/ctx.txt" -> "1".getBytes,
+      "a/b/leaf.txt" -> "2".getBytes))
+    val job = MapReduceJob[(String, Int), List[(String, Int)]](
+      name = "both",
+      filter = PathGlob(Seq("**/ctx.txt", "**/leaf.txt")),
+      directoryFiles = Some(PathGlob("**/ctx.txt")),
+      mapper = (path, parents, _) => Iterator.single(path -> parents.size),
+      zero = Nil, fold = (acc, v) => v :: acc, merge = _ ++ _)
+    val res = MapReduceRunner.run(spark, corpus, Seq(job))("both")
+      .asInstanceOf[List[(String, Int)]].sortBy(_._1)
+    // ctx.txt is mapped in its own right (with 0 parents — the
+    // same-folder exclusion applies to it like any sibling) AND serves
+    // as ancestor context for the strict subtree below its folder
+    assert(res == List("a/b/leaf.txt" -> 1, "a/ctx.txt" -> 0))
   }
 
   test("multi-job single materialization: two jobs over one cached corpus (mapreduce.go:162-184)") {

@@ -43,6 +43,24 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
   }
 
+  test("q15: top-k per group runs through the k-bounded TopK operator, not a full-group window sort") {
+    val p = plan("q15_window_rank")
+    assert("TopK".r.findAllIn(p).size >= 2,
+      "expected partial+final TopK pair\n" + p.take(3000))
+    // the rank window must consume the TopK output (≤ 3·k rows), not
+    // the raw fact table: Window sits ABOVE TopK in the plan tree
+    assert(p.contains("Window") && p.indexOf("Window") < p.indexOf("TopK"),
+      "rank window must run over the pruned TopK output\n" + p.take(3000))
+  }
+
+  test("ivf01: centroid assignment is map-side — no window, no shuffle of an inflated pair set") {
+    val p = plan("ivf01_assign")
+    assert(!p.contains("Window"),
+      "nearest-centroid argmax must not be a window over a crossJoin\n" + p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid array must arrive as a 1-row broadcast\n" + p.take(3000))
+  }
+
   test("mm01: metadata query never reads the payload-bearing text column eagerly") {
     val p = plan("mm01_binary_meta")
     // text is needed (it IS the payload source here) but the scan must

@@ -53,6 +53,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("production ingestion: readStream over the original events parquet ≡ ev01 oracle query") {
+    // the real pipeline path: no staging rewrite — stream straight off
+    // the driver-generated events.parquet (TIMESTAMP_NANOS: read as
+    // raw nanos via the legacy conf, truncate to µs exactly as
+    // Tables.events does for batch/DuckDB)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    // the file stream source wants a directory root: stream the sf
+    // dir, glob-restricted to the events table
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.tumblingHourly(src, withWatermarkCol = false)
+      .writeStream.format("memory").queryName("ev01_file_source")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ev01_file_source")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val ev01 = SparkEntry.queries("ev01_tumbling_window")(spark, sf)
+      .collect().toSeq // already totally ordered
+    assert(streamed.nonEmpty)
+    assert(streamed == ev01)
+  }
+
   test("tumbling window append mode emits only watermark-closed windows, consistent with batch") {
     val emitted = runStream(EventStreams.tumblingHourly(_), "append", "tumbling_append")
       .orderBy("window_start", "event_type").collect().toSeq

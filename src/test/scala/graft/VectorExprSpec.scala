@@ -67,4 +67,26 @@ class VectorExprSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("a NULL element makes the whole result NULL, never a silent 0.0") {
+    VectorExpressions.register(spark)
+    // codegen path: expressions over a scanned column
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 3.0f)),
+      (2L, Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast(ArrayType(FloatType, containsNull = true)).as("v"))
+    val out = df.select(col("id"),
+      call_function("dot_product", col("v"), col("v")).as("d"),
+      call_function("l2_norm", col("v")).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2), "null element must poison the result")
+    assert(out(1).getDouble(1) == 14.0 && out(1).getDouble(2) == math.sqrt(14.0))
+    // interpreted path via literal SQL
+    val r = spark.sql(
+      "SELECT dot_product(array(cast(1.0 as float), cast(null as float)), " +
+        "array(cast(1.0 as float), cast(1.0 as float)))").collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
