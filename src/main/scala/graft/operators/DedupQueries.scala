@@ -207,7 +207,105 @@ object DedupQueries {
     }
   }
 
+  /** Shared SQL prefix: doc → LSH band-1 bucket (as dd05). */
+  private val sqlBkt =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, MIN(md5('0:' || w)) AS s0, MIN(md5('1:' || w)) AS s1
+      |  FROM tok GROUP BY doc_id),
+      |bkt AS (SELECT doc_id, md5(s0 || s1) AS bucket FROM sig)""".stripMargin
+
+  /** Transitive near-dup clusters: connected components over the LSH
+    * candidate-pair graph (docs sharing a band bucket are edges), so a
+    * chain a~b~c lands in ONE cluster even when a and c never share a
+    * bucket. Labels converge by iterative min-label propagation — each
+    * round is one edge⋈label shuffle join plus a min-aggregation, and
+    * the round count is the graph diameter (tiny for near-dup graphs:
+    * clusters are bucket-overlap chains). At cluster scale the same
+    * loop runs with per-round checkpointing to cut lineage, or the
+    * large-star/small-star variant to collapse high-degree components
+    * in O(log n) rounds; the per-round shuffle structure is identical.
+    * Oracle: recursive CTE transitive closure, min reachable doc_id. */
+  val dd08DupClusters: GraftQuery = q(
+    "dd08_dup_clusters",
+    "connected-component near-dup clusters over LSH candidate edges",
+    s"""WITH RECURSIVE $sqlBkt,
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bkt = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.lshBand(col("text"), 0, 2).as("bucket"))
+    val right = bkt.select(col("doc_id").as("dst"), col("bucket").as("b2"))
+    val edges = bkt
+      .join(right, col("bucket") === col("b2") && col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("v").agg(min("lbl").as("lbl")).persist()
+      // full count (not limit-1) so `next` is materialized into its
+      // cache before the previous round's cache is dropped
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "old_lbl"), "v")
+        .filter(col("lbl") =!= col("old_lbl")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Keep-best dedup policy: per candidate bucket keep the longest doc
+    * (ties → smallest doc_id), reported only for buckets that actually
+    * contain duplicates. The keeper pick routes through the custom
+    * [[graft.plans.TopKPerGroup]] operator with k=1 — the map-side
+    * partial keeps one row per bucket per task, so the shuffle carries
+    * one candidate per bucket per task instead of every member (the
+    * window idiom would shuffle and sort full buckets). */
+  val dd09KeepBest: GraftQuery = q(
+    "dd09_keep_best_in_bucket",
+    "keep-best dedup policy per LSH bucket (custom top-k operator)",
+    s"""WITH $sqlBkt,
+       |sized AS (
+       |  SELECT b.bucket, d.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY b.bucket
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY b.bucket) AS n_docs
+       |  FROM bkt b JOIN documents d ON b.doc_id = d.doc_id)
+       |SELECT bucket, doc_id AS keeper, n_chars, n_docs
+       |FROM sized WHERE rn = 1 AND n_docs > 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    val bkt = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.lshBand(col("text"), 0, 2).as("bucket"),
+        col("n_chars"))
+    val sizes = bkt.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    val keep = graft.plans.TopKPerGroup.perGroup(
+      bkt, Seq(col("bucket")), struct(col("n_chars"), -col("doc_id")), 1)
+    keep.join(sizes, "bucket")
+      .select(col("bucket"), col("doc_id").as("keeper"), col("n_chars"),
+        col("n_docs"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
-    dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash)
+    dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
+    dd08DupClusters, dd09KeepBest)
 }

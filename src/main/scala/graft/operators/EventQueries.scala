@@ -172,6 +172,34 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Cohort retention: users grouped by their first active day, counted
+    * per (cohort_day, day_offset) — the standard retention triangle.
+    * Two shuffles, both on user_id (first-day agg, then distinct
+    * user-days), then one partial-agg'd rollup to the tiny
+    * days×offsets result; the user⋈first-day join co-partitions on the
+    * user_id key both sides already shuffled on. */
+  val ev07Retention: GraftQuery = q(
+    "ev07_retention",
+    "cohort retention triangle (first-day cohorts × day offset)",
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |SELECT f.d0 AS cohort_day,
+      |  CAST(date_diff('day', f.d0, a.d) AS BIGINT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.d0, date_diff('day', f.d0, a.d)
+      |ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy("user_id").agg(min(col("d")).as("d0"))
+    val active = ev.distinct()
+    active.join(first, "user_id")
+      .groupBy(col("d0").as("cohort_day"),
+        datediff(col("d"), col("d0")).cast(LongType).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
-    ev04Funnel, ev05IntervalJoin, ev06RangeFrame)
+    ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention)
 }

@@ -740,6 +740,52 @@ object RelationalQueries {
       .orderBy("doc_id")
   }
 
+  /** Correlated EXISTS / NOT EXISTS through the SQL entry path:
+    * customers with an urgent order but no large urgent order.
+    * Catalyst decorrelates to a left-semi ⋈ left-anti pair on
+    * o_custkey — no per-row subquery execution survives planning. */
+  val q38ExistsCorrelated: GraftQuery = q(
+    "q38_exists_correlated",
+    "correlated EXISTS/NOT EXISTS → semi+anti joins (ref: none; SURVEY §2.2)",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM orders_ex o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** FILTER-clause aggregates: several differently-filtered aggregates
+    * in ONE scan+aggregation pass (the alternative — one join per
+    * filtered metric — multiplies scans). Same SQL text runs on both
+    * engines. */
+  val q39FilteredAgg: GraftQuery = {
+    val sql =
+      s"""SELECT l_returnflag,
+         |  COUNT(*) AS n_all,
+         |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+         |  CAST(SUM(${sqlDec2("l_quantity")}) FILTER (WHERE l_discount > 0.05)
+         |    AS DOUBLE) AS qty_hidisc
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    q("q39_filtered_agg",
+      "FILTER-clause aggregates, one pass (ref: none; SURVEY §2.2)",
+      sql) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_fa")
+      s.sql(sql.replace("FROM lineitem", "FROM lineitem_fa"))
+    }
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -754,7 +800,7 @@ object RelationalQueries {
   val all: Seq[GraftQuery] = Seq(
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
-    q37IntersectAll, hll01ApproxDistinct,
+    q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

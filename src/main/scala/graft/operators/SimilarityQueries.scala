@@ -127,6 +127,45 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Symmetric int8 quantization (the storage/serving compression step
+    * of an embedding pipeline): per-vector scale = max|x|/127, each
+    * element rounds to round(x/scale) ∈ [-127, 127], plus the summed
+    * absolute reconstruction error. Entirely per-row array math — a
+    * map-only stage at any scale. Rounding is floor(x+0.5) on doubles
+    * on BOTH sides because Spark's ROUND (HALF_UP on the decimal
+    * rescale path) and DuckDB's ROUND need not agree on doubles; the
+    * error fold is ascending-index (seed 0.0 ≡ DuckDB's first-element
+    * seed since term 1 is non-negative, and +0.0 + x == x exactly). */
+  val sm05Int8Quantize: GraftQuery = q(
+    "sm05_int8_quantize",
+    "per-vector int8 quantization + reconstruction error",
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))[1:8], ',') AS q_head,
+      |  list_reduce(list_transform(embedding,
+      |    x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)),
+      |    (a, b) -> a + b) AS abs_err
+      |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+    def xd(x: Column) = x.cast(DoubleType)
+    def quant(x: Column) = floor(xd(x) / col("scale") + 0.5)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(xd(x)))) / 127).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        concat_ws(",",
+          slice(transform(col("embedding"), x => quant(x).cast(LongType)
+            .cast(StringType)), 1, 8)).as("q_head"),
+        aggregate(
+          transform(col("embedding"), x => abs(xd(x) - quant(x) * col("scale"))),
+          lit(0.0), (a, b) => a + b).as("abs_err"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms)
+    sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,
+    sm05Int8Quantize)
 }

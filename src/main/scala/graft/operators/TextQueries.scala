@@ -189,7 +189,56 @@ object TextQueries {
     }
   }
 
+  /** Denylist scrubbing (the PII-masking shape): count and mask a term
+    * denylist with one word-boundary regex pass, and fingerprint the
+    * scrubbed text. Per-row regex only — at 100 TB this is a map-only
+    * stage with zero shuffle. Spark's `regexp_replace` replaces all
+    * occurrences by default; DuckDB needs the explicit 'g' flag. */
+  val tx08Scrub: GraftQuery = q(
+    "tx08_scrub",
+    "denylist term scrubbing + masked fingerprint (PII-masking shape)",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(customer|query)\b')) AS BIGINT) AS n_hits,
+      |  md5(regexp_replace(text, '\b(customer|query)\b', '<redacted>', 'g')) AS scrub_fp
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pat = "\\b(customer|query)\\b"
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast(LongType).as("n_hits"),
+        md5(regexp_replace(col("text"), pat, "<redacted>")).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-trigram language profile (the statistical core of real
+    * language-ID, vs tx03's stopword heuristic): explode each doc into
+    * its overlapping char 3-grams with a per-row `transform` over an
+    * index sequence, then count per (lang, trigram). The explode is the
+    * only row inflation (×~len) and feeds straight into a partial agg,
+    * so the shuffle carries (lang, trigram) pairs, not documents. */
+  val tx09CharNgrams: GraftQuery = q(
+    "tx09_char_ngrams",
+    "char-trigram language profiles (language-ID building block)",
+    """WITH grams AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, LENGTH(text) - 1),
+      |      i -> substr(text, CAST(i AS INT), 3))) AS trigram
+      |  FROM documents WHERE LENGTH(text) >= 3)
+      |SELECT lang, trigram, COUNT(*) AS n
+      |FROM grams GROUP BY lang, trigram
+      |ORDER BY n DESC, lang, trigram LIMIT 40""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("trigram"))
+      .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang"), col("trigram"))
+      .limit(40)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
-    tx06BpeTokens, tx07RollingHash)
+    tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams)
 }

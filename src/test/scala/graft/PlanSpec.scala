@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions
+import org.apache.spark.sql.functions.{lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the physical-plan shapes the 100 TB story depends on
@@ -66,5 +68,51 @@ class PlanSpec extends AnyFunSuite {
     // text is needed (it IS the payload source here) but the scan must
     // read only doc_id + text, not lang/source/n_chars
     assert(!p.contains("n_chars"), "unused metadata columns must be pruned")
+  }
+
+  test("q38: correlated EXISTS/NOT EXISTS decorrelates to semi + anti joins") {
+    val p = plan("q38_exists_correlated")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join\n" + p.take(3000))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join\n" + p.take(3000))
+  }
+
+  test("dd09: keep-best policy runs through the k-bounded TopK operator") {
+    val p = plan("dd09_keep_best_in_bucket")
+    assert("TopK".r.findAllIn(p).size >= 2,
+      "expected partial+final TopK pair\n" + p.take(3000))
+  }
+
+  test("skewed shuffle join: AQE splits the hot partition at runtime") {
+    val s = spark
+    import s.implicits._
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    try {
+      // thresholds scaled down so the test-sized hot key triggers the
+      // same OptimizeSkewedJoin path a production hot key would
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val pad = "x" * 64
+      val left = s.range(0, 200000)
+        .select((when($"id" < 190000, 0L).otherwise($"id")).as("k"),
+          lit(pad).as("pad"))
+      val right = s.range(0, 1000).select($"id".as("k"), lit(1L).as("v"))
+      // global agg, NOT groupBy(k): an agg keyed on the join key would
+      // require the join's hash partitioning and veto the skew split
+      val joined = left.join(right, "k")
+        .agg(functions.sum(functions.length($"pad")))  // keeps pad un-pruned
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("skew"),
+        "AQE must mark/split the skewed partition\n" + p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 }
