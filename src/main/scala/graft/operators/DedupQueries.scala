@@ -218,57 +218,73 @@ object DedupQueries {
       |bkt AS (SELECT doc_id, md5(s0 || s1) AS bucket FROM sig)""".stripMargin
 
   /** Transitive near-dup clusters: connected components over the LSH
-    * candidate-pair graph (docs sharing a band bucket are edges), so a
-    * chain a~b~c lands in ONE cluster even when a and c never share a
-    * bucket. Labels converge by iterative min-label propagation — each
-    * round is one edge⋈label shuffle join plus a min-aggregation, and
-    * the round count is the graph diameter (tiny for near-dup graphs:
-    * clusters are bucket-overlap chains). At cluster scale the same
-    * loop runs with per-round checkpointing to cut lineage, or the
-    * large-star/small-star variant to collapse high-degree components
-    * in O(log n) rounds; the per-round shuffle structure is identical.
-    * Oracle: recursive CTE transitive closure, min reachable doc_id. */
+    * candidate graph with TWO band keys per doc (candidate ⇔ ANY band
+    * matches — the standard LSH union rule), so a chain a~b (band 1)
+    * ~c (band 2) lands in ONE cluster even though a and c share no
+    * bucket. Components are computed on the bipartite doc↔bucket
+    * incidence (never materializing the per-bucket quadratic edge
+    * set): each round folds labels doc→bucket→doc through two min
+    * aggregations, covering two graph hops, and `localCheckpoint`
+    * truncates lineage per round so no cache or plan grows with the
+    * round count. Convergence is detected from the label sum, which
+    * strictly decreases until fixpoint — one scalar action per round,
+    * no old-vs-new join. Rounds = half the component diameter; at
+    * cluster scale the same loop stands (or large-star/small-star for
+    * O(log n) rounds on adversarial graphs) — per-round shuffle
+    * structure is unchanged. Oracle: recursive-CTE transitive closure
+    * over the equivalent pair edges, min reachable doc_id. */
   val dd08DupClusters: GraftQuery = q(
     "dd08_dup_clusters",
-    "connected-component near-dup clusters over LSH candidate edges",
-    s"""WITH RECURSIVE $sqlBkt,
+    "connected-component near-dup clusters over 2-band LSH candidates",
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    MIN(md5('0:' || w)) AS s0, MIN(md5('1:' || w)) AS s1,
+       |    MIN(md5('2:' || w)) AS s2, MIN(md5('3:' || w)) AS s3
+       |  FROM tok GROUP BY doc_id),
+       |inc AS (
+       |  SELECT doc_id, '1:' || md5(s0 || s1) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, '2:' || md5(s2 || s3) AS bucket FROM sig),
        |edges AS (
-       |  SELECT a.doc_id AS src, b.doc_id AS dst
-       |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM inc a JOIN inc b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
        |reach(src, dst) AS (
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
        |SELECT src AS doc_id, MIN(dst) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val bkt = Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.lshBand(col("text"), 0, 2).as("bucket"))
-    val right = bkt.select(col("doc_id").as("dst"), col("bucket").as("b2"))
-    val edges = bkt
-      .join(right, col("bucket") === col("b2") && col("doc_id") =!= col("dst"))
-      .select(col("doc_id").as("src"), col("dst"))
-      .distinct()
-      .persist()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).persist()
+    val inc0 = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array(
+        concat(lit("1:"), TextFunctions.lshBand(col("text"), 0, 2)),
+        concat(lit("2:"), TextFunctions.lshBand(col("text"), 2, 4)))).as("bucket"))
+    // only buckets with ≥ 2 docs carry edges; solo incidences drop out
+    val shared = inc0.groupBy("bucket").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") > 1).select("bucket")
+    val inc = inc0.join(shared, "bucket")
+      .select(col("doc_id"), col("bucket")).localCheckpoint()
+    var labels = inc.select(col("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
-      val prop = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      val next = labels.unionByName(prop)
-        .groupBy("v").agg(min("lbl").as("lbl")).persist()
-      // full count (not limit-1) so `next` is materialized into its
-      // cache before the previous round's cache is dropped
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "old_lbl"), "v")
-        .filter(col("lbl") =!= col("old_lbl")).count()
-      labels.unpersist()
+    while (!converged && rounds < 30) {
+      val bucketMin = inc.join(labels, "doc_id")
+        .groupBy("bucket").agg(min("lbl").as("blbl"))
+      val next = inc.join(bucketMin, "bucket")
+        .groupBy("doc_id").agg(min("blbl").as("lbl")).localCheckpoint()
+      val s2 = labelSum(next)
+      converged = s2 == prevSum
+      prevSum = s2
       labels = next
-      converged = changed == 0
       rounds += 1
     }
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }
 

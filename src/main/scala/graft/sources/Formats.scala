@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * ingest/egress interop.
   */
 object Formats {
-  val Supported: Seq[String] = Seq("parquet", "json", "csv", "text", "binaryFile")
+  val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv", "text", "binaryFile")
 
   def read(spark: SparkSession, format: String, path: String,
       options: Map[String, String] = Map.empty): DataFrame =

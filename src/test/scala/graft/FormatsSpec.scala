@@ -16,7 +16,7 @@ class FormatsSpec extends AnyFunSuite {
   test("parquet/json/csv roundtrip preserves rows") {
     val src = Tables.nation(spark, sf)
     val n = src.count()
-    Seq("parquet", "json", "csv").foreach { fmt =>
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
       val dir = Files.createTempDirectory(s"graft-$fmt").toString + "/out"
       Formats.write(src, fmt, dir,
         options = if (fmt == "csv") Map("header" -> "true") else Map.empty)
@@ -39,6 +39,30 @@ class FormatsSpec extends AnyFunSuite {
     // physical plan reads only the selected partition directory
     val plan = pruned.queryExecution.executedPlan.toString
     assert(!plan.contains("status=O"))
+  }
+
+  test("repartitionByRange write produces globally range-clustered files (scan skipping)") {
+    val src = Tables.orders(spark, sf)
+    val dir = Files.createTempDirectory("graft-range").toString + "/out"
+    src.repartitionByRange(4, col("o_totalprice"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    // every output file covers a disjoint o_totalprice range, so a
+    // price predicate prunes whole files via parquet min/max footers
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size >= 2, s"expected multiple range files, got $files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == src.count())
   }
 
   test("text format writes one line per row; binaryFile reads bytes back") {

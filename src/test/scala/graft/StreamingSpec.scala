@@ -186,4 +186,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 200) // 400 delivered, 200 distinct
     ev.unpersist()
   }
+
+  test("dropDuplicatesWithinWatermark dedups re-delivery inside the horizon with bounded state") {
+    val dir = Files.createTempDirectory("graft-dedup-wm").toString
+    val ev = Tables.events(spark, sf).limit(200).cache()
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    ev.coalesce(1).write.mode("append").parquet(dir) // redelivery within horizon
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.dedupedWithinWatermark(src)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup_wm_n")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_wm_n").collect()(0).getLong(0) == 200)
+    ev.unpersist()
+  }
 }
