@@ -238,7 +238,127 @@ object TextQueries {
       .limit(40)
   }
 
+  /** Word-trigram list per doc as a Spark SQL expression string over a
+    * pre-split `ws` column (element_at is 1-based in both engines).
+    * Docs under 3 words get an empty list — guarded explicitly because
+    * Spark's `sequence(1, 0)` counts DOWN ([1,0]) where DuckDB's
+    * `range(1, 0)` is empty. */
+  private val gramsExpr =
+    "if(size(ws) >= 3, transform(sequence(1, size(ws) - 2), i -> " +
+      "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))), " +
+      "cast(array() as array<string>))"
+
+  /** DuckDB mirror of [[gramsExpr]] (range(1, n) is already empty for
+    * n <= 1, so no guard needed). */
+  private val sqlGrams =
+    "list_transform(range(1, len(ws) - 1), i -> " +
+      "ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] || ' ' || ws[CAST(i + 2 AS INT)])"
+
+  /** Intra-document repetition (the Gopher-style duplicate-n-gram
+    * quality signal): fraction of word trigrams that are repeats of an
+    * earlier trigram in the SAME document. Pure per-row array math —
+    * map-only at any scale, unlike cross-document dedup. */
+  val tx10Repetition: GraftQuery = q(
+    "tx10_repetition",
+    "intra-doc duplicate-trigram repetition ratio (quality signal)",
+    s"""WITH g AS (
+       |  SELECT doc_id, $sqlGrams AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+       |        FROM documents WHERE doc_id < 300))
+       |SELECT doc_id,
+       |  CAST(len(grams) AS BIGINT) AS n_grams,
+       |  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup,
+       |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+       |    / CAST(len(grams) AS DOUBLE) AS dup_ratio
+       |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(gramsExpr).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast(LongType).as("n_grams"),
+        (size(col("grams")) - size(array_distinct(col("grams"))))
+          .cast(LongType).as("n_dup"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-filter funnel: the survival count of each Gopher-style
+    * rule (length band, mean word length band, stopword presence,
+    * repetition bound) and of their conjunction, per source — ONE scan
+    * and one tiny aggregation for the whole rule panel (the
+    * one-join-per-metric alternative multiplies scans). Threshold
+    * comparisons are on per-row deterministic doubles. */
+  val tx11QualityFunnel: GraftQuery = q(
+    "tx11_quality_funnel",
+    "quality-rule funnel: per-rule and conjunctive survival counts",
+    s"""WITH m AS (
+       |  SELECT source, len(ws) AS nw,
+       |    CAST(LENGTH(text) - (len(ws) - 1) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS mwl,
+       |    list_contains(ws, 'the') OR list_contains(ws, 'a') AS has_stop,
+       |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+       |      / CAST(len(grams) AS DOUBLE) AS dup_ratio
+       |  FROM (SELECT source, text, ws, $sqlGrams AS grams
+       |        FROM (SELECT source, text, string_split(text, ' ') AS ws FROM documents)))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE nw BETWEEN 15 AND 1000) AS n_len_ok,
+       |  COUNT(*) FILTER (WHERE mwl >= 3.0 AND mwl <= 8.0) AS n_mwl_ok,
+       |  COUNT(*) FILTER (WHERE has_stop) AS n_stop_ok,
+       |  COUNT(*) FILTER (WHERE dup_ratio < 0.30) AS n_rep_ok,
+       |  COUNT(*) FILTER (WHERE nw BETWEEN 15 AND 1000 AND mwl >= 3.0 AND mwl <= 8.0
+       |                     AND has_stop AND dup_ratio < 0.30) AS n_pass
+       |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val ws = col("ws")
+    val lenOk = col("nw").between(15, 1000)
+    val mwlOk = col("mwl") >= 3.0 && col("mwl") <= 8.0
+    val repOk = col("dup_ratio") < 0.30
+    def cnt(c: org.apache.spark.sql.Column) = count(when(c, lit(1)))
+    Tables.documents(s, d)
+      .select(col("source"), col("text"), split(col("text"), " ").as("ws"))
+      .select(col("source"), col("text"), ws, expr(gramsExpr).as("grams"))
+      .select(col("source"),
+        size(ws).as("nw"),
+        ((length(col("text")) - (size(ws) - 1)).cast(DoubleType) /
+          size(ws).cast(DoubleType)).as("mwl"),
+        (array_contains(ws, "the") || array_contains(ws, "a")).as("has_stop"),
+        ((size(col("grams")) - size(array_distinct(col("grams")))).cast(DoubleType) /
+          size(col("grams")).cast(DoubleType)).as("dup_ratio"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(lenOk).as("n_len_ok"), cnt(mwlOk).as("n_mwl_ok"),
+        cnt(col("has_stop")).as("n_stop_ok"), cnt(repOk).as("n_rep_ok"),
+        cnt(lenOk && mwlOk && col("has_stop") && repOk).as("n_pass"))
+      .orderBy("source")
+  }
+
+  /** Inverted-index build: term → document-frequency + the first 20
+    * postings (sorted doc_ids). One shuffle keyed on term; collect_list
+    * is UNORDERED under parallel merge, so the sort happens after
+    * aggregation and the emitted head is deterministic. At index scale
+    * the postings column would be written bucketed by term so lookups
+    * are one-bucket scans. */
+  val tx12InvertedIndex: GraftQuery = q(
+    "tx12_inverted_index",
+    "inverted index: term -> df + sorted postings head",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents)
+      |SELECT term, COUNT(*) AS df,
+      |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+      |FROM tok GROUP BY term ORDER BY term""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+          x => x.cast(StringType))).as("postings_head"))
+      .orderBy("term")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
-    tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams)
+    tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
+    tx11QualityFunnel, tx12InvertedIndex)
 }

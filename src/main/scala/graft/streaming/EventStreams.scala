@@ -68,6 +68,15 @@ object EventStreams {
   def typeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 
+  /** Stream-static enrichment: join a (possibly streaming) event frame
+    * against a static dimension table, broadcast to each micro-batch —
+    * stateless (no watermark), the production shape for decorating an
+    * event stream with slowly-changing dims. The static side is
+    * re-resolved per batch, so a dim refresh (e.g. re-reading a
+    * parquet dir) is picked up without restarting the query. */
+  def enriched(events: DataFrame, dims: DataFrame): DataFrame =
+    events.join(broadcast(dims), Seq("event_type"), "left")
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double, props: String)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

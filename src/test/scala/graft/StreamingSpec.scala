@@ -187,6 +187,20 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("stream-static enrichment join ≡ batch join (dims broadcast per micro-batch)") {
+    val dims = spark.createDataFrame(Seq(
+      ("view", "browse"), ("click", "browse"), ("purchase", "convert"),
+      ("signup", "convert"), ("logout", "other")))
+      .toDF("event_type", "category")
+    val batch = EventStreams.enriched(Tables.events(spark, sf), dims)
+      .groupBy("category").count()
+      .orderBy("category").collect().toSeq
+    val stream = runStream(EventStreams.enriched(_, dims).groupBy("category").count(),
+      "complete", "enriched_counts")
+      .orderBy("category").collect().toSeq
+    assert(stream == batch)
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-delivery inside the horizon with bounded state") {
     val dir = Files.createTempDirectory("graft-dedup-wm").toString
     val ev = Tables.events(spark, sf).limit(200).cache()
