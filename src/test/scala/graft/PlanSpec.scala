@@ -82,6 +82,25 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final TopK pair\n" + p.take(3000))
   }
 
+  test("tx11: the whole quality-rule panel is one scan + one aggregation (no joins)") {
+    val p = plan("tx11_quality_funnel")
+    assert(!p.contains("Join"), "rule panel must not join per metric\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation\n" + p.take(3000))
+  }
+
+  test("q39: FILTER aggregates stay in one partial+final pass (no Expand)") {
+    val p = plan("q39_filtered_agg")
+    assert(!p.contains("Expand"), "FILTER aggs must not expand rows\n" + p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("tx12: postings build gets map-side partial aggregation after the explode") {
+    val p = plan("tx12_inverted_index")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final aggregation pair\n" + p.take(3000))
+  }
+
   test("skewed shuffle join: AQE splits the hot partition at runtime") {
     val s = spark
     import s.implicits._
