@@ -101,6 +101,43 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final aggregation pair\n" + p.take(3000))
   }
 
+  test("join strategy hints steer the planner: broadcast / shuffle_hash / merge") {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    def planOf(h: String) =
+      o.join(c.hint(h), o("o_custkey") === c("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"),
+      "shuffle_hash hint must yield a shuffled hash join (no sort)")
+    assert(planOf("merge").contains("SortMergeJoin"),
+      "merge hint must force SMJ even under the broadcast threshold")
+  }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/fact"
+    Tables.orders(spark, sf)
+      .withColumn("status", org.apache.spark.sql.functions.col("o_orderstatus"))
+      .write.partitionBy("status").parquet(dir)
+    // the dim must be a real source with a live Filter: a local
+    // relation's filter constant-folds away and DPP then sees no
+    // selective predicate to prune with
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    // a bare boolean column does not count as a "likely selective"
+    // predicate for the pruning heuristic (and `keep = true` folds to
+    // one), so the dim filter is a string equality
+    spark.createDataFrame(
+        Seq(("F", "gold"), ("O", "base"), ("P", "base"))).toDF("status", "tier")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(org.apache.spark.sql.functions.col("tier") === "gold")
+    val joined = spark.read.parquet(dir).join(dim, "status")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruning partition filter\n" + p.take(3000))
+  }
+
   test("skewed shuffle join: AQE splits the hot partition at runtime") {
     val s = spark
     import s.implicits._
