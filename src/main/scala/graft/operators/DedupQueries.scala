@@ -232,7 +232,12 @@ object DedupQueries {
     * cluster scale the same loop stands (or large-star/small-star for
     * O(log n) rounds on adversarial graphs) — per-round shuffle
     * structure is unchanged. Oracle: recursive-CTE transitive closure
-    * over the equivalent pair edges, min reachable doc_id. */
+    * over the equivalent pair edges, min reachable doc_id — the oracle
+    * (not the operator) is quadratic in component size, which is
+    * tractable at the driver's sf0.01 gate scale; the Spark side runs
+    * the full corpus at any scale precisely because it never builds
+    * those pair edges (20M+ implied pairs at sf0.1 on this
+    * high-collision synthetic corpus). */
   val dd08DupClusters: GraftQuery = q(
     "dd08_dup_clusters",
     "connected-component near-dup clusters over 2-band LSH candidates",

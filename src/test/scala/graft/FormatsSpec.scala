@@ -65,6 +65,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == src.count())
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet batches, null-filling") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/out"
+    val s = spark
+    import s.implicits._
+    // day-1 batch without the later column; day-2 batch adds `score`
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode(SaveMode.Append).parquet(dir)
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+      .write.mode(SaveMode.Append).parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")),
+      "old rows must null-fill the evolved column")
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 0.5)
+  }
+
   test("text format writes one line per row; binaryFile reads bytes back") {
     val dir = Files.createTempDirectory("graft-text").toString + "/out"
     Formats.write(
