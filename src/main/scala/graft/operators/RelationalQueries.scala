@@ -786,6 +786,29 @@ object RelationalQueries {
     }
   }
 
+  /** LATERAL correlated subquery (top-1 order per customer) through
+    * the SQL path. Catalyst decorrelates the per-row ORDER BY/LIMIT
+    * into a window over a single join — no per-customer subquery
+    * execution survives planning, so it scales like q15, not like a
+    * nested loop. */
+  val q40Lateral: GraftQuery = {
+    def sql(cust: String, ord: String) =
+      s"""SELECT c_custkey, o_orderkey, o_totalprice
+         |FROM $cust c, LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM $ord o
+         |  WHERE o.o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+         |WHERE c_custkey < 50
+         |ORDER BY c_custkey""".stripMargin
+    q("q40_lateral_join",
+      "LATERAL correlated subquery → decorrelated join (ref: none; SURVEY §2.2)",
+      sql("customer", "orders")) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_lt")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lt")
+      s.sql(sql("customer_lt", "orders_lt"))
+    }
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -800,7 +823,8 @@ object RelationalQueries {
   val all: Seq[GraftQuery] = Seq(
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
-    q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, hll01ApproxDistinct,
+    q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,
+    hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

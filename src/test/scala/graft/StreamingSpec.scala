@@ -187,6 +187,26 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("stateful aggregation runs on the RocksDB state store (spillable production backend)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = EventStreams.tumblingHourly(
+        Tables.events(spark, sf), withWatermarkCol = false)
+        .orderBy("window_start", "event_type").collect().toSeq
+      val stream = runStream(EventStreams.tumblingHourly(_, withWatermarkCol = false),
+        "complete", "tumbling_rocksdb")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(stream == batch,
+        "RocksDB-backed state must produce the same aggregation as batch")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("checkpointed restart resumes from committed offsets: state kept, nothing reprocessed") {
     val dataDir = Files.createTempDirectory("graft-ckpt-data").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
