@@ -809,6 +809,35 @@ object RelationalQueries {
     }
   }
 
+  /** The full ranking-function family over one window: ntile buckets,
+    * percent_rank, cume_dist, first/last value with an explicit frame.
+    * One sort per partition key serves all five functions (single
+    * Window operator) — adding a metric costs nothing extra. */
+  val q41RankFamily: GraftQuery = q(
+    "q41_rank_family",
+    "ntile / percent_rank / cume_dist / first_value (ref: none; SURVEY §2.2)",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_orderkey) OVER w AS best_order
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, quartile, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(w).as("best_order"))
+      .orderBy("o_orderpriority", "quartile", "o_orderkey")
+  }
+
   /** HLL sketch cardinality (approx_count_distinct). No oracle — the
     * sketch is engine-specific; the driver records a rows-only check.
     * Exact distinct for the same column is oracle-checked in q03. */
@@ -824,7 +853,7 @@ object RelationalQueries {
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,
-    hll01ApproxDistinct,
+    q41RankFamily, hll01ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

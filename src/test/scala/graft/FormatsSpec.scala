@@ -153,6 +153,32 @@ class FormatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
   }
 
+  test("malformed JSON records: PERMISSIVE captures them, FAILFAST aborts (lenient path of ref fail-fast)") {
+    val dir = Files.createTempDirectory("graft-permissive").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.json"),
+      """{"id": 1, "v": 10}
+        |not json at all
+        |{"id": 2, "v": 20}
+        |{"id": 3, "v": "boom"}
+        |""".stripMargin.getBytes("UTF-8"))
+    val schema = "id LONG, v LONG, _corrupt_record STRING"
+    // caching first: Spark disallows queries touching ONLY the
+    // internal corrupt-record column straight off the raw file scan
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir).cache()
+    assert(permissive.count() == 4)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2,
+      "both the non-JSON line and the type-mismatched record must be captured")
+    assert(permissive.filter(col("_corrupt_record").isNull)
+      .agg(sum(col("v"))).head.getLong(0) == 30)
+    permissive.unpersist()
+    val failfast = spark.read.schema("id LONG, v LONG")
+      .option("mode", "FAILFAST").json(dir)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
   test("corpus reader composes with relational ops (files as a table)") {
     val corpus = Corpus.read(spark, "src/test/resources/refFixtures")
     val byDir = corpus.groupBy(col("dir")).agg(count(lit(1)).as("n"))
