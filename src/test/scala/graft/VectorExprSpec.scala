@@ -89,4 +89,27 @@ class VectorExprSpec extends AnyFunSuite {
         "array(cast(1.0 as float), cast(1.0 as float)))").collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("plain udf() escape hatch agrees with the native expression (and is the slower path)") {
+    // the engine's preference order is built-ins > native Expression >
+    // udf(); this pins that the escape hatch still exists and is exact
+    VectorExpressions.register(spark)
+    import TestSpark.spark.implicits._
+    val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    spark.udf.register("dot_udf", dotUdf)
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("id", "a", "b")
+    val both = df.select(
+      call_function("dot_product", col("a"), col("b")).as("native"),
+      dotUdf(col("a"), col("b")).as("viaUdf")).head
+    assert(both.getDouble(0) == both.getDouble(1))
+    df.createOrReplaceTempView("udf_vs_native")
+    val sqlRow = spark.sql(
+      "SELECT dot_udf(a, b) = dot_product(a, b) FROM udf_vs_native").head
+    assert(sqlRow.getBoolean(0))
+  }
 }
