@@ -102,5 +102,6 @@ object Registry {
       graft.operators.MultimodalQueries.all ++
       graft.operators.AsofJoin.all ++
       graft.operators.TypedQueries.all ++
-      graft.operators.IvfQueries.all
+      graft.operators.IvfQueries.all ++
+      graft.operators.AnalyticsQueries.all
 }

@@ -1,0 +1,270 @@
+package graft.operators
+
+import graft.{Det, GraftQuery, Tables}
+import graft.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse-maintenance and analytics operators the reference's
+  * MapReduce surface cannot express but any production pipeline needs:
+  * calendar densification (gap-fill), UNPIVOT, numerically-deterministic
+  * moment statistics, MERGE-style upsert, SCD2 history building, and
+  * single-pass column profiling.
+  *
+  * Scale notes (see SCALING.md): every query here is either a map-side
+  * transform plus one keyed aggregation, or a single co-partitioned
+  * join; none materializes anything driver-side.
+  */
+object AnalyticsQueries {
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** Calendar densification: daily revenue over a fixed quarter with
+    * zero-filled rows for days that have no orders. The generated
+    * calendar is 90 rows (broadcast side); the fact side aggregates
+    * BEFORE the join, so the join is tiny×tiny at any corpus scale.
+    */
+  val q42Gapfill: GraftQuery = q(
+    "q42_gapfill",
+    "calendar densification / gap-fill (sequence + left join)",
+    s"""WITH cal AS (
+       |  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+       |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+       |daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+       |    ${sqlDsum("o_totalprice")} AS revenue
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01'
+       |  GROUP BY 1)
+       |SELECT cal.day, COALESCE(n_orders, 0) AS n_orders,
+       |  COALESCE(revenue, CAST(0 AS DOUBLE)) AS revenue
+       |FROM cal LEFT JOIN daily ON cal.day = daily.day
+       |ORDER BY cal.day""".stripMargin) { (s, d) =>
+    val cal = s.range(1)
+      .select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1995-03-31")),
+        expr("interval 1 day"))).as("day"))
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1995-04-01").cast(TimestampType))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("day")
+  }
+
+  /** Wide-to-long UNPIVOT via the Dataset `unpivot` API (Catalyst
+    * `Unpivot` → `Expand`: map-side row replication, no extra shuffle
+    * beyond the feeding aggregation).
+    */
+  val q43Unpivot: GraftQuery = q(
+    "q43_unpivot",
+    "UNPIVOT wide metrics to long (Expand, no extra shuffle)",
+    s"""WITH wide AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n_rows,
+       |    ${sqlDsum("l_quantity")} AS sum_qty,
+       |    ${sqlDsum("l_extendedprice")} AS sum_price
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_price', sum_price FROM wide) t
+       |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(DoubleType).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("n_rows"), col("sum_qty"), col("sum_price")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  /** Moment statistics (mean/variance/stddev/correlation) computed from
+    * exact decimal power sums, with the closed-form arithmetic done in
+    * IEEE doubles using an IDENTICAL expression tree on both engines —
+    * deterministic without any rounding, unlike builtin `stddev`/`corr`
+    * whose accumulation order differs per engine. The power sums are one
+    * map-side partial aggregation; the closed forms are per-group scalar
+    * math on the tiny aggregated result.
+    */
+  val q44StatsMoments: GraftQuery = q(
+    "q44_stats_moments",
+    "deterministic mean/var/stddev/corr from exact power sums",
+    """WITH sums AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  sx / n AS mean_qty,
+      |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+      |  (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+      |FROM sums ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val qty = dec2(col("l_quantity"))
+    val price = dec2(col("l_extendedprice"))
+    val sums = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(qty).cast(DoubleType).as("sx"),
+        sum(qty * qty).cast(DoubleType).as("sxx"),
+        sum(price).cast(DoubleType).as("sy"),
+        sum(price * price).cast(DoubleType).as("syy"),
+        sum(qty * price).cast(DoubleType).as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+    val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+    sums.select(col("l_returnflag"), n.cast(LongType).as("n_rows"),
+      (sx / n).as("mean_qty"),
+      ((sxx - sx * sx / n) / (n - lit(1))).as("var_qty"),
+      sqrt((sxx - sx * sx / n) / (n - lit(1))).as("std_qty"),
+      ((sxy - sx * sy / n) /
+        sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** MERGE-style upsert emulated with one full-outer join: base ∪
+    * updates ∪ inserts with per-row provenance. At cluster scale both
+    * sides are bucketed on the key, so the join is co-partitioned and
+    * shuffle-free; here it is one keyed shuffle join. Exact decimal
+    * arithmetic keeps the updated price bit-identical across engines.
+    */
+  val q45Upsert: GraftQuery = q(
+    "q45_upsert",
+    "MERGE/upsert via full-outer join with provenance",
+    """WITH upd AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE) AS new_price
+      |  FROM orders WHERE o_orderkey % 100 < 10
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS k, CAST(100.0 AS DOUBLE) AS new_price
+      |  FROM orders WHERE o_orderkey % 500 = 0),
+      |merged AS (
+      |  SELECT COALESCE(o.o_orderkey, u.k) AS o_orderkey,
+      |    COALESCE(u.new_price, o.o_totalprice) AS o_totalprice,
+      |    CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+      |         WHEN u.k IS NULL THEN 'kept' ELSE 'updated' END AS src
+      |  FROM orders o FULL OUTER JOIN upd u ON o.o_orderkey = u.k)
+      |SELECT o_orderkey, o_totalprice, src FROM merged
+      |WHERE o_orderkey % 100 < 12 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val upd = orders.filter(col("o_orderkey") % 100 < 10)
+      .select(col("o_orderkey").as("k"),
+        (dec2(col("o_totalprice")) * lit(1.1).cast(DecimalType(3, 2)))
+          .cast(DoubleType).as("new_price"))
+      .unionAll(orders.filter(col("o_orderkey") % 500 === 0)
+        .select((col("o_orderkey") + 10000000L).as("k"),
+          lit(100.0).as("new_price")))
+    orders.join(upd, col("o_orderkey") === col("k"), "full_outer")
+      .select(coalesce(col("o_orderkey"), col("k")).as("o_orderkey"),
+        coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey").isNull, "inserted")
+          .when(col("k").isNull, "kept").otherwise("updated").as("src"))
+      .filter(col("o_orderkey") % 100 < 12)
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD2 history build: per-customer order states become
+    * [valid_from, valid_to) intervals via `lead()` over the customer's
+    * history; the open interval is the current row. Partition key is the
+    * customer (high cardinality), so window state is bounded per key.
+    */
+  val q46Scd2: GraftQuery = q(
+    "q46_scd2",
+    "SCD2 validity intervals via lead() per entity history",
+    """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |                          ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  o_totalprice,
+      |  CASE WHEN LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |         ORDER BY o_orderdate, o_orderkey) IS NULL
+      |       THEN 1 ELSE 0 END AS is_current
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        col("o_totalprice"),
+        when(lead(col("o_orderdate"), 1).over(w).isNull, 1).otherwise(0)
+          .as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Single-pass column profiling: counts, null counts, exact distinct
+    * counts, and numeric min/max for four columns of `orders` in ONE
+    * aggregation (Catalyst plans multi-distinct via Expand + partial
+    * agg — one scan, one shuffle), then `stack` to long format.
+    */
+  val qa01Profile: GraftQuery = q(
+    "qa01_profile",
+    "single-pass multi-column profiling (Expand multi-distinct)",
+    """SELECT col_name, metric, value FROM (
+      |  SELECT 'o_orderkey' AS col_name, 'count' AS metric, CAST(COUNT(o_orderkey) AS DOUBLE) AS value FROM orders
+      |  UNION ALL SELECT 'o_orderkey', 'distinct', CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_orderkey', 'min', CAST(MIN(o_orderkey) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_orderkey', 'max', CAST(MAX(o_orderkey) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_custkey', 'count', CAST(COUNT(o_custkey) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_custkey', 'distinct', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_custkey', 'min', CAST(MIN(o_custkey) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_custkey', 'max', CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', 'count', CAST(COUNT(o_totalprice) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', 'distinct', CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', 'min', MIN(o_totalprice) FROM orders
+      |  UNION ALL SELECT 'o_totalprice', 'max', MAX(o_totalprice) FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', 'count', CAST(COUNT(o_orderstatus) AS DOUBLE) FROM orders
+      |  UNION ALL SELECT 'o_orderstatus', 'distinct', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders) t
+      |ORDER BY col_name, metric""".stripMargin) { (s, d) =>
+    val wide = Tables.orders(s, d).agg(
+      count(col("o_orderkey")).cast(DoubleType).as("ok_count"),
+      countDistinct(col("o_orderkey")).cast(DoubleType).as("ok_distinct"),
+      min(col("o_orderkey")).cast(DoubleType).as("ok_min"),
+      max(col("o_orderkey")).cast(DoubleType).as("ok_max"),
+      count(col("o_custkey")).cast(DoubleType).as("ck_count"),
+      countDistinct(col("o_custkey")).cast(DoubleType).as("ck_distinct"),
+      min(col("o_custkey")).cast(DoubleType).as("ck_min"),
+      max(col("o_custkey")).cast(DoubleType).as("ck_max"),
+      count(col("o_totalprice")).cast(DoubleType).as("tp_count"),
+      countDistinct(col("o_totalprice")).cast(DoubleType).as("tp_distinct"),
+      min(col("o_totalprice")).as("tp_min"),
+      max(col("o_totalprice")).as("tp_max"),
+      count(col("o_orderstatus")).cast(DoubleType).as("st_count"),
+      countDistinct(col("o_orderstatus")).cast(DoubleType).as("st_distinct"))
+    wide.select(expr(
+      """stack(14,
+        |  'o_orderkey', 'count', ok_count,
+        |  'o_orderkey', 'distinct', ok_distinct,
+        |  'o_orderkey', 'min', ok_min,
+        |  'o_orderkey', 'max', ok_max,
+        |  'o_custkey', 'count', ck_count,
+        |  'o_custkey', 'distinct', ck_distinct,
+        |  'o_custkey', 'min', ck_min,
+        |  'o_custkey', 'max', ck_max,
+        |  'o_totalprice', 'count', tp_count,
+        |  'o_totalprice', 'distinct', tp_distinct,
+        |  'o_totalprice', 'min', tp_min,
+        |  'o_totalprice', 'max', tp_max,
+        |  'o_orderstatus', 'count', st_count,
+        |  'o_orderstatus', 'distinct', st_distinct) AS (col_name, metric, value)
+        |""".stripMargin))
+      .orderBy("col_name", "metric")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile)
+}
