@@ -103,5 +103,6 @@ object Registry {
       graft.operators.AsofJoin.all ++
       graft.operators.TypedQueries.all ++
       graft.operators.IvfQueries.all ++
-      graft.operators.AnalyticsQueries.all
+      graft.operators.AnalyticsQueries.all ++
+      graft.operators.CorpusQueries.all
 }

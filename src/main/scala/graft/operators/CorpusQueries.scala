@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level statistics and training-data hygiene over `documents`:
+  * TF-IDF term weighting, bigram PMI collocations, Zipf rank-frequency,
+  * and benchmark decontamination (n-gram overlap against an eval set).
+  *
+  * Determinism contract: every ranking orders by integer counts with a
+  * lexicographic term tie-break, never by a floating score; doubles
+  * (tf-idf, pmi, freq) are payload columns computed with an identical
+  * expression tree on both engines and rounded to 6 dp where a
+  * transcendental (`ln`) is involved.
+  *
+  * Scale notes: term/bigram/shingle extraction is map-side (higher-order
+  * array functions, no UDFs); the aggregations are classic word-count
+  * shapes (partial agg + one shuffle on the term key); eval-set shingles
+  * are broadcast (an eval benchmark is KBs even when the corpus is TBs).
+  */
+object CorpusQueries {
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** Top-3 TF-IDF terms per document (docs 0-29). `df` is computed over
+    * the FULL corpus, `tf` only for the reported docs — the usual
+    * "score a slice against global statistics" shape. Rank by
+    * (tf desc, df asc, term) — integer-deterministic.
+    */
+  val tx13Tfidf: GraftQuery = q(
+    "tx13_tfidf",
+    "TF-IDF top terms per doc (global df, integer-ranked)",
+    """WITH terms AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS n_tf FROM terms
+      |  WHERE doc_id < 30 GROUP BY doc_id, term),
+      |dfreq AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS n_df FROM terms GROUP BY term),
+      |totals AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.n_tf, dfreq.n_df,
+      |    ROUND(CAST(tf.n_tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / CAST(n_df AS DOUBLE)), 6) AS tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.n_tf DESC, dfreq.n_df ASC, tf.term) AS rnk
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN totals)
+      |SELECT doc_id, term, n_tf, n_df, tfidf FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, n_tf DESC, n_df, term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("term"))
+    val tf = terms.filter(col("doc_id") < 30)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_tf"))
+    val dfreq = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("n_df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_tf").desc, col("n_df").asc, col("term"))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(totals))
+      .withColumn("tfidf", round(col("n_tf").cast(DoubleType) *
+        log(col("n_docs").cast(DoubleType) / col("n_df").cast(DoubleType)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "n_tf", "n_df", "tfidf")
+      .orderBy(col("doc_id"), col("n_tf").desc, col("n_df"), col("term"))
+  }
+
+  /** Bigram collocations by pointwise mutual information. Bigrams are a
+    * per-row array transform (no self-join); PMI is computed from the
+    * four count aggregates with one identical double expression. Top 30
+    * by (count desc, w1, w2).
+    */
+  val tx14PmiBigrams: GraftQuery = q(
+    "tx14_pmi_bigrams",
+    "bigram PMI collocations (map-side bigrams + word-count aggs)",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+      |                 i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+      |  FROM tok WHERE len(t) >= 2),
+      |big AS (
+      |  SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |unic AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |tot AS (
+      |  SELECT (SELECT COUNT(*) FROM uni) AS tu, (SELECT COUNT(*) FROM bi) AS tb)
+      |SELECT w1, w2, c12,
+      |  ROUND(LN((CAST(c12 AS DOUBLE) * CAST(tu AS DOUBLE) * CAST(tu AS DOUBLE))
+      |           / (CAST(tb AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+      |FROM big
+      |JOIN unic u1 ON big.w1 = u1.w JOIN unic u2 ON big.w2 = u2.w
+      |CROSS JOIN tot
+      |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = tok.select(explode(transform(
+      sequence(lit(1), size(col("t")) - 1),
+      i => struct(element_at(col("t"), i).as("w1"),
+        element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val unic = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(count(lit(1)).as("tu"))
+      .crossJoin(bi.agg(count(lit(1)).as("tb")))
+    val u1 = unic.select(col("w").as("w1"), col("c").as("c1"))
+    val u2 = unic.select(col("w").as("w2"), col("c").as("c2"))
+    big.join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast(DoubleType) * col("tu").cast(DoubleType) *
+          col("tu").cast(DoubleType)) /
+          (col("tb").cast(DoubleType) * col("c1").cast(DoubleType) *
+            col("c2").cast(DoubleType))), 6).as("pmi"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  /** Zipf rank-frequency profile of the corpus vocabulary: top-20 terms
+    * with frequency share and cumulative share. Ranking and cumulation
+    * are pure integer arithmetic; the two divisions are exact-input
+    * double ops, deterministic across engines.
+    */
+  val tx15Zipf: GraftQuery = q(
+    "tx15_zipf",
+    "Zipf rank-frequency profile with cumulative share",
+    """WITH unic AS (
+      |  SELECT term, COUNT(*) AS n FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS term FROM documents) t
+      |  GROUP BY term),
+      |tot AS (SELECT SUM(n) AS total FROM unic),
+      |ranked AS (
+      |  SELECT term, n,
+      |    ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank,
+      |    SUM(n) OVER (ORDER BY n DESC, term
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      |  FROM unic)
+      |SELECT rank, term, n,
+      |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS freq,
+      |  CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+      |FROM ranked CROSS JOIN tot
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+    val unic = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val tot = unic.agg(sum(col("n")).as("total"))
+    val ord = Window.orderBy(col("n").desc, col("term"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unic.select(col("term"), col("n"),
+      row_number().over(ord).cast(LongType).as("rank"),
+      sum(col("n")).over(cum).as("cum_n"))
+      .filter(col("rank") <= 20)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("term"), col("n"),
+        (col("n").cast(DoubleType) / col("total").cast(DoubleType)).as("freq"),
+        (col("cum_n").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** Benchmark decontamination: flag corpus documents whose token
+    * 3-gram shingles overlap a held-out eval set (doc_id % 50 = 0 plays
+    * the benchmark). The eval shingle set is broadcast — eval suites
+    * are KBs; the corpus side is one distinct-shingle explode plus a
+    * per-doc count aggregation, linear at any corpus size.
+    */
+  val dc01Decontaminate: GraftQuery = q(
+    "dc01_decontaminate",
+    "eval-set contamination via 3-gram shingle overlap (broadcast eval)",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ev AS (
+      |  SELECT DISTINCT UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |                          i -> array_to_string(t[i:i+2], ' '))) AS sh
+      |  FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 3),
+      |cs AS (
+      |  SELECT doc_id, UNNEST(list_distinct(
+      |           list_transform(generate_series(1, len(t) - 2),
+      |                          i -> array_to_string(t[i:i+2], ' ')))) AS sh
+      |  FROM tok WHERE doc_id % 50 <> 0 AND len(t) >= 3),
+      |scored AS (
+      |  SELECT cs.doc_id, COUNT(*) AS n_shingles, COUNT(ev.sh) AS n_hit
+      |  FROM cs LEFT JOIN ev ON cs.sh = ev.sh
+      |  GROUP BY cs.doc_id)
+      |SELECT doc_id, n_shingles, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+      |FROM scored WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+    val shingles = transform(sequence(lit(1), size(col("t")) - 2),
+      i => concat_ws(" ", slice(col("t"), i, lit(3))))
+    val ev = tok.filter(col("doc_id") % 50 === 0)
+      .select(explode(shingles).as("sh")).distinct()
+      .withColumn("hit", lit(1))
+    val cs = tok.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("sh"))
+    cs.join(broadcast(ev), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate)
+}
