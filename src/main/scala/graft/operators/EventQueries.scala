@@ -204,6 +204,30 @@ object EventQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Sliding 1-hour/15-minute windows — the batch face of
+    * `window(ts, "1 hour", "15 minutes")` (see
+    * [[graft.streaming.EventStreams.slidingQuarterHourly]]; the
+    * StreamingSpec asserts batch ≡ stream). The oracle reconstructs
+    * Spark's window assignment explicitly: each event belongs to the 4
+    * slide-aligned windows k = 0..3 behind its 15-minute bucket. */
+  val ev08SlidingWindow: GraftQuery = q(
+    "ev08_sliding_window",
+    "sliding 1h/15min window agg (batch ≡ streaming window())",
+    s"""WITH ks AS (SELECT UNNEST(generate_series(0, 3)) AS k),
+       |ev AS (
+       |  SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(k * 15) AS window_start,
+       |         event_type, value
+       |  FROM events CROSS JOIN ks)
+       |SELECT window_start, event_type, COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS total_value
+       |FROM ev GROUP BY window_start, event_type
+       |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.EventStreams
+      .slidingQuarterHourly(Tables.events(s, d), withWatermarkCol = false)
+      .orderBy("window_start", "event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
-    ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention)
+    ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
+    ev08SlidingWindow)
 }

@@ -37,6 +37,21 @@ object EventStreams {
         col("n_events"), col("total_value"))
   }
 
+  /** Sliding 1-hour windows advancing every 15 minutes, per event
+    * type — each event lands in exactly 4 overlapping windows. The
+    * streaming state holds at most 4 open (window, key) entries per key
+    * inside the watermark horizon; the 4× row replication is map-side
+    * (Expand before the shuffle), so the shuffle carries partial
+    * aggregates, not duplicated events. */
+  def slidingQuarterHourly(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Session windows with a 30-minute inactivity gap per user — the
     * built-in incremental form of ev02_sessionize. */
   def userSessions(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {

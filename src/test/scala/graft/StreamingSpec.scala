@@ -53,6 +53,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("sliding window: streaming complete mode ≡ batch") {
+    val batch = EventStreams.slidingQuarterHourly(
+      Tables.events(spark, sf), withWatermarkCol = false)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = runStream(
+      EventStreams.slidingQuarterHourly(_, withWatermarkCol = false),
+      "complete", "sliding_complete")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("production ingestion: readStream over the original events parquet ≡ ev01 oracle query") {
     // the real pipeline path: no staging rewrite — stream straight off
     // the driver-generated events.parquet (TIMESTAMP_NANOS: read as
