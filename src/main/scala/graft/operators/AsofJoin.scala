@@ -59,6 +59,25 @@ object AsofJoin {
       .select(col("__lrow.*"), col("__asof"))
   }
 
+  /** [[backward]] with a maximum-lookback tolerance: a match older than
+    * `toleranceMicros` before the left row's time is discarded (the row
+    * keeps a NULL payload, as in pandas/kdb `merge_asof(tolerance=...)`).
+    * The latest-match-wins scan is unchanged — any in-tolerance match
+    * would also be the latest — so tolerance is one exact-microsecond
+    * post-predicate, no second window. */
+  def backwardWithin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String], tiebreak: String,
+      toleranceMicros: Long): DataFrame =
+    backward(left, right, key, leftTime, rightTime, payloadCols, tiebreak)
+      .withColumn("__asof",
+        // cast: the parquet columns are TIMESTAMP_NTZ; with the session
+        // TZ pinned to UTC the ltz cast is value-preserving
+        when(unix_micros(col(leftTime).cast(TimestampType)) -
+          unix_micros(col(s"__asof.$rightTime").cast(TimestampType)) <= toleranceMicros,
+          col("__asof")))
+
   private def q(name: String, doc: String, sql: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, build, Some(sql), doc)
@@ -91,6 +110,39 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** As-of with tolerance: like aj01 but a prior order counts only if
+    * it is at most 180 days old at event time — stale state must not
+    * leak forward, the usual contract when joining slowly-updated
+    * reference data onto a fast stream. */
+  val aj02AsofTolerance: GraftQuery = q(
+    "aj02_asof_tolerance",
+    "as-of backward join with 180-day tolerance",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT o.o_orderkey FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |     AND o.o_orderdate >= e.ts - INTERVAL 180 DAY
+      |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_orderkey,
+      |  (SELECT o.o_totalprice FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |     AND o.o_orderdate >= e.ts - INTERVAL 180 DAY
+      |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_totalprice
+      |FROM events e WHERE e.event_id < 500
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d).filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    val ev = events.withColumn("o_custkey", col("user_id"))
+    backwardWithin(ev, orders,
+      key = "o_custkey", leftTime = "ts", rightTime = "o_orderdate",
+      payloadCols = Seq("o_totalprice"), tiebreak = "o_orderkey",
+      toleranceMicros = 180L * 86400L * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("__asof.o_orderkey").as("last_orderkey"),
+        col("__asof.o_totalprice").as("last_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Range (band) join: quantity banded into named buckets via an
     * inline dimension — planned as a broadcast join with a range
     * predicate (no shuffle of the fact side). */
@@ -114,5 +166,5 @@ object AsofJoin {
       .orderBy("band")
   }
 
-  val all: Seq[GraftQuery] = Seq(aj01EventOrders, rj01RangeBand)
+  val all: Seq[GraftQuery] = Seq(aj01EventOrders, aj02AsofTolerance, rj01RangeBand)
 }

@@ -69,6 +69,36 @@ object MultimodalQueries {
     }
   }
 
+  /** One sampled "frame": a byte-range of the payload plus its digest. */
+  final case class FrameSample(doc_id: Long, frame_idx: Long, offset: Long,
+      frame_len: Long, frame_hash: String)
+
+  /** Frame sampling: treat each payload as `n_frames` equal byte
+    * chunks (last chunk takes the remainder) and emit every `stride`-th
+    * frame. The row-to-frames explosion happens inside mapPartitions
+    * with one digest handle per partition — the video-pipeline shape
+    * where a partition's decoder streams frames without re-opening the
+    * container per frame. Output size is bounded by
+    * rows × ceil(maxFrames/stride), not payload bytes. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 2): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition
+      batch.flatMap { r =>
+        val nFrames = 1L + r.n_bytes % 4L
+        val chunk = r.n_bytes / nFrames
+        (0L until nFrames by stride.toLong).iterator.map { k =>
+          val start = (k * chunk).toInt
+          val end = if (k == nFrames - 1) r.n_bytes.toInt else ((k + 1) * chunk).toInt
+          md.reset()
+          val hash = md.digest(java.util.Arrays.copyOfRange(r.payload, start, end))
+            .map("%02x".format(_)).mkString
+          FrameSample(r.doc_id, k, k * chunk, end - start, hash)
+        }
+      }
+    }
+  }
+
   private def q(name: String, doc: String, sql: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, build, Some(sql), doc)
@@ -107,5 +137,34 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(mm01BinaryMeta, mm02DecodeFeatures)
+  /** Frame sampling end-to-end: every 2nd frame of each payload with
+    * its byte range and digest; the oracle recomputes the same chunking
+    * arithmetic and digests over text substrings (ASCII corpus ⇒ byte
+    * slices = char slices). */
+  val mm03FrameSample: GraftQuery = q(
+    "mm03_frame_sample",
+    "frame sampling over binary payloads (mapPartitions flatMap)",
+    """WITH m AS (
+      |  SELECT doc_id, text, LENGTH(text) AS n_bytes,
+      |         1 + LENGTH(text) % 4 AS n_frames
+      |  FROM documents WHERE doc_id < 200),
+      |fr AS (
+      |  SELECT doc_id, text, n_bytes, n_frames,
+      |         UNNEST(generate_series(0, n_frames - 1)) AS k,
+      |         n_bytes // n_frames AS chunk
+      |  FROM m)
+      |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+      |  CAST(k * chunk AS BIGINT) AS offset,
+      |  CAST(CASE WHEN k = n_frames - 1 THEN n_bytes - k * chunk ELSE chunk END AS BIGINT) AS frame_len,
+      |  md5(substr(text, CAST(k * chunk + 1 AS INTEGER),
+      |      CAST(CASE WHEN k = n_frames - 1 THEN n_bytes - k * chunk ELSE chunk END AS INTEGER))) AS frame_hash
+      |FROM fr WHERE k % 2 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    sampleFrames(mediaTable(s, d).filter(col("doc_id") < 200).as[MediaRecord])
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[GraftQuery] = Seq(mm01BinaryMeta, mm02DecodeFeatures, mm03FrameSample)
 }

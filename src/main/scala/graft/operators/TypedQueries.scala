@@ -96,5 +96,38 @@ object TypedQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[GraftQuery] = Seq(ua01TypedAggregator, ty01TypedReduce, sk01SaltedAgg)
+  /** Salted shuffle JOIN for a skewed key: every lineitem row carries
+    * one of 10 supplier keys, so a plain shuffle join lands the whole
+    * fact table on 10 reducers. Replicate the (tiny-per-key) supplier
+    * side across 16 salt values and join on (key, salt): each hot key
+    * spreads over 16 reducers, result identical, oracle is the plain
+    * join. AQE's skew-split handles this adaptively when the dim side
+    * can't be broadcast; explicit salting is the portable form. */
+  val sk02SaltedJoin: GraftQuery = q(
+    "sk02_salted_join",
+    "skew-resistant salted shuffle join (fact × replicated dim)",
+    """SELECT s_name, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin) { (s, d) =>
+    val nSalt = 16
+    val fact = Tables.lineitem(s, d)
+      .withColumn("__salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(nSalt)))
+    val dim = Tables.supplier(s, d)
+      .withColumn("__salt", explode(sequence(lit(0), lit(nSalt - 1))))
+      // hint the planner away from broadcasting so the salted shuffle
+      // path is actually exercised (with a broadcastable dim Spark
+      // would just BHJ and salting would be moot)
+      .hint("shuffle_hash")
+    fact.join(dim,
+      fact("l_suppkey") === dim("s_suppkey") && fact("__salt") === dim("__salt"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast(DoubleType)
+          .as("revenue"))
+      .orderBy("s_name")
+  }
+
+  val all: Seq[GraftQuery] = Seq(ua01TypedAggregator, ty01TypedReduce, sk01SaltedAgg,
+    sk02SaltedJoin)
 }
