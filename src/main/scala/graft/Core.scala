@@ -104,5 +104,6 @@ object Registry {
       graft.operators.TypedQueries.all ++
       graft.operators.IvfQueries.all ++
       graft.operators.AnalyticsQueries.all ++
-      graft.operators.CorpusQueries.all
+      graft.operators.CorpusQueries.all ++
+      graft.operators.BloomJoin.all
 }
