@@ -46,8 +46,19 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String) = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+  /** Spread a small-file scan across the cluster before row-inflating
+    * work. A parquet row group is an unsplittable input unit, so a
+    * single-file table scans as ONE task no matter how many cores
+    * exist — and every downstream explode/transform (shingles, n-grams,
+    * signatures, decodes) then runs single-threaded. One cheap shuffle
+    * of the compact base rows buys full parallelism for the inflation
+    * stage. At cluster scale the same reasoning holds per-file: size
+    * upstream partitioning for POST-inflation volume, not input bytes. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def documents(s: SparkSession, d: String) = fanout(t(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String) = fanout(t(s, d, "embeddings"))
 }
 
 /** Cross-engine deterministic numerics.

@@ -281,8 +281,10 @@ object DedupQueries {
     while (!converged && rounds < 30) {
       val bucketMin = inc.join(labels, "doc_id")
         .groupBy("bucket").agg(min("lbl").as("blbl"))
+      // lazy checkpoint: labelSum's action materializes it, so each
+      // round pays ONE job instead of checkpoint-then-sum paying two
       val next = inc.join(bucketMin, "bucket")
-        .groupBy("doc_id").agg(min("blbl").as("lbl")).localCheckpoint()
+        .groupBy("doc_id").agg(min("blbl").as("lbl")).localCheckpoint(false)
       val s2 = labelSum(next)
       converged = s2 == prevSum
       prevSum = s2
