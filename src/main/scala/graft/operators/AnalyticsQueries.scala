@@ -230,9 +230,7 @@ object AnalyticsQueries {
       |  UNION ALL SELECT 'o_orderstatus', 'count', CAST(COUNT(o_orderstatus) AS DOUBLE) FROM orders
       |  UNION ALL SELECT 'o_orderstatus', 'distinct', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders) t
       |ORDER BY col_name, metric""".stripMargin) { (s, d) =>
-    // fanout: the multi-distinct Expand inflates rows 5x, and a
-    // small-file orders scan would run it on a handful of tasks
-    val wide = Tables.fanout(Tables.orders(s, d)).agg(
+    val wide = Tables.orders(s, d).agg(
       count(col("o_orderkey")).cast(DoubleType).as("ok_count"),
       countDistinct(col("o_orderkey")).cast(DoubleType).as("ok_distinct"),
       min(col("o_orderkey")).cast(DoubleType).as("ok_min"),

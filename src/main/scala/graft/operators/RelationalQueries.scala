@@ -849,7 +849,23 @@ object RelationalQueries {
     None,
     "HLL++ sketch cardinality — constant memory at any scale")
 
+  /** Quantile sketch (percentile_approx / GK-sketch family). No
+    * oracle — sketch internals are engine-specific; AggSpec pins the
+    * rank-error bound against the exact q30 percentiles. Mergeable
+    * sketch state is what makes per-group quantiles feasible when a
+    * group no longer fits a sort: constant memory per (task × group). */
+  val ap01ApproxQuantiles: GraftQuery = GraftQuery(
+    "ap01_approx_quantiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95)), lit(10000)).as("price_q"))
+      .orderBy("l_returnflag"),
+    None,
+    "quantile sketch per group — mergeable, constant memory at any scale")
+
   val all: Seq[GraftQuery] = Seq(
+    ap01ApproxQuantiles,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,

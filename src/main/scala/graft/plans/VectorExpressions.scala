@@ -180,5 +180,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[VectorExpressions.L2Norm].getName, "l2_norm"),
         (exprs: Seq[Expression]) => VectorExpressions.L2Norm(exprs.head)))
+    // the whole-operator surface rides the same deployment path: a
+    // session built withExtensions gets the TopKPerGroup physical
+    // strategy without any per-session imperative registration
+    e.injectPlannerStrategy(_ => TopKPerGroup.TopKStrategy)
   }
 }
