@@ -52,10 +52,20 @@ object Tables {
     * exist — and every downstream explode/transform (shingles, n-grams,
     * signatures, decodes) then runs single-threaded. One cheap shuffle
     * of the compact base rows buys full parallelism for the inflation
-    * stage. At cluster scale the same reasoning holds per-file: size
-    * upstream partitioning for POST-inflation volume, not input bytes. */
-  def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * stage.
+    *
+    * CONDITIONAL: a 100 TB table already scans as thousands of splits,
+    * and an unconditional repartition there is a pointless full-corpus
+    * shuffle on the hot ingest path (round-2 bench regression). We only
+    * pay the shuffle when the scan genuinely under-parallelizes —
+    * fewer input partitions than cores. `rdd.getNumPartitions` on a
+    * fresh file scan is planning-time metadata (split enumeration),
+    * not a job. */
+  def fanout(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    else df
+  }
 
   def documents(s: SparkSession, d: String) = fanout(t(s, d, "documents"))
   def embeddings(s: SparkSession, d: String) = fanout(t(s, d, "embeddings"))

@@ -853,13 +853,18 @@ object RelationalQueries {
     * oracle — sketch internals are engine-specific; AggSpec pins the
     * rank-error bound against the exact q30 percentiles. Mergeable
     * sketch state is what makes per-group quantiles feasible when a
-    * group no longer fits a sort: constant memory per (task × group). */
+    * group no longer fits a sort: constant memory per (task × group).
+    * The sketch's array output is projected to scalar p50/p95 columns
+    * so the driver's rows-only check can sort and hash the frame. */
   val ap01ApproxQuantiles: GraftQuery = GraftQuery(
     "ap01_approx_quantiles",
     (s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.5), lit(0.95)), lit(10000)).as("price_q"))
+      .select(col("l_returnflag"),
+        element_at(col("price_q"), 1).as("p50"),
+        element_at(col("price_q"), 2).as("p95"))
       .orderBy("l_returnflag"),
     None,
     "quantile sketch per group — mergeable, constant memory at any scale")
