@@ -12,15 +12,16 @@ import org.apache.spark.sql.types._
   * own cell. Complements the sign-bit LSH path (sm02/sm03) — IVF cells
   * adapt to the data distribution where LSH planes are fixed.
   *
-  * Centroids here are deterministic (the first 16 vectors) instead of
-  * k-means-trained — training is an offline concern; the engine-side
-  * shapes (assignment join, cell-restricted probe) are what must scale:
-  * the centroid table broadcasts, assignment is one narrow shuffle-free
-  * pass, and search is an equi-join on cell id.
+  * ivf01/ivf02 use deterministic seed centroids (the first 16 vectors);
+  * ivf03 trains them with Lloyd iterations (spherical k-means) and
+  * ivf04 searches with multi-probe. The engine-side scale shapes: the
+  * centroid table broadcasts, assignment is one narrow shuffle-free
+  * map pass, centroid recompute is one 16-row aggregation, and search
+  * is an equi-join on cell id.
   */
 object IvfQueries {
 
-  import VectorSql.{sqlDot, sqlNorm2}
+  import VectorSql.{sqlDot, sqlNorm2, Dim}
 
   private val CELLS = 16
 
@@ -114,5 +115,189 @@ object IvfQueries {
       .orderBy("query_id", "rn")
   }
 
-  val all: Seq[GraftQuery] = Seq(ivf01Assign, ivf02Probe)
+  // ---------------------------------------------------------------- k-means
+
+  /** Fixed Lloyd rounds for the oracle-checked training query — the
+    * DuckDB oracle unrolls the same loop as CTEs. */
+  private val TRAIN_ITERS = 2
+  private val PROBES = 3
+
+  /** int64-quantized embeddings: round(e·1000). Integer sums are exact
+    * and order-independent, which is what makes a k-means centroid
+    * recompute bit-reproducible across engines (and across Spark's own
+    * shuffle orders — a float sum drifts run to run). Assignment ranks
+    * by cosine against the centroid SUM vector: cos(v, s/n) = cos(v, s),
+    * so the mean's division cancels out of the hot comparison and
+    * everything stays integer until one final IEEE divide+sqrt — which
+    * is exactly rounded, hence bit-identical in both engines. */
+  private def quantizedDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        e => round(e.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .withColumn("n2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+
+  /** One Lloyd assignment pass, map-side: the k centroids collapse to a
+    * single broadcast row of (cid, cvec, cn2) structs and each vector
+    * takes the struct-max of (cosine, -cid) over it — zero corpus
+    * shuffle, no k×-inflated pair set. */
+  private def assignToCells(qv: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(sort_array(collect_list(
+      struct(col("cid"), col("cvec"), col("cn2")))).as("cents"))
+    qv.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cents"), c => {
+        val dot = aggregate(zip_with(col("q"), c.getField("cvec"),
+          (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        struct(
+          (dot.cast(DoubleType) /
+            (sqrt(col("n2").cast(DoubleType)) *
+              sqrt(c.getField("cn2").cast(DoubleType)))).as("cos_c"),
+          (-c.getField("cid")).as("neg_cid"),
+          c.getField("cid").as("cid"))
+      })))
+      .select(col("vec_id"), col("q"), col("n2"), col("best.cid").as("cid"))
+  }
+
+  /** Centroid-sum recompute: Dim exact integer SUMs per cell + count —
+    * one k-row aggregation, the only shuffle in a Lloyd round. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        array((1 to Dim).map(i => sum(element_at(col("q"), i))): _*).as("cvec"))
+      .withColumn("cn2", aggregate(col("cvec"), lit(0L), (acc, x) => acc + x * x))
+
+  /** Spherical k-means trainer: Lloyd loop with a fixed iteration count
+    * (determinism) and a localCheckpoint per round to truncate the
+    * growing lineage — the dd08 convergence-loop pattern. The centroid
+    * state is k rows, so checkpointing it is free; the corpus is only
+    * touched by the map-side assignment pass, once per round. Clusters
+    * that lose all members drop out (classical Lloyd), identically on
+    * both engines. */
+  def kmeansTrain(qv: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), lit(1L).as("n"),
+        col("q").as("cvec"), col("n2").as("cn2"))
+    for (_ <- 1 to iters)
+      cents = recompute(assignToCells(qv, cents)).localCheckpoint()
+    cents
+  }
+
+  /** DuckDB oracle: the same fixed-round Lloyd loop unrolled as CTEs
+    * over the same int64 quantization. */
+  private def sqlKmeans(iters: Int): String = {
+    val dims = 1 to Dim
+    val qcols = dims.map(i =>
+      s"CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * 1000) AS BIGINT) AS d$i")
+      .mkString(", ")
+    val dlist = dims.map(i => s"d$i").mkString(", ")
+    val n2u = dims.map(i => s"d$i * d$i").mkString("(", " + ", ")")
+    def dot(v: String, c: String) =
+      dims.map(i => s"$v.d$i * $c.d$i").mkString("(", " + ", ")")
+    def cos(v: String, c: String) =
+      s"CAST(${dot(v, c)} AS DOUBLE) / (SQRT(CAST($v.n2 AS DOUBLE)) * SQRT(CAST($c.n2 AS DOUBLE)))"
+    def assign(cent: String, a: String) =
+      s"""${a}s AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${cos("v", "c")} DESC, c.cid) AS rc
+         |  FROM qv v CROSS JOIN $cent c),
+         |$a AS (SELECT vec_id, cid FROM ${a}s WHERE rc = 1)""".stripMargin
+    def sums(a: String, sn: String) =
+      s"""${sn}0 AS (
+         |  SELECT a.cid, COUNT(*) AS n,
+         |    ${dims.map(i => s"CAST(SUM(v.d$i) AS BIGINT) AS d$i").mkString(", ")}
+         |  FROM $a a JOIN qv v ON v.vec_id = a.vec_id GROUP BY a.cid),
+         |$sn AS (SELECT cid, n, $dlist, $n2u AS n2 FROM ${sn}0)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val cent = if (r == 1) "c0" else s"s${r - 1}"
+      assign(cent, s"a$r") + ",\n" + sums(s"a$r", s"s$r")
+    }.mkString(",\n")
+    s"""WITH qv0 AS (SELECT vec_id, $qcols FROM embeddings),
+       |qv AS (SELECT vec_id, $dlist, $n2u AS n2 FROM qv0),
+       |c0 AS (SELECT vec_id AS cid, $dlist, n2 FROM qv WHERE vec_id < $CELLS),
+       |$rounds
+       |SELECT cid, n AS n_vecs,
+       |  CAST(d1 AS DOUBLE) / n AS c1, CAST(d2 AS DOUBLE) / n AS c2,
+       |  n2 AS cn2
+       |FROM s$iters ORDER BY cid""".stripMargin
+  }
+
+  /** Trained-centroid summary: cell populations + first two mean
+    * coordinates + the exact integer norm of the centroid sum. */
+  val ivf03Train: GraftQuery = q(
+    "ivf03_kmeans_train",
+    s"spherical k-means: $TRAIN_ITERS Lloyd rounds over int64-exact centroid sums",
+    sqlKmeans(TRAIN_ITERS)) { (s, d) =>
+    kmeansTrain(quantizedDf(s, d), CELLS, TRAIN_ITERS)
+      .select(col("cid"), col("n").as("n_vecs"),
+        (element_at(col("cvec"), 1).cast(DoubleType) / col("n")).as("c1"),
+        (element_at(col("cvec"), 2).cast(DoubleType) / col("n")).as("c2"),
+        col("cn2"))
+      .orderBy("cid")
+  }
+
+  // ------------------------------------------------------------ multi-probe
+
+  /** Top-P cells per vector from the same broadcast-centroid pass as
+    * [[assignedDf]]: desc-sort the per-centroid struct array, slice P,
+    * explode — still zero corpus shuffle, output P× queries not P×
+    * corpus. */
+  private def probedDf(s: SparkSession, d: String, probes: Int): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+    val centArr = e.filter(col("vec_id") < CELLS)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cemb")))).as("cents"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      // ascending struct sort puts (low cos, high cid) first; reversed
+      // = (cos DESC, cid ASC) — the oracle's ROW_NUMBER order exactly
+      .withColumn("probe", explode(slice(reverse(array_sort(
+        transform(col("cents"), c => struct(
+          VectorExpressions.cosine_similarity(col("embedding"), c.getField("cemb"))
+            .as("cos_c"),
+          (-c.getField("cid")).as("neg_cid"),
+          c.getField("cid").as("cid"))))), 1, probes)))
+      .select(col("vec_id"), col("embedding"), col("probe.cid").as("cid"))
+  }
+
+  /** Multi-probe search: each query fans out to its P nearest cells and
+    * scans their inverted lists — same equi-join shape as probe-1, P×
+    * the candidate set, recall strictly ≥ ivf02's (the probe-1 cell is
+    * always among the P). */
+  val ivf04Multiprobe: GraftQuery = q(
+    "ivf04_multiprobe",
+    s"IVF ANN: multi-probe ($PROBES cells) top-5 per query",
+    s"""WITH $sqlAssign,
+       |probes AS (SELECT vec_id, cid FROM scored WHERE rc <= $PROBES AND vec_id < 5),
+       |pairs AS (
+       |  SELECT p.vec_id AS query_id, ca.vec_id AS cand_id,
+       |    ${sqlDot("q", "c")} / (SQRT(${sqlNorm2("q")}) * SQRT(${sqlNorm2("c")})) AS cosine
+       |  FROM probes p JOIN embeddings q ON q.vec_id = p.vec_id
+       |  JOIN assigned ca ON ca.cid = p.cid AND ca.vec_id <> p.vec_id
+       |  JOIN embeddings c ON c.vec_id = ca.vec_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+       |  FROM pairs)
+       |SELECT query_id, cand_id, cosine, rn FROM ranked WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val probes = probedDf(s, d, PROBES).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cid"))
+    val cv = assignedDf(s, d).select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"), col("cid").as("ccid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(probes)
+      .join(cv, col("cid") === col("ccid") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .orderBy("query_id", "rn")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe)
 }

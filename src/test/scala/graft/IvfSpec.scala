@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.IvfQueries
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN invariants that the DuckDB oracle can't express: recall
+  * against the exact brute-force ground truth, and the training loop's
+  * conservation/determinism properties. */
+class IvfSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** exact cosine top-5 per query (vec_id < 5) — the ground truth an
+    * ANN result is measured against. */
+  private lazy val truth: Map[Long, Set[Long]] = {
+    VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  private def recall(rows: Array[(Long, Long)]): Double = {
+    val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = truth.map { case (qid, t) =>
+      byQ.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+    }
+    hits.sum / truth.size
+  }
+
+  private def resultPairs(name: String): Array[(Long, Long)] =
+    Registry.all.find(_.name == name).get.build(spark, sf)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("multi-probe recall >= probe-1 recall, both positive") {
+    val r1 = recall(resultPairs("ivf02_probe_search"))
+    val rp = recall(resultPairs("ivf04_multiprobe"))
+    assert(rp >= r1, s"multi-probe recall $rp < probe-1 recall $r1")
+    assert(rp > 0.0)
+  }
+
+  test("k-means training conserves the corpus and is deterministic") {
+    val total = Tables.embeddings(spark, sf).count()
+    def run() = Registry.all.find(_.name == "ivf03_kmeans_train").get
+      .build(spark, sf).collect().toSeq
+    val a = run()
+    assert(a.map(_.getLong(1)).sum == total, "every vector lands in a cell")
+    assert(a.map(_.getLong(0)).distinct.size == a.size, "cells are distinct")
+    assert(a == run(), "two runs produce bit-identical centroids")
+  }
+}
