@@ -148,16 +148,22 @@ object CorpusQueries {
       |  CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
       |FROM ranked CROSS JOIN tot
       |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+    // No global Window: an ORDER BY window with no partition key funnels
+    // the whole vocabulary through ONE task. Top-20 goes through
+    // TakeOrderedAndProject (per-partition partial top-k, 20-row driver
+    // merge); rank + cumulative sum are then a 20×20 broadcast
+    // self-join — bounded work regardless of vocabulary size.
     val unic = Tables.documents(s, d)
       .select(explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
     val tot = unic.agg(sum(col("n")).as("total"))
-    val ord = Window.orderBy(col("n").desc, col("term"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unic.select(col("term"), col("n"),
-      row_number().over(ord).cast(LongType).as("rank"),
-      sum(col("n")).over(cum).as("cum_n"))
-      .filter(col("rank") <= 20)
+    val top = unic.orderBy(col("n").desc, col("term")).limit(20)
+    val peers = top.select(col("term").as("tb"), col("n").as("nb"))
+    top.join(broadcast(peers),
+      col("nb") > col("n") ||
+        (col("nb") === col("n") && col("tb") <= col("term")))
+      .groupBy(col("term"), col("n"))
+      .agg(count(lit(1)).as("rank"), sum(col("nb")).as("cum_n"))
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("term"), col("n"),
         (col("n").cast(DoubleType) / col("total").cast(DoubleType)).as("freq"),

@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
       "rank window must run over the pruned TopK output\n" + p.take(3000))
   }
 
+  test("tx15: Zipf top-20 has no single-partition Window; top-k is TakeOrdered") {
+    val p = plan("tx15_zipf")
+    assert(!p.contains("Window"),
+      "global-ORDER-BY window funnels the vocabulary through one task\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("ivf01: centroid assignment is map-side — no window, no shuffle of an inflated pair set") {
     val p = plan("ivf01_assign")
     assert(!p.contains("Window"),
