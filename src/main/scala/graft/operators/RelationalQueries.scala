@@ -869,8 +869,34 @@ object RelationalQueries {
     None,
     "quantile sketch per group — mergeable, constant memory at any scale")
 
+  /** Write-path round trip: orders written partitioned by a derived
+    * year column ([[graft.sources.Formats.write]] → partitionBy
+    * directory layout), read back through a partition predicate — the
+    * scan prunes to the one year directory (PlanSpec pins
+    * PartitionFilters) — then aggregated. The oracle computes the same
+    * aggregate on the base table: identical results prove
+    * write → layout → prune → read loses nothing. */
+  val q47WriteRoundtrip: GraftQuery = q(
+    "q47_write_roundtrip",
+    "partitioned write + partition-pruned read-back (ref: Finalizer writers, interfaces.go:66-78)",
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Det.sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_q47_").toString
+    graft.sources.Formats.write(
+      Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+      "parquet", out, partitionBy = Seq("o_year"))
+    graft.sources.Formats.read(s, "parquet", out)
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    ap01ApproxQuantiles,
+    ap01ApproxQuantiles, q47WriteRoundtrip,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,

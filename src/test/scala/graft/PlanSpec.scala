@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("q47: read-back scan prunes partitions via the o_year predicate") {
+    val p = plan("q47_write_roundtrip")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "expected a non-empty PartitionFilters on the read-back scan\n" + p.take(3000))
+    assert(p.contains("o_year"), p.take(3000))
+  }
+
   test("ivf01: centroid assignment is map-side — no window, no shuffle of an inflated pair set") {
     val p = plan("ivf01_assign")
     assert(!p.contains("Window"),
