@@ -69,18 +69,31 @@ object BloomJoin {
       element_at(bits, word + 1).bitwiseAND(mask) =!= 0
     }.reduce(_ && _)
 
-  private val M_BITS = 1 << 18 // 32 KB — sized for ~30k build keys at k=3
   private val K = 3
+
+  /** Engine-controlled sizing: ~8 bits per expected build key at k=3
+    * (≈3% false-positive rate), clamped to [512 B, 16 MB] and rounded
+    * to a 64-bit word. A fixed size would silently degrade toward
+    * fpp→1 as the build side grows — correct results, dead filter. */
+  def sizeBits(expectedKeys: Long): Int = {
+    val raw = math.max(1L << 12, math.min(1L << 27, 8L * math.max(expectedKeys, 1L)))
+    (((raw + 63) / 64) * 64).toInt
+  }
 
   /** Probe side pre-filtered by the broadcast Bloom filter, then
     * exact-verified. Exposed separately so the spec can measure the
-    * pruning ratio. */
-  def prefiltered(fact: DataFrame, buildKeys: DataFrame): DataFrame = {
-    import buildKeys.sparkSession.implicits._
-    val agg = udaf(new BloomAgg(M_BITS, K), Encoders.scalaLong)
+    * pruning ratio. The filter is sized from the build-side key count —
+    * pass `expectedKeys` when statistics already know it; otherwise one
+    * cheap count on the (small, already-filtered) build side pays for a
+    * filter that stays effective at any scale. */
+  def prefiltered(fact: DataFrame, buildKeys: DataFrame,
+      probeKey: String = "l_orderkey",
+      expectedKeys: Option[Long] = None): DataFrame = {
+    val mBits = sizeBits(expectedKeys.getOrElse(buildKeys.count()))
+    val agg = udaf(new BloomAgg(mBits, K), Encoders.scalaLong)
     val bloom = buildKeys.select(agg(col("k")).as("__bits"))
     fact.join(broadcast(bloom))
-      .filter(mightContain(col("__bits"), col("l_orderkey"), M_BITS, K))
+      .filter(mightContain(col("__bits"), col(probeKey), mBits, K))
       .drop("__bits")
   }
 

@@ -230,15 +230,21 @@ object TextQueries {
       |ORDER BY n DESC, lang, trigram LIMIT 40""".stripMargin) { (s, d) =>
     // substr on a STRING column rescans for codepoint boundaries from
     // byte 0 each call — O(len²) per document across the index sweep.
-    // The corpus is ASCII, so slicing the BINARY cast is byte-indexed
-    // O(1) per gram and 5× faster end-to-end; the string round-trip
-    // restores the exact substr semantics the oracle computes.
+    // For ASCII rows (octet_length == length) slicing the BINARY cast
+    // is byte-indexed O(1) per gram and 5× faster end-to-end; rows with
+    // multibyte codepoints fall back to the character-exact string path
+    // per row, so non-ASCII text can never silently diverge from the
+    // oracle's character-based substr.
     Tables.documents(s, d)
       .filter(length(col("text")) >= 3)
       .withColumn("__bin", col("text").cast(BinaryType))
-      .select(col("lang"),
-        explode(transform(sequence(lit(1), octet_length(col("text")) - 2),
-          i => col("__bin").substr(i, lit(3)).cast(StringType))).as("trigram"))
+      .select(col("lang"), explode(
+        when(octet_length(col("text")) === length(col("text")),
+          transform(sequence(lit(1), octet_length(col("text")) - 2),
+            i => col("__bin").substr(i, lit(3)).cast(StringType)))
+          .otherwise(
+            transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3))))).as("trigram"))
       .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lang"), col("trigram"))
       .limit(40)
