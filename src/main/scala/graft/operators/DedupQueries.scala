@@ -377,15 +377,23 @@ object DedupQueries {
          |FROM inter JOIN cnt ca ON doc_a = ca.doc_id
          |JOIN cnt cb ON doc_b = cb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      // The shingle array and the md5-family signature are the
+      // expensive map-side expressions; every downstream branch (both
+      // self-join sides, both confirm sides) would re-evaluate them
+      // per reference. localCheckpoint pins each ONCE — both frames
+      // are a few rows-per-doc of short strings, so the materialized
+      // state is tiny next to the recomputation it saves (9 s → s).
       val docs = Tables.documents(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint()
       // 8-component signature + B (band_idx, band_key) rows, all map-side
       val bands = docs.select(col("doc_id"), explode(array((0 until B).map(b =>
         struct(lit(b).as("band_idx"),
           md5(concat((b * R until (b + 1) * R).map(j =>
             TextFunctions.minhashOf(col("sh"), j)): _*)).as("bkey"))): _*)).as("e"))
         .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
+        .localCheckpoint()
       val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))
         .join(bands.select(col("doc_id").as("doc_b"),
           col("band_idx").as("bi"), col("bkey").as("bk")),
