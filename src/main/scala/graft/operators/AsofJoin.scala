@@ -59,6 +59,43 @@ object AsofJoin {
       .select(col("__lrow.*"), col("__asof"))
   }
 
+  /** Forward as-of: each left row gains the payload of the EARLIEST
+    * right row with the same key and time ≥ the left row's time
+    * (pandas `merge_asof(direction='forward')`). Mirror of
+    * [[backward]]: left rows sort before right rows at equal time
+    * (inclusive ≥), the frame flips to [current, unbounded following],
+    * and `first(..., ignoreNulls)` picks the next payload; right ties
+    * at the same timestamp resolve to the SMALLEST tiebreak. Same
+    * one-shuffle + one-sort cost shape. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String], tiebreak: String): DataFrame = {
+    val payloadNames = (Seq(rightTime, tiebreak) ++ payloadCols).distinct
+    val payloadType = StructType(payloadNames.map(n => right.schema(n)))
+    val lrowType = StructType(left.schema.fields)
+    val l = left.select(
+      col(key).as("__key"), col(leftTime).as("__t"), lit(0).as("__tag"),
+      lit(Long.MinValue).as("__tb"),
+      lit(null).cast(payloadType).as("__payload"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+    val rightPruned = right.join(
+      left.select(col(key).as("__semikey")).distinct(),
+      col(key) === col("__semikey"), "left_semi")
+    val r = rightPruned.select(
+      col(key).as("__key"), col(rightTime).as("__t"), lit(1).as("__tag"),
+      col(tiebreak).cast(LongType).as("__tb"),
+      struct(payloadNames.map(col): _*).as("__payload"),
+      lit(null).cast(lrowType).as("__lrow"))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__asof", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+      .select(col("__lrow.*"), col("__asof"))
+  }
+
   /** [[backward]] with a maximum-lookback tolerance: a match older than
     * `toleranceMicros` before the left row's time is discarded (the row
     * keeps a NULL payload, as in pandas/kdb `merge_asof(tolerance=...)`).
@@ -143,6 +180,34 @@ object AsofJoin {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: each event joined to the user's NEXT order at or
+    * after the event time — the "time to next conversion" shape. */
+  val aj03AsofForward: GraftQuery = q(
+    "aj03_asof_forward",
+    "as-of forward join: event → next order at/after event time",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT o.o_orderkey FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_orderkey,
+      |  (SELECT o.o_totalprice FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+      |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_totalprice
+      |FROM events e WHERE e.event_id < 500
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d).filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    val ev = events.withColumn("o_custkey", col("user_id"))
+    forward(ev, orders,
+      key = "o_custkey", leftTime = "ts", rightTime = "o_orderdate",
+      payloadCols = Seq("o_totalprice"), tiebreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("__asof.o_orderkey").as("next_orderkey"),
+        col("__asof.o_totalprice").as("next_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Range (band) join: quantity banded into named buckets via an
     * inline dimension — planned as a broadcast join with a range
     * predicate (no shuffle of the fact side). */
@@ -166,5 +231,6 @@ object AsofJoin {
       .orderBy("band")
   }
 
-  val all: Seq[GraftQuery] = Seq(aj01EventOrders, aj02AsofTolerance, rj01RangeBand)
+  val all: Seq[GraftQuery] =
+    Seq(aj01EventOrders, aj02AsofTolerance, aj03AsofForward, rj01RangeBand)
 }

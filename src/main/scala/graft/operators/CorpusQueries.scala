@@ -219,6 +219,114 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** The full curation funnel a training-data pipeline runs, as ONE
+    * lineage: eval holdout → quality gate → exact dedup (keep-first) →
+    * near-dup removal (shingle MinHash-LSH, keep-smallest-in-bucket) →
+    * decontamination vs the held-out eval shingles — reporting doc and
+    * token counts after every stage. Each stage consumes the previous
+    * stage's survivors; the expensive shingle/signature frames are
+    * checkpointed once (dd10's pattern) and every removal is an
+    * (anti-)join on doc_id or a band key, never on text. */
+  val cc01CurationPipeline: GraftQuery = {
+    val R = 4
+    val B = 2
+    val bandsSql = (0 until B).map { b =>
+      val comps = (b * R until (b + 1) * R).map(j => s"s$j").mkString(" || ")
+      s"SELECT doc_id, $b AS bi, md5($comps) AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    def stageSql(id: Int, name: String, cte: String) =
+      s"""SELECT $id AS stage_id, '$name' AS stage, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(ws)) AS BIGINT) AS n_tokens FROM $cte""".stripMargin
+    q("cc01_curation_pipeline",
+      "end-to-end corpus curation funnel: holdout, quality, dedup, LSH, decontam",
+      s"""WITH s1 AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |s2 AS (SELECT * FROM s1 WHERE doc_id % 50 <> 0),
+         |s3 AS (SELECT * FROM s2 WHERE len(ws) >= 40),
+         |keepers AS (SELECT MIN(doc_id) AS doc_id FROM s3 GROUP BY text),
+         |s4 AS (SELECT s3.* FROM s3 JOIN keepers USING (doc_id)),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+         |  FROM s4, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until B * R).map(j => s"MIN(md5('$j:' || w)) AS s$j").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSql),
+         |dominated AS (
+         |  SELECT DISTINCT a.doc_id FROM bands a
+         |  JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND b.doc_id < a.doc_id),
+         |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM dominated)),
+         |ev AS (
+         |  SELECT DISTINCT UNNEST(list_transform(generate_series(1, len(ws) - 2),
+         |                          i -> array_to_string(ws[i:i+2], ' '))) AS sh
+         |  FROM s1 WHERE doc_id % 50 = 0 AND len(ws) >= 3),
+         |cs AS (SELECT doc_id, w AS sh FROM sh JOIN s5 USING (doc_id)),
+         |contam AS (
+         |  SELECT cs.doc_id, COUNT(*) AS ns, COUNT(ev.sh) AS nh
+         |  FROM cs LEFT JOIN ev ON cs.sh = ev.sh GROUP BY cs.doc_id),
+         |clean AS (SELECT doc_id FROM contam
+         |          WHERE CAST(nh AS DOUBLE) / CAST(ns AS DOUBLE) < 0.5),
+         |s6 AS (SELECT s5.* FROM s5 JOIN clean USING (doc_id))
+         |SELECT * FROM (
+         |  ${stageSql(1, "raw", "s1")}
+         |  UNION ALL ${stageSql(2, "eval_holdout", "s2")}
+         |  UNION ALL ${stageSql(3, "quality", "s3")}
+         |  UNION ALL ${stageSql(4, "exact_dedup", "s4")}
+         |  UNION ALL ${stageSql(5, "near_dedup", "s5")}
+         |  UNION ALL ${stageSql(6, "decontaminated", "s6")})
+         |ORDER BY stage_id""".stripMargin) { (s, d) =>
+      val s1 = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      val s2 = s1.filter(col("doc_id") % 50 =!= 0)
+      val s3 = s2.filter(size(col("ws")) >= 40)
+      val keepers = s3.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val s4 = s3.join(keepers, Seq("doc_id"), "left_semi")
+      val shDf = s4
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint()
+      val bands = shDf.select(col("doc_id"), explode(array((0 until B).map(b =>
+        struct(lit(b).as("bi"),
+          md5(concat((b * R until (b + 1) * R).map(j =>
+            TextFunctions.minhashOf(col("sh"), j)): _*)).as("bk"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.bi").as("bi"), col("e.bk").as("bk"))
+        .localCheckpoint()
+      val dominated = bands.select(col("doc_id").as("da"), col("bi"), col("bk"))
+        .join(bands.select(col("doc_id").as("db"),
+          col("bi").as("bi2"), col("bk").as("bk2")),
+          col("bi") === col("bi2") && col("bk") === col("bk2") &&
+            col("db") < col("da"))
+        .select(col("da").as("doc_id")).distinct()
+      val s5 = s4.join(dominated, Seq("doc_id"), "left_anti")
+      val ev = s1.filter(col("doc_id") % 50 === 0).filter(size(col("ws")) >= 3)
+        .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
+        .distinct().withColumn("hit", lit(1))
+      val cs = shDf.join(s5.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("sh")).as("sh"))
+      val clean = cs.join(broadcast(ev), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ns"), count(col("hit")).as("nh"))
+        .filter(col("nh").cast(DoubleType) / col("ns").cast(DoubleType) < 0.5)
+        .select("doc_id")
+      val s6 = s5.join(clean, Seq("doc_id"), "left_semi")
+      def stage(id: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("ws"))).cast(LongType).as("n_tokens"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      stage(1, "raw", s1)
+        .unionAll(stage(2, "eval_holdout", s2))
+        .unionAll(stage(3, "quality", s3))
+        .unionAll(stage(4, "exact_dedup", s4))
+        .unionAll(stage(5, "near_dedup", s5))
+        .unionAll(stage(6, "decontaminated", s6))
+        .orderBy("stage_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate)
+    tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
+    cc01CurationPipeline)
 }

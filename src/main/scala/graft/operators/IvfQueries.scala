@@ -183,45 +183,53 @@ object IvfQueries {
     cents
   }
 
-  /** DuckDB oracle: the same fixed-round Lloyd loop unrolled as CTEs
-    * over the same int64 quantization. */
-  private def sqlKmeans(iters: Int): String = {
-    val dims = 1 to Dim
-    val qcols = dims.map(i =>
+  /** DuckDB-side mirror of the int64 quantization + Lloyd loop,
+    * factored so training (ivf03) and trained-search (ivf05) share the
+    * identical CTE chain. */
+  private object KmeansSql {
+    private val dims = 1 to Dim
+    private val qcols = dims.map(i =>
       s"CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * 1000) AS BIGINT) AS d$i")
       .mkString(", ")
-    val dlist = dims.map(i => s"d$i").mkString(", ")
-    val n2u = dims.map(i => s"d$i * d$i").mkString("(", " + ", ")")
-    def dot(v: String, c: String) =
+    private val dlist = dims.map(i => s"d$i").mkString(", ")
+    private val n2u = dims.map(i => s"d$i * d$i").mkString("(", " + ", ")")
+    private def dot(v: String, c: String) =
       dims.map(i => s"$v.d$i * $c.d$i").mkString("(", " + ", ")")
     def cos(v: String, c: String) =
       s"CAST(${dot(v, c)} AS DOUBLE) / (SQRT(CAST($v.n2 AS DOUBLE)) * SQRT(CAST($c.n2 AS DOUBLE)))"
-    def assign(cent: String, a: String) =
+    def assign(cent: String, a: String): String =
       s"""${a}s AS (
          |  SELECT v.vec_id, c.cid,
          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${cos("v", "c")} DESC, c.cid) AS rc
          |  FROM qv v CROSS JOIN $cent c),
          |$a AS (SELECT vec_id, cid FROM ${a}s WHERE rc = 1)""".stripMargin
-    def sums(a: String, sn: String) =
+    private def sums(a: String, sn: String) =
       s"""${sn}0 AS (
          |  SELECT a.cid, COUNT(*) AS n,
          |    ${dims.map(i => s"CAST(SUM(v.d$i) AS BIGINT) AS d$i").mkString(", ")}
          |  FROM $a a JOIN qv v ON v.vec_id = a.vec_id GROUP BY a.cid),
          |$sn AS (SELECT cid, n, $dlist, $n2u AS n2 FROM ${sn}0)""".stripMargin
-    val rounds = (1 to iters).map { r =>
-      val cent = if (r == 1) "c0" else s"s${r - 1}"
-      assign(cent, s"a$r") + ",\n" + sums(s"a$r", s"s$r")
-    }.mkString(",\n")
-    s"""WITH qv0 AS (SELECT vec_id, $qcols FROM embeddings),
-       |qv AS (SELECT vec_id, $dlist, $n2u AS n2 FROM qv0),
-       |c0 AS (SELECT vec_id AS cid, $dlist, n2 FROM qv WHERE vec_id < $CELLS),
-       |$rounds
+    /** quantize + init + `iters` unrolled Lloyd rounds; final centroid
+      * sums land in CTE `s<iters>`. */
+    def ctes(iters: Int): String = {
+      val rounds = (1 to iters).map { r =>
+        val cent = if (r == 1) "c0" else s"s${r - 1}"
+        assign(cent, s"a$r") + ",\n" + sums(s"a$r", s"s$r")
+      }.mkString(",\n")
+      s"""qv0 AS (SELECT vec_id, $qcols FROM embeddings),
+         |qv AS (SELECT vec_id, $dlist, $n2u AS n2 FROM qv0),
+         |c0 AS (SELECT vec_id AS cid, $dlist, n2 FROM qv WHERE vec_id < $CELLS),
+         |$rounds""".stripMargin
+    }
+  }
+
+  private def sqlKmeans(iters: Int): String =
+    s"""WITH ${KmeansSql.ctes(iters)}
        |SELECT cid, n AS n_vecs,
        |  CAST(d1 AS DOUBLE) / n AS c1, CAST(d2 AS DOUBLE) / n AS c2,
        |  n2 AS cn2
        |FROM s$iters ORDER BY cid""".stripMargin
-  }
 
   /** Trained-centroid summary: cell populations + first two mean
     * coordinates + the exact integer norm of the centroid sum. */
@@ -298,6 +306,51 @@ object IvfQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** End-to-end trained ANN: assign the whole corpus to the k-means-
+    * trained centroids (ivf03's loop), then probe-1 search inside the
+    * trained cells — training → index → search as one lineage. Scoring
+    * stays in the quantized integer space, so every cosine is
+    * bit-reproducible in the oracle's unrolled SQL. */
+  val ivf05TrainedSearch: GraftQuery = q(
+    "ivf05_trained_search",
+    "IVF ANN over k-means-trained cells: probe-1 top-5 per query",
+    s"""WITH ${KmeansSql.ctes(TRAIN_ITERS)},
+       |${KmeansSql.assign(s"s$TRAIN_ITERS", "af")},
+       |pairs AS (
+       |  SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
+       |    ${KmeansSql.cos("q", "c")} AS qcos
+       |  FROM af qa JOIN af ca ON ca.cid = qa.cid AND ca.vec_id <> qa.vec_id
+       |  JOIN qv q ON q.vec_id = qa.vec_id
+       |  JOIN qv c ON c.vec_id = ca.vec_id
+       |  WHERE qa.vec_id < 5),
+       |ranked AS (
+       |  SELECT query_id, cand_id, qcos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
+       |  FROM pairs)
+       |SELECT query_id, cand_id, qcos, rn FROM ranked WHERE rn <= 5
+       |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+    val qv = quantizedDf(s, d)
+    val assigned = assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
+    val qa = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("n2").as("na"), col("cid"))
+    val ca = assigned.select(col("vec_id").as("cand_id"), col("q").as("qb"),
+      col("n2").as("nb"), col("cid").as("ccid"))
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val qcos = dot.cast(DoubleType) /
+      (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id"))
+    broadcast(qa)
+      .join(ca, col("cid") === col("ccid") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), qcos.as("qcos"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .orderBy("query_id", "rn")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe)
+    Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch)
 }

@@ -165,7 +165,65 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Top-k search in the quantized space: candidates rank by the
+    * int8×int8 dot product rescaled by the two per-vector scales —
+    * the serving-time shape where the float corpus never leaves disk
+    * and SIMD integer dots do the scanning. The dot is an exact int64
+    * (|q|≤127 ⇒ 64·127² ≪ 2⁶³), so ranking is reproducible anywhere;
+    * the one double rescale is exact-input IEEE math. */
+  val sm06QuantizedTopK: GraftQuery = {
+    val dims = 1 to VectorSql.Dim
+    val qcols = dims.map(i =>
+      s"CAST(floor(CAST(embedding[$i] AS DOUBLE) / scale + 0.5) AS BIGINT) AS q$i")
+      .mkString(", ")
+    val dotq = dims.map(i => s"a.q$i * b.q$i").mkString("(", " + ", ")")
+    q("sm06_quantized_topk",
+      "int8-quantized dot-product top-5 per query (serving-time ANN)",
+      s"""WITH sc AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+         |  FROM embeddings),
+         |qc AS (SELECT vec_id, scale, $qcols FROM sc),
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         |    $dotq AS dot_q,
+         |    CAST($dotq AS DOUBLE) * a.scale * b.scale AS approx_dot
+         |  FROM qc a JOIN qc b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 5),
+         |ranked AS (
+         |  SELECT query_id, cand_id, dot_q, approx_dot,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY approx_dot DESC, cand_id) AS BIGINT) AS rn
+         |  FROM pairs)
+         |SELECT query_id, cand_id, dot_q, approx_dot, rn
+         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      def xd(x: Column) = x.cast(DoubleType)
+      val qc = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          (array_max(transform(col("embedding"), x => abs(xd(x)))) / 127).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          transform(col("embedding"),
+            x => floor(xd(x) / col("scale") + 0.5).cast(LongType)).as("qv"))
+      val qs = qc.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
+          col("qv").as("qa"))
+      val cs = qc.select(col("vec_id").as("cand_id"), col("scale").as("cscale"),
+        col("qv").as("qb"))
+      val dotq = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_dot").desc, col("cand_id"))
+      broadcast(qs)
+        .join(cs, col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), dotq.as("dot_q"),
+          (dotq.cast(DoubleType) * col("qscale") * col("cscale")).as("approx_dot"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,
-    sm05Int8Quantize)
+    sm05Int8Quantize, sm06QuantizedTopK)
 }
