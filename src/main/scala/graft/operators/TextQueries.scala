@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -369,8 +370,72 @@ object TextQueries {
       .orderBy("term")
   }
 
+  /** Trigram-profile language-ID — the n-gram-heuristic classifier
+    * shape: build a top-20 char-trigram profile per language from a
+    * training split (through the k-bounded [[graft.plans.TopKPerGroup]]
+    * operator, so the profile build shuffles one candidate per lang per
+    * task, never the trigram vocabulary), broadcast the tiny profile
+    * table, score test docs by profile hits, argmax per doc (the
+    * per-doc window is ≤ n_langs rows — bounded, unlike a global
+    * window). Deterministic ties: profile rank breaks (n DESC, trigram
+    * DESC) — the struct-max order TopKPerGroup natively produces —
+    * and prediction breaks (hits DESC, lang ASC). On this synthetic
+    * corpus the label is independent of the text, so the confusion
+    * matrix is near-uniform BY CONSTRUCTION — the engine shape, not
+    * classifier accuracy, is what's exercised. */
+  val tx16LangIdNgram: GraftQuery = q(
+    "tx16_langid_ngram",
+    "trigram-profile language-ID: profile build + broadcast scoring + confusion",
+    """WITH train AS (
+      |  SELECT lang, text FROM documents WHERE doc_id % 5 <> 0 AND LENGTH(text) >= 3),
+      |tg AS (
+      |  SELECT lang, unnest(list_transform(range(1, LENGTH(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS trigram
+      |  FROM train),
+      |cnt AS (SELECT lang, trigram, COUNT(*) AS n FROM tg GROUP BY lang, trigram),
+      |prof AS (
+      |  SELECT lang, trigram FROM (
+      |    SELECT lang, trigram,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, trigram DESC) AS r
+      |    FROM cnt) WHERE r <= 20),
+      |dg AS (
+      |  SELECT DISTINCT doc_id, lang, unnest(list_transform(range(1, LENGTH(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS trigram
+      |  FROM documents WHERE doc_id % 5 = 0 AND LENGTH(text) >= 3),
+      |hits AS (
+      |  SELECT d.doc_id, d.lang, p.lang AS cand, COUNT(*) AS nh
+      |  FROM dg d JOIN prof p ON d.trigram = p.trigram
+      |  GROUP BY d.doc_id, d.lang, p.lang),
+      |pred AS (
+      |  SELECT doc_id, lang, cand AS pred FROM (
+      |    SELECT doc_id, lang, cand,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY nh DESC, cand) AS rc
+      |    FROM hits) WHERE rc = 1)
+      |SELECT lang, pred, COUNT(*) AS n FROM pred
+      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin) { (s, d) =>
+    def trigrams(t: Column) =
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3)))
+    val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
+    val cnt = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("lang"), explode(trigrams(col("text"))).as("trigram"))
+      .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
+    val prof = graft.plans.TopKPerGroup.perGroup(
+      cnt, Seq(col("lang")), struct(col("n"), col("trigram")), 20)
+      .select(col("lang").as("cand"), col("trigram"))
+    val dg = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"), explode(trigrams(col("text"))).as("trigram"))
+      .distinct()
+    val hits = dg.join(broadcast(prof), "trigram")
+      .groupBy("doc_id", "lang", "cand").agg(count(lit(1)).as("nh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("nh").desc, col("cand"))
+    hits.withColumn("rc", row_number().over(w)).filter(col("rc") === 1)
+      .groupBy(col("lang"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
-    tx11QualityFunnel, tx12InvertedIndex)
+    tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram)
 }

@@ -51,6 +51,24 @@ class IvfSpec extends AnyFunSuite {
     assert(rp > 0.0)
   }
 
+  test("trained-cell search recall is positive and rows well-formed") {
+    val rp = recall(resultPairs("ivf05_trained_search"))
+    assert(rp > 0.0, "trained-cell search found none of the true top-5")
+  }
+
+  test("curation funnel counts decrease monotonically, stages complete") {
+    val rows = Registry.all.find(_.name == "cc01_curation_pipeline").get
+      .build(spark, sf).collect()
+    assert(rows.length == 6, "six funnel stages")
+    val docs = rows.map(_.getLong(2))
+    val toks = rows.map(_.getLong(3))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"doc counts must be non-increasing: ${docs.mkString(",")}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      s"token counts must be non-increasing: ${toks.mkString(",")}")
+    assert(docs.last > 0, "the curated corpus is non-empty")
+  }
+
   test("k-means training conserves the corpus and is deterministic") {
     val total = Tables.embeddings(spark, sf).count()
     def run() = Registry.all.find(_.name == "ivf03_kmeans_train").get
