@@ -79,6 +79,20 @@ object EventStreams {
   def dedupedWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT near-dup suppression for a document stream: the
+    * dedup key is the MinHash-LSH band key (dd05/dd10's map-side
+    * computation over the `text` column), so a re-arriving near-
+    * duplicate document — not merely a re-delivered id — is dropped
+    * within the re-delivery horizon. State carries 32-hex band keys,
+    * never document text, and dropDuplicatesWithinWatermark bounds it
+    * by the watermark — the only viable contract when the stream is a
+    * crawler feed at 100 TB/day. */
+  def nearDupSuppressed(docs: DataFrame): DataFrame =
+    docs.withWatermark("ts", "1 hour")
+      .withColumn("band", graft.functions.TextFunctions.lshBand(col("text"), 0, 2))
+      .dropDuplicatesWithinWatermark("band")
+      .drop("band")
+
   /** Per-type running counts in update mode (no watermark needed). */
   def typeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

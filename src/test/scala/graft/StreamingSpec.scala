@@ -199,6 +199,35 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("streaming near-dup suppression drops re-arriving content, not just ids") {
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), col("text"),
+        expr("timestamp_micros(cast(doc_id * 1000000 as long))").as("ts"))
+      .cache()
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    // identical content re-arrives a minute later under fresh ids —
+    // an id-keyed dedup would pass all of it through
+    docs.select((col("doc_id") + 1000).as("doc_id"), col("text"),
+      expr("timestamp_micros(cast((doc_id + 60) * 1000000 as long))").as("ts"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.nearDupSuppressed(src)
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("neardup_n")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val n = spark.table("neardup_n").collect()(0).getLong(0)
+    val distinctBands = docs
+      .select(graft.functions.TextFunctions.lshBand(col("text"), 0, 2))
+      .distinct().count()
+    assert(n == distinctBands,
+      s"expected $distinctBands content-distinct survivors, got $n")
+    docs.unpersist()
+  }
+
   test("stateful aggregation runs on the RocksDB state store (spillable production backend)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
