@@ -284,13 +284,16 @@ object CorpusQueries {
       val keepers = s3.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val s4 = s3.join(keepers, Seq("doc_id"), "left_semi")
+      graft.plans.VectorExpressions.register(s)
       val shDf = s4
         .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
         .localCheckpoint()
-      val bands = shDf.select(col("doc_id"), explode(array((0 until B).map(b =>
+      val sig = shDf.select(col("doc_id"),
+        graft.plans.VectorExpressions.minhash_signature(col("sh"), B * R).as("sig"))
+      val bands = sig.select(col("doc_id"), explode(array((0 until B).map(b =>
         struct(lit(b).as("bi"),
           md5(concat((b * R until (b + 1) * R).map(j =>
-            TextFunctions.minhashOf(col("sh"), j)): _*)).as("bk"))): _*)).as("e"))
+            element_at(col("sig"), j + 1)): _*)).as("bk"))): _*)).as("e"))
         .select(col("doc_id"), col("e.bi").as("bi"), col("e.bk").as("bk"))
         .localCheckpoint()
       val dominated = bands.select(col("doc_id").as("da"), col("bi"), col("bk"))

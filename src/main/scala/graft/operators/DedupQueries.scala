@@ -383,15 +383,19 @@ object DedupQueries {
       // per reference. localCheckpoint pins each ONCE — both frames
       // are a few rows-per-doc of short strings, so the materialized
       // state is tiny next to the recomputation it saves (9 s → s).
+      graft.plans.VectorExpressions.register(s)
       val docs = Tables.documents(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
         .localCheckpoint()
-      // 8-component signature + B (band_idx, band_key) rows, all map-side
-      val bands = docs.select(col("doc_id"), explode(array((0 until B).map(b =>
+      // 8-component signature (native single-pass expression, values
+      // identical to the minhashOf composition) + B band rows, map-side
+      val sig = docs.select(col("doc_id"),
+        graft.plans.VectorExpressions.minhash_signature(col("sh"), B * R).as("sig"))
+      val bands = sig.select(col("doc_id"), explode(array((0 until B).map(b =>
         struct(lit(b).as("band_idx"),
           md5(concat((b * R until (b + 1) * R).map(j =>
-            TextFunctions.minhashOf(col("sh"), j)): _*)).as("bkey"))): _*)).as("e"))
+            element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
         .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
         .localCheckpoint()
       val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))

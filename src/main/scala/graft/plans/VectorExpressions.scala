@@ -156,12 +156,25 @@ object VectorExpressions {
   def cosine_similarity(a: Column, b: Column): Column =
     dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
+  def minhash_signature(items: Column, k: Int): Column =
+    call_function("minhash_signature", items,
+      org.apache.spark.sql.functions.lit(k))
+
+  private def minhashK(exprs: Seq[Expression]): Int = exprs(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_signature k must be an integer literal, got $other")
+  }
+
   /** Idempotent per-session SQL/Column registration. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_norm", exprs => L2Norm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignature(exprs.head, minhashK(exprs)), "built-in")
   }
 }
 
@@ -180,6 +193,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[VectorExpressions.L2Norm].getName, "l2_norm"),
         (exprs: Seq[Expression]) => VectorExpressions.L2Norm(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSignature].getName, "minhash_signature"),
+        (exprs: Seq[Expression]) => MinHashSignature(exprs.head, exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature k must be an integer literal, got $other")
+        })))
     // the whole-operator surface rides the same deployment path: a
     // session built withExtensions gets the TopKPerGroup physical
     // strategy without any per-session imperative registration

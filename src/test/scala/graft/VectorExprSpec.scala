@@ -90,6 +90,33 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("native minhash_signature ≡ the minhashOf/array_min composition, bit for bit") {
+    import graft.functions.TextFunctions
+    import graft.plans.VectorExpressions
+    import org.apache.spark.sql.functions.{array, col, size, split}
+    VectorExpressions.register(spark)
+    val k = 8
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+    val native = docs.select(col("doc_id"),
+      VectorExpressions.minhash_signature(col("sh"), k).as("sig"))
+      .orderBy("doc_id").collect().toSeq
+    val composed = docs.select(col("doc_id"),
+      array((0 until k).map(j =>
+        TextFunctions.minhashOf(col("sh"), j)): _*).as("sig"))
+      .orderBy("doc_id").collect().toSeq
+    assert(native.nonEmpty && native == composed)
+    // empty input → all-null components, like array_min over empty
+    val empty = spark.sql(
+      s"SELECT minhash_signature(CAST(array() AS ARRAY<STRING>), 4) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(empty == Seq(null, null, null, null))
+    // null array → null result
+    assert(spark.sql("SELECT minhash_signature(CAST(NULL AS ARRAY<STRING>), 4)")
+      .collect()(0).isNullAt(0))
+  }
+
   test("plain udf() escape hatch agrees with the native expression (and is the slower path)") {
     // the engine's preference order is built-ins > native Expression >
     // udf(); this pins that the escape hatch still exists and is exact
