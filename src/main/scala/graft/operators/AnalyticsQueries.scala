@@ -265,6 +265,39 @@ object AnalyticsQueries {
       .orderBy("col_name", "metric")
   }
 
+  /** Stratified sampling with per-stratum rates — the corpus-rebalance
+    * operator (downsample the over-represented language, keep the
+    * rest): membership is a pure per-row predicate on a multiplicative
+    * hash of the key, so the sample is deterministic, reproducible
+    * across engines AND across runs (no RNG state), and the plan is a
+    * filter that pipelines into the scan — no shuffle to sample.
+    * Knuth's 2^32/φ multiplier spreads sequential ids uniformly. */
+  val st01StratifiedSample: GraftQuery = q(
+    "st01_stratified_sample",
+    "deterministic per-stratum hash sampling (corpus rebalance)",
+    """WITH rated AS (
+      |  SELECT lang, doc_id,
+      |    (doc_id * 2654435761) % 100 AS bucket,
+      |    CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS achieved_rate
+      |FROM rated GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val bucket = (col("doc_id") * lit(2654435761L)) % 100
+    val rate = when(col("lang") === "en", 10).otherwise(50)
+    val sampled = when(bucket < rate, 1).otherwise(0)
+    Tables.documents(s, d)
+      .select(col("lang"), sampled.as("s"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("s")).cast(LongType).as("n_sampled"),
+        (sum(col("s")).cast(DoubleType) / count(lit(1))).as("achieved_rate"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile)
+    q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
+    st01StratifiedSample)
 }

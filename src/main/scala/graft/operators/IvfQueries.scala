@@ -331,7 +331,10 @@ object IvfQueries {
        |SELECT query_id, cand_id, qcos, rn FROM ranked WHERE rn <= 5
        |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
     val qv = quantizedDf(s, d)
+    // both join sides read the assignment; pin it once (train already
+    // checkpoints per round, so this adds one small materialization)
     val assigned = assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
+      .localCheckpoint()
     val qa = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("q").as("qa"),
         col("n2").as("na"), col("cid"))
