@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -895,8 +895,71 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Count-Min sketch over token occurrences — the mergeable
+    * heavy-hitter structure (depth 3 × width 64 here; width scales the
+    * ε = e/width error bound). Unlike HLL/GK (engine-opaque state),
+    * this CMS uses the md5('j:'||term) bucket family, so the ENTIRE
+    * sketch build and the point-query estimates are reproducible in
+    * the DuckDB oracle — the one sketch whose contents hash-match
+    * cross-engine. Build is one explode + groupBy on (row, bucket)
+    * (maps-side partial, 192 cells total whatever the corpus size);
+    * merge of two sketches is cell-wise addition, pinned in
+    * SketchSpec. Estimates are min over rows — overestimate-only by
+    * construction. */
+  val cm01CountMin: GraftQuery = {
+    val DEPTH = 3
+    val WIDTH = 64
+    def sqlBucket(j: Int) =
+      s"CAST(CONCAT('0x', SUBSTRING(md5('$j:' || term), 1, 8)) AS BIGINT) % $WIDTH"
+    val sqlEntries = (0 until DEPTH).map(j =>
+      s"SELECT $j AS row_j, ${sqlBucket(j)} AS bucket FROM toks")
+      .mkString("\n  UNION ALL ")
+    val sqlQ = (0 until DEPTH).map(j =>
+      s"SELECT term, n, $j AS row_j, ${sqlBucket(j)} AS bucket FROM exact")
+      .mkString("\n  UNION ALL ")
+    q("cm01_countmin",
+      "Count-Min sketch build + top-20 point queries (oracle-reproducible)",
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |entries AS (
+         |  $sqlEntries),
+         |sketch AS (SELECT row_j, bucket, COUNT(*) AS c FROM entries GROUP BY row_j, bucket),
+         |exact AS (
+         |  SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+         |  ORDER BY n DESC, term LIMIT 20),
+         |qrs AS (
+         |  $sqlQ),
+         |est AS (
+         |  SELECT q.term, q.n, MIN(s.c) AS n_est
+         |  FROM qrs q JOIN sketch s ON s.row_j = q.row_j AND s.bucket = q.bucket
+         |  GROUP BY q.term, q.n)
+         |SELECT term, n AS n_exact, n_est, n_est - n AS overcount
+         |FROM est ORDER BY term""".stripMargin) { (s, d) =>
+      def bucket(j: Int, t: Column) =
+        conv(substring(md5(concat(lit(s"$j:"), t)), 1, 8), 16, 10)
+          .cast(LongType) % WIDTH
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val entries = toks.select(explode(array((0 until DEPTH).map(j =>
+        struct(lit(j).as("row_j"), bucket(j, col("term")).as("bucket"))): _*)).as("e"))
+        .select(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+      val sketch = entries.groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)
+      val qrs = exact.select(col("term"), col("n"), explode(array((0 until DEPTH).map(j =>
+        struct(lit(j).as("row_j"), bucket(j, col("term")).as("bucket"))): _*)).as("e"))
+        .select(col("term"), col("n"),
+          col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+      qrs.join(broadcast(sketch), Seq("row_j", "bucket"))
+        .groupBy("term", "n").agg(min(col("c")).as("n_est"))
+        .select(col("term"), col("n").as("n_exact"), col("n_est"),
+          (col("n_est") - col("n")).as("overcount"))
+        .orderBy("term")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    ap01ApproxQuantiles, q47WriteRoundtrip,
+    ap01ApproxQuantiles, q47WriteRoundtrip, cm01CountMin,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,
