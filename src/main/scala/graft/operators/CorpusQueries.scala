@@ -329,7 +329,52 @@ object CorpusQueries {
     }
   }
 
+  /** Sequence packing: assign documents to fixed-budget training bins
+    * (2048 tokens) by running token offset. A single global greedy pack
+    * would serialize through one task (the tx15 lesson), so docs are
+    * first spread across 32 independent pack groups by id hash and
+    * packed within each — the running-sum window partitions by group,
+    * so every group packs in parallel and the plan has NO
+    * single-partition window. Per (group, bin): docs, tokens, fill
+    * ratio — the padding-waste metric a data loader cares about. */
+  val pk01SequencePacking: GraftQuery = {
+    val BUDGET = 2048
+    val GROUPS = 32
+    q("pk01_sequence_packing",
+      s"pack docs into $BUDGET-token training bins within $GROUPS parallel groups",
+      s"""WITH sized AS (
+         |  SELECT doc_id, doc_id % $GROUPS AS grp,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |offs AS (
+         |  SELECT grp, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+         |  FROM sized),
+         |binned AS (
+         |  SELECT grp, doc_id, n_tokens,
+         |    CAST(FLOOR(off / $BUDGET.0) AS BIGINT) AS bin
+         |  FROM offs)
+         |SELECT grp, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / $BUDGET AS fill_ratio
+         |FROM binned GROUP BY grp, bin ORDER BY grp, bin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % GROUPS).as("grp"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("bin", floor(col("off") / lit(BUDGET.toDouble)).cast(LongType))
+        .groupBy("grp", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("tokens"),
+          (sum(col("n_tokens")).cast(DoubleType) / BUDGET).as("fill_ratio"))
+        .orderBy("grp", "bin")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
-    cc01CurationPipeline)
+    cc01CurationPipeline, pk01SequencePacking)
 }

@@ -434,8 +434,47 @@ object TextQueries {
       .orderBy("lang", "pred")
   }
 
+  /** Document chunking: fixed 50-token windows with stride 40 (10-token
+    * overlap) — how long documents become training sequences. Chunk
+    * boundaries are pure per-row arithmetic and the explode is bounded
+    * by ⌈len/stride⌉, so the stage is map-side at any corpus size; the
+    * md5 over each chunk's joined tokens gives the chunk-level content
+    * key downstream exact dedup would use. */
+  val tx17Chunking: GraftQuery = {
+    val W = 50 // window (tokens per chunk)
+    val S = 40 // stride
+    q("tx17_chunking",
+      s"doc → overlapping $W-token chunks (stride $S) with chunk content keys",
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |    unnest(range(0, CASE WHEN len(w) <= $W THEN 1
+         |      ELSE 1 + CAST(CEIL((len(w) - $W) / $S.0) AS BIGINT) END)) AS chunk_idx,
+         |    w
+         |  FROM ws)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(LEAST($W, n_tokens - chunk_idx * $S) AS BIGINT) AS chunk_tokens,
+         |  md5(array_to_string(w[chunk_idx * $S + 1 : chunk_idx * $S + $W], ' ')) AS chunk_key
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      val nChunks = when(size(col("w")) <= W, lit(1L))
+        .otherwise(lit(1L) + ceil((size(col("w")) - W) / lit(S.toDouble)).cast(LongType))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(W), col("n_tokens") - col("chunk_idx") * S)
+            .cast(LongType).as("chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("w"), (col("chunk_idx") * S + 1).cast(IntegerType), lit(W))))
+            .as("chunk_key"))
+        .orderBy("doc_id", "chunk_idx")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
-    tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram)
+    tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking)
 }
