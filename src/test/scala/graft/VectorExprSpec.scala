@@ -115,6 +115,16 @@ class VectorExprSpec extends AnyFunSuite {
     // null array → null result
     assert(spark.sql("SELECT minhash_signature(CAST(NULL AS ARRAY<STRING>), 4)")
       .collect()(0).isNullAt(0))
+    // multibyte UTF-8 items hash identically through both paths (the
+    // native loop hashes raw UTF-8 bytes — must equal md5 of the
+    // concatenated STRING, whatever the encoding width)
+    val uni = spark.sql(
+      "SELECT array('héllo wörld', '中文 文本', 'مرحبا', 'naïve café') AS sh")
+    val nativeU = uni.select(
+      VectorExpressions.minhash_signature(col("sh"), k).as("sig")).collect()(0)
+    val composedU = uni.select(array((0 until k).map(j =>
+      TextFunctions.minhashOf(col("sh"), j)): _*).as("sig")).collect()(0)
+    assert(nativeU == composedU)
   }
 
   test("plain udf() escape hatch agrees with the native expression (and is the slower path)") {
