@@ -374,7 +374,44 @@ object CorpusQueries {
     }
   }
 
+  /** Domain-mixture weights: per-source token shares and the sampling
+    * weight that flattens the mix toward a uniform target (capped at 3×
+    * upsampling so rare domains aren't repeated into memorization) —
+    * the static data-mixing step of a pretraining pipeline. One
+    * word-count-shaped aggregation over sources (tiny key space →
+    * partial aggs collapse almost everything map-side); the totals row
+    * is a broadcast cross join, so the plan is a single shuffle no
+    * matter the corpus size. Weights are pure double arithmetic on
+    * integer counts — identical expression tree on both engines. */
+  val mx01DomainMix: GraftQuery = q(
+    "mx01_domain_mix",
+    "per-source token shares + capped uniform-target sampling weights",
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS tt, COUNT(*) AS ns FROM per)
+      |SELECT source, n_docs, tokens,
+      |  ROUND(tokens / tt, 6) AS share,
+      |  ROUND(LEAST(3.0, (1.0 / ns) / (tokens / tt)), 6) AS weight
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).cast(DoubleType).as("tt"),
+      count(lit(1)).as("ns"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("tt"), 6).as("share"),
+        round(least(lit(3.0),
+          (lit(1.0) / col("ns")) / (col("tokens") / col("tt"))), 6).as("weight"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
-    cc01CurationPipeline, pk01SequencePacking)
+    cc01CurationPipeline, pk01SequencePacking, mx01DomainMix)
 }

@@ -424,8 +424,44 @@ object DedupQueries {
     }
   }
 
+  /** Cross-document repeated n-grams — the substring-level view of
+    * duplication that doc-level hashing misses (boilerplate headers,
+    * license blocks, templated spans). Word 5-grams are a map-side
+    * array transform per row (no self-join); the count is the classic
+    * word-count shape (partial agg, one shuffle on the gram key); the
+    * top-30 report plans as TakeOrderedAndProject, so the full gram
+    * table is never globally sorted. At 100 TB the gram key-space is
+    * huge but each task only holds its partial map — memory stays
+    * bounded, and spans seen once (the overwhelming majority) die in
+    * the partial aggregate's single pass. */
+  val dd11RepeatedNgrams: GraftQuery = GraftQuery(
+    "dd11_repeated_ngrams",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts)-5), i -> array_join(slice(ts, i+1, 5), ' '))"
+        )).as("gram"))
+      grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("gram"))
+        .limit(30)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+      |  FROM toks, UNNEST(range(1, len(ts)-3)) AS t(i)
+      |  WHERE len(ts) >= 5)
+      |SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total
+      |FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY n_docs DESC, n_total DESC, gram LIMIT 30""".stripMargin),
+    "cross-doc repeated 5-grams (substring-level duplication, map-side grams)")
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
-    dd08DupClusters, dd09KeepBest, dd10ProductionLsh)
+    dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams)
 }
