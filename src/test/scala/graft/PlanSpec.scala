@@ -115,6 +115,22 @@ class PlanSpec extends AnyFunSuite {
       "expected partial+final aggregation pair\n" + p.take(3000))
   }
 
+  test("dd11: repeated-ngram top-30 is TakeOrdered over a partial+final agg (no global sort)") {
+    val p = plan("dd11_repeated_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), "no window over the gram table\n" + p.take(3000))
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      "gram counting must combine map-side\n" + p.take(3000))
+  }
+
+  test("mx01: totals row joins as broadcast; no shuffle of per-source aggregates") {
+    val p = plan("mx01_domain_mix")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "totals must broadcast, not shuffle\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("join strategy hints steer the planner: broadcast / shuffle_hash / merge") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf)
