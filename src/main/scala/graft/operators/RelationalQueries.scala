@@ -958,8 +958,91 @@ object RelationalQueries {
     }
   }
 
+  /** Oracle-reproducible HyperLogLog. hll01 uses Spark's built-in HLL++
+    * (engine-opaque registers → rows-only check); this one builds the
+    * sketch from first principles with the md5 hash family, so the
+    * registers AND the estimate hash-match the DuckDB oracle.
+    *
+    * Everything is integer-exact until one final IEEE division:
+    *  - 32-bit hash = first 8 md5 hex chars (cm01's family);
+    *  - top [[Hll.P]] bits pick a register, the low [[Hll.W]] bits give
+    *    rho = W+1 - msb_position, where the MSB position is computed by
+    *    OR-smearing + bit_count — no floating log2 whose rounding could
+    *    diverge between engines;
+    *  - the harmonic term Σ 2^-Mj is emitted scaled by 2^(W+1)
+    *    (`harmonic_scaled`, an exact BIGINT since Mj ≤ W+1);
+    *  - the estimate α·m²·2^(W+1) / harmonic_scaled rounds only in the
+    *    final division (the α multiplies scale by powers of two, which
+    *    are exact), so both engines produce identical doubles.
+    *
+    * The emitted estimate is the RAW HLL value; the small-range
+    * linear-counting branch (m·ln(m/V) when est ≤ 2.5m) needs `ln`,
+    * which is not bit-reproducible across libm implementations, so the
+    * query emits `n_zero` and leaves that branch to the consumer
+    * (SketchSpec applies it and pins the 3σ accuracy bound).
+    *
+    * Distribution: registers build as one partial+final max-aggregation
+    * on (group, register) — 64 cells per group whatever the corpus
+    * size; merging two sketches is register-wise MAX (pinned in
+    * SketchSpec), which is why the build is embarrassingly parallel. */
+  val hll02OracleDistinct: GraftQuery = {
+    import Hll._
+    val smearSql = Seq(1, 2, 4, 8, 16).zipWithIndex.map { case (k, i) =>
+      val prev = if (i == 0) "b" else s"s$i"
+      s"s${i + 1} AS (SELECT event_type, bucket, w | (w >> $k) AS w FROM $prev)"
+    }.mkString(",\n")
+    q("hll02_oracle_distinct",
+      "HyperLogLog distinct users per event type — registers and estimate oracle-reproducible",
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(CONCAT('0x', SUBSTRING(md5('h:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+         |  FROM events),
+         |b AS (SELECT event_type, h32 >> $W AS bucket, h32 & ${(1L << W) - 1} AS w FROM h),
+         |$smearSql,
+         |r AS (SELECT event_type, bucket, ${W + 1} - bit_count(w) AS rho FROM s5),
+         |regs AS (SELECT event_type, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.event_type, g.bucket
+         |  FROM (SELECT DISTINCT event_type FROM events) t,
+         |       (SELECT unnest(range(0, $M)) AS bucket) g),
+         |full_regs AS (
+         |  SELECT grid.event_type, grid.bucket, COALESCE(mj, 0) AS mj
+         |  FROM grid LEFT JOIN regs
+         |    ON grid.event_type = regs.event_type AND grid.bucket = regs.bucket),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(SUM(CAST(1 AS BIGINT) << (${W + 1} - mj)) AS BIGINT) AS harmonic_scaled,
+         |    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |  FROM full_regs GROUP BY 1),
+         |exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+         |SELECT a.event_type, n_exact, n_zero, harmonic_scaled,
+         |  CAST($ALPHA AS DOUBLE) * $M * $M * ${1L << (W + 1)} / CAST(harmonic_scaled AS DOUBLE) AS hll_est
+         |FROM agg a JOIN exact e ON a.event_type = e.event_type
+         |ORDER BY a.event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val regs = registers(ev, col("event_type"), col("user_id").cast(StringType))
+      val types = ev.select("event_type").distinct()
+      val grid = types.crossJoin(broadcast(
+        s.range(M).select(col("id").as("bucket"))))
+      val full = grid.join(regs, Seq("event_type", "bucket"), "left")
+        .withColumn("mj", coalesce(col("mj"), lit(0)))
+      val aggd = full.groupBy("event_type").agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - mj)"))
+          .cast(LongType).as("harmonic_scaled"),
+        sum(when(col("mj") === 0, 1).otherwise(0)).cast(LongType).as("n_zero"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      aggd.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_zero"),
+          col("harmonic_scaled"),
+          (lit(ALPHA) * lit(M * M) * lit(1L << (W + 1)) /
+            col("harmonic_scaled").cast(DoubleType)).as("hll_est"))
+        .orderBy("event_type")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    ap01ApproxQuantiles, q47WriteRoundtrip, cm01CountMin,
+    ap01ApproxQuantiles, q47WriteRoundtrip, cm01CountMin, hll02OracleDistinct,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,

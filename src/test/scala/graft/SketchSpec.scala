@@ -36,6 +36,42 @@ class SketchSpec extends AnyFunSuite {
         rows.filter(_.getLong(3) < 0L).mkString(", "))
   }
 
+  test("hll registers merge by register-wise max, even on overlapping inputs") {
+    import graft.operators.Hll
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    // Overlapping halves: a duplicate-insensitive sketch must not care.
+    val a = ev.filter(col("user_id") % 3 =!= 0)
+    val b = ev.filter(col("user_id") % 3 =!= 1)
+    val merged = Hll.registers(a, col("event_type"), col("user_id").cast("string"))
+      .unionByName(Hll.registers(b, col("event_type"), col("user_id").cast("string")))
+      .groupBy("event_type", "bucket").agg(max(col("mj")).as("mj"))
+      .orderBy("event_type", "bucket").collect().toSeq
+    val whole = Hll.registers(ev, col("event_type"), col("user_id").cast("string"))
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("hll estimate lands within 3 standard errors of exact") {
+    val m = graft.operators.Hll.M
+    val rows = Registry.all.find(_.name == "hll02_oracle_distinct").get
+      .build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val zeros = r.getLong(2)
+      val raw = r.getDouble(4)
+      // The query emits the RAW estimate plus n_zero; the standard
+      // small-range linear-counting branch uses ln, which is not
+      // bit-reproducible cross-engine, so it is applied client-side.
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      val se = 1.04 / math.sqrt(m.toDouble) // ~13% for m=64
+      assert(math.abs(est - exact) <= 3 * se * exact + 1,
+        s"${r.getString(0)}: est $est (raw $raw) vs exact $exact")
+    }
+  }
+
   test("count-min sketches merge by cell-wise addition") {
     val docs = Tables.documents(spark, sf)
     val a = docs.filter(col("doc_id") % 2 === 0)
