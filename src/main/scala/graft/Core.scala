@@ -126,5 +126,6 @@ object Registry {
       graft.operators.IvfQueries.all ++
       graft.operators.AnalyticsQueries.all ++
       graft.operators.CorpusQueries.all ++
-      graft.operators.BloomJoin.all
+      graft.operators.BloomJoin.all ++
+      graft.operators.GraphQueries.all
 }
