@@ -127,5 +127,6 @@ object Registry {
       graft.operators.AnalyticsQueries.all ++
       graft.operators.CorpusQueries.all ++
       graft.operators.BloomJoin.all ++
-      graft.operators.GraphQueries.all
+      graft.operators.GraphQueries.all ++
+      graft.operators.ZOrder.all
 }
