@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Det, GraftQuery, Tables}
 import graft.Det._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -297,7 +297,87 @@ object AnalyticsQueries {
       .orderBy("lang")
   }
 
+  /** Data-quality constraint audit — the Deequ-style gate a pipeline
+    * runs before publishing a table. One report row per constraint:
+    * checked count, violation count, pass verdict. Checks over the
+    * same table FUSE into a single scan-and-aggregate pass
+    * (conditional sums — three orders checks cost one scan, two
+    * lineitem checks one scan); only the referential-integrity checks
+    * need a join, and each is a broadcast or shuffle-free semi/anti
+    * shape. At 100 TB the audit costs one pass per audited table plus
+    * one join per FK — nothing quadratic, nothing driver-side. */
+  val dq01QualityAudit: GraftQuery = q(
+    "dq01_quality_audit",
+    "constraint audit: PK uniqueness, FK integrity, range checks, fused per-table passes",
+    """WITH o AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+      |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+      |    SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
+      |             OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS bad_date
+      |  FROM orders),
+      |l AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_qty
+      |  FROM lineitem),
+      |lfk AS (
+      |  SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+      |    COUNT(*) AS viol
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |cfk AS (
+      |  SELECT (SELECT COUNT(*) FROM customer) AS n,
+      |    COUNT(*) AS viol
+      |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+      |r AS (
+      |  SELECT 'orders_pk_unique' AS check_name, n, pk_dup AS n_viol FROM o
+      |  UNION ALL SELECT 'orders_price_positive', n, bad_price FROM o
+      |  UNION ALL SELECT 'orders_date_bounds', n, bad_date FROM o
+      |  UNION ALL SELECT 'lineitem_qty_range', n, bad_qty FROM l
+      |  UNION ALL SELECT 'lineitem_fk_orders', n, viol FROM lfk
+      |  UNION ALL SELECT 'customer_fk_nation', n, viol FROM cfk)
+      |SELECT check_name, CAST(n AS BIGINT) AS n_checked,
+      |  CAST(n_viol AS BIGINT) AS n_viol, n_viol = 0 AS passed
+      |FROM r ORDER BY check_name""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val o = orders.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"),
+      sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("bad_price"),
+      sum(when(col("o_orderdate") < lit("1992-01-01").cast(DateType) ||
+        col("o_orderdate") > lit("1998-12-31").cast(DateType), 1)
+        .otherwise(0)).as("bad_date"))
+      .localCheckpoint() // 1 row; three report rows read it without rescanning
+    val l = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
+        .otherwise(0)).as("bad_qty"))
+      .localCheckpoint()
+    val lCnt = li.agg(count(lit(1)).as("n"))
+    val lfkViol = li.join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("viol"))
+    val cCnt = Tables.customer(s, d).agg(count(lit(1)).as("n"))
+    val cfkViol = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_anti")
+      .agg(count(lit(1)).as("viol"))
+    def row(name: String, n: Column, viol: Column, src: DataFrame) =
+      src.select(lit(name).as("check_name"), n.cast(LongType).as("n_checked"),
+        viol.cast(LongType).as("n_viol"))
+    row("orders_pk_unique", col("n"), col("pk_dup"), o)
+      .unionByName(row("orders_price_positive", col("n"), col("bad_price"), o))
+      .unionByName(row("orders_date_bounds", col("n"), col("bad_date"), o))
+      .unionByName(row("lineitem_qty_range", col("n"), col("bad_qty"), l))
+      .unionByName(row("lineitem_fk_orders", col("n"), col("viol"),
+        lCnt.crossJoin(lfkViol)))
+      .unionByName(row("customer_fk_nation", col("n"), col("viol"),
+        cCnt.crossJoin(cfkViol)))
+      .withColumn("passed", col("n_viol") === 0L)
+      .orderBy("check_name")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
-    st01StratifiedSample)
+    st01StratifiedSample, dq01QualityAudit)
 }

@@ -460,8 +460,80 @@ object DedupQueries {
       |ORDER BY n_docs DESC, n_total DESC, gram LIMIT 30""".stripMargin),
     "cross-doc repeated 5-grams (substring-level duplication, map-side grams)")
 
+  /** Incremental near-dup ADMISSION — the shape a 100 TB ingest
+    * actually runs: a small new shard (here docs with doc_id % 10 = 0)
+    * is checked against the EXISTING corpus's LSH bands without
+    * re-clustering the corpus. The corpus band table is static state
+    * (at cluster scale: bucketed by band key, so this is a
+    * shuffle-free lookup join); the delta side is small and broadcast.
+    * Per delta doc we report how many distinct corpus docs share any
+    * band (band-OR, dd10's parameters) and whether it is admitted
+    * (zero collisions). Docs under 3 words carry no shingles and are
+    * auto-admitted. */
+  val dd12IncrementalAdmission: GraftQuery = {
+    val R = 4
+    val B = 2
+    val bandsSql = (0 until B).map { b =>
+      val comps = (b * R until (b + 1) * R).map(j => s"s$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($comps) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    q("dd12_incremental_admission",
+      "delta-vs-corpus LSH admission: dedup a new shard without re-clustering the corpus",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+         |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until B * R).map(j => s"MIN(md5('$j:' || w)) AS s$j").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSql),
+         |delta AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+         |hits AS (
+         |  SELECT d.doc_id, CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_cand
+         |  FROM delta d JOIN corpus c
+         |    ON d.band_idx = c.band_idx AND d.bkey = c.bkey
+         |  GROUP BY d.doc_id),
+         |deltadocs AS (SELECT DISTINCT doc_id FROM delta)
+         |SELECT dd.doc_id, COALESCE(n_cand, 0) AS n_cand,
+         |  COALESCE(n_cand, 0) = 0 AS admitted
+         |FROM deltadocs dd LEFT JOIN hits ON dd.doc_id = hits.doc_id
+         |ORDER BY dd.doc_id""".stripMargin) { (s, d) =>
+      graft.plans.VectorExpressions.register(s)
+      val docs = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      val sig = docs.select(col("doc_id"),
+        graft.plans.VectorExpressions.minhash_signature(col("sh"), B * R).as("sig"))
+      val bands = sig.select(col("doc_id"), explode(array((0 until B).map(b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((b * R until (b + 1) * R).map(j =>
+            element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
+        .localCheckpoint() // one signature pass feeds both split branches
+      val delta = bands.filter(col("doc_id") % 10 === 0)
+      val corpus = bands.filter(col("doc_id") % 10 =!= 0)
+      val hits = broadcast(delta
+          .select(col("doc_id").as("d_id"), col("band_idx"), col("bkey")))
+        .join(corpus.select(col("doc_id").as("c_id"),
+          col("band_idx").as("bi"), col("bkey").as("bk")),
+          col("band_idx") === col("bi") && col("bkey") === col("bk"))
+        .groupBy("d_id").agg(countDistinct(col("c_id")).as("n_cand"))
+      delta.select(col("doc_id")).distinct()
+        .join(hits, col("doc_id") === col("d_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          (coalesce(col("n_cand"), lit(0L)) === 0L).as("admitted"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
-    dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams)
+    dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
+    dd12IncrementalAdmission)
 }
