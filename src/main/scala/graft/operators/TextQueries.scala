@@ -473,8 +473,53 @@ object TextQueries {
     }
   }
 
+  /** Fuzzy vocabulary join at edit distance ≤ 1 WITHOUT the quadratic
+    * all-pairs scan: the deletion-neighborhood trick. Every word emits
+    * itself plus its single-character deletions; two words within one
+    * edit share at least one variant (substitution → same-position
+    * deletions collide; insert/delete → the shorter word IS a variant
+    * of the longer), so an equi-join on the variant key generates all
+    * candidates, and exact `levenshtein` confirms (a shared variant
+    * can come from two DIFFERENT deletions — e.g. "ab"/"ba" both
+    * reach "a" — so the confirm is not optional). Work is linear in
+    * total characters, the shuffle key is the short variant string,
+    * and the per-bucket join is bounded by variant-bucket sizes — the
+    * standard scalable fuzzy join, same family as dd10's band-OR. */
+  val fz01FuzzyJoin: GraftQuery = q(
+    "fz01_fuzzy_join",
+    "edit-distance-1 vocabulary join via deletion-neighborhood blocking",
+    """WITH words AS (
+      |  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part),
+      |vars AS (
+      |  SELECT w, w AS v FROM words
+      |  UNION ALL
+      |  SELECT w, SUBSTRING(w, 1, i) || SUBSTRING(w, i + 2) AS v
+      |  FROM words, UNNEST(range(0, LEN(w))) t(i)),
+      |cand AS (
+      |  SELECT DISTINCT a.w AS wa, b.w AS wb
+      |  FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w)
+      |SELECT wa, wb, CAST(levenshtein(wa, wb) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(wa, wb) <= 1
+      |ORDER BY wa, wb""".stripMargin) { (s, d) =>
+    val words = Tables.part(s, d)
+      .select(explode(split(col("p_name"), " ")).as("w")).distinct()
+    val dels = words.select(col("w"), explode(expr(
+      "transform(sequence(0, length(w) - 1)," +
+        " i -> concat(substring(w, 1, i), substring(w, i + 2)))")).as("v"))
+    val vars = words.select(col("w"), col("w").as("v")).unionByName(dels)
+    val cand = vars.select(col("w").as("wa"), col("v"))
+      .join(vars.select(col("w").as("wb"), col("v").as("vb")),
+        col("v") === col("vb") && col("wa") < col("wb"))
+      .select("wa", "wb").distinct()
+    cand.filter(levenshtein(col("wa"), col("wb")) <= 1)
+      .select(col("wa"), col("wb"),
+        levenshtein(col("wa"), col("wb")).cast(LongType).as("dist"))
+      .orderBy("wa", "wb")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
-    tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking)
+    tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
+    fz01FuzzyJoin)
 }

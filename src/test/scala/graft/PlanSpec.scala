@@ -131,6 +131,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("dd12: delta-vs-corpus admission broadcasts the delta side; corpus never re-shuffles for the probe") {
+    val p = plan("dd12_incremental_admission")
+    assert(p.contains("BroadcastHashJoin"),
+      "delta bands must broadcast against the corpus band table\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("fz01: fuzzy join is an equi-join on the variant key, never a cartesian") {
+    val p = plan("fz01_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood join must stay an equi-join\n" + p.take(3000))
+  }
+
   test("join strategy hints steer the planner: broadcast / shuffle_hash / merge") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf)
