@@ -281,8 +281,12 @@ object CorpusQueries {
         .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
       val s2 = s1.filter(col("doc_id") % 50 =!= 0)
       val s3 = s2.filter(size(col("ws")) >= 40)
+      // keepers/dominated are tiny doc_id sets, but their lineages are
+      // the two expensive shuffles (full-text groupBy; band self-join).
+      // Six stage counts re-traverse the funnel, so pin each set once —
+      // the checkpoint costs one execution of a frame this size anyway.
       val keepers = s3.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
+        .select("doc_id").localCheckpoint()
       val s4 = s3.join(keepers, Seq("doc_id"), "left_semi")
       graft.plans.VectorExpressions.register(s)
       val shDf = s4
@@ -301,7 +305,7 @@ object CorpusQueries {
           col("bi").as("bi2"), col("bk").as("bk2")),
           col("bi") === col("bi2") && col("bk") === col("bk2") &&
             col("db") < col("da"))
-        .select(col("da").as("doc_id")).distinct()
+        .select(col("da").as("doc_id")).distinct().localCheckpoint()
       val s5 = s4.join(dominated, Seq("doc_id"), "left_anti")
       val ev = s1.filter(col("doc_id") % 50 === 0).filter(size(col("ws")) >= 3)
         .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
