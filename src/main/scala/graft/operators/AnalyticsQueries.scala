@@ -377,7 +377,57 @@ object AnalyticsQueries {
       .orderBy("check_name")
   }
 
+  /** Winsorized (clipped) robust statistics per group. The p05/p95
+    * cut points are DISCRETE percentiles — the element at integer rank
+    * ceil(q·n), computed with integer arithmetic ((n·5+99) div 100) so
+    * both engines pick the identical element; interpolating
+    * percentiles and float rank math would both drift cross-engine.
+    * The clipped mean then goes through the exact-decimal [[Det]] sum.
+    * Shape: one per-group window sort to rank (the known q15
+    * low-cardinality caveat applies — salt for few huge groups), one
+    * broadcast of the 3-row cut-point table, one partial+final agg. */
+  val ws01Winsorize: GraftQuery = q(
+    "ws01_winsorize",
+    "winsorized mean via discrete integer-rank percentiles — robust stats, deterministic",
+    """WITH r AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS p,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |k AS (
+      |  SELECT flag,
+      |    MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN p END) AS p05,
+      |    MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN p END) AS p95
+      |  FROM r GROUP BY flag)
+      |SELECT flag, p05, p95,
+      |  CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, p05), p95) AS DECIMAL(12,2))) AS DOUBLE)
+      |    / COUNT(*) AS wins_avg,
+      |  CAST(SUM(CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM lineitem JOIN k ON l_returnflag = flag
+      |GROUP BY flag, p05, p95
+      |ORDER BY flag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val w = Window.partitionBy(col("flag")).orderBy(col("p"))
+    val r = li.select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("flag"))))
+    val k = r.groupBy("flag").agg(
+      max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("p"))).as("p05"),
+      max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("p"))).as("p95"))
+    li.join(broadcast(k), col("l_returnflag") === col("flag"))
+      .groupBy("flag", "p05", "p95")
+      .agg(
+        (sum(Det.dec2(least(greatest(col("l_extendedprice"), col("p05")), col("p95"))))
+          .cast(DoubleType) / count(lit(1))).as("wins_avg"),
+        sum(when(col("l_extendedprice") < col("p05") ||
+          col("l_extendedprice") > col("p95"), 1).otherwise(0))
+          .cast(LongType).as("n_clipped"))
+      .select(col("flag"), col("p05"), col("p95"), col("wins_avg"), col("n_clipped"))
+      .orderBy("flag")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
-    st01StratifiedSample, dq01QualityAudit)
+    st01StratifiedSample, dq01QualityAudit, ws01Winsorize)
 }

@@ -85,12 +85,17 @@ object GraphQueries {
         .select(col("node"), expr(s"$SCALE div n").as("r"))
         .localCheckpoint()
       for (_ <- 1 to ITERS) {
+        // |V| ≪ |E|: the rank table broadcasts, so the big edge side
+        // never shuffles for the join — the only per-round shuffle is
+        // the partial+final contribution sum on dst. (At a scale where
+        // ranks outgrow broadcast, the fallback is edges bucketed by
+        // src joined to ranks co-partitioned the same way.)
         val contribs = edgeDeg
-          .join(ranks, col("src") === col("node"))
+          .join(broadcast(ranks), col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("cb"))
           .groupBy("dst").agg(sum(col("cb")).as("s"))
         ranks = nodes.crossJoin(broadcast(params))
-          .join(contribs, col("node") === col("dst"), "left")
+          .join(broadcast(contribs), col("node") === col("dst"), "left")
           .select(col("node"),
             (expr(s"($SCALE div n) * 15 div 100") +
               expr("85 * coalesce(s, 0) div 100")).as("r"))
