@@ -427,7 +427,82 @@ object AnalyticsQueries {
       .orderBy("flag")
   }
 
+  /** Time-series linear interpolation — q42 zero-fills gaps, this
+    * interpolates them between the surrounding observed days (the
+    * standard TSDB `interpolate()`; boundary gaps carry the nearest
+    * observed value). A sparse series is forced with a key modulus so
+    * gaps genuinely exist at every SF. The window runs over the
+    * 90-row densified calendar, not the fact table — the fact side
+    * aggregates FIRST, so the single-partition window is bounded by
+    * the calendar length at any corpus scale (the tx15 rule).
+    * Determinism: day distances are exact integers and the one
+    * interpolation expression evaluates in the same IEEE op order in
+    * both engines. */
+  val it01Interpolate: GraftQuery = q(
+    "it01_interpolate",
+    "linear-interpolation gap fill over a densified calendar (TSDB interpolate())",
+    s"""WITH cal AS (
+       |  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+       |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+       |daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, ${sqlDsum("o_totalprice")} AS rev
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1995-04-01'
+       |    AND o_orderkey % 101 = 0
+       |  GROUP BY 1),
+       |j AS (SELECT cal.day, rev FROM cal LEFT JOIN daily ON cal.day = daily.day),
+       |f AS (
+       |  SELECT day, rev,
+       |    LAST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+       |    LAST_VALUE(CASE WHEN rev IS NOT NULL THEN rev END IGNORE NULLS)
+       |      OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+       |      OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+       |    FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN rev END IGNORE NULLS)
+       |      OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+       |  FROM j)
+       |SELECT day, rev IS NOT NULL AS observed,
+       |  CASE WHEN rev IS NOT NULL THEN rev
+       |       WHEN pd IS NULL THEN nv
+       |       WHEN nd IS NULL THEN pv
+       |       ELSE pv + (nv - pv) *
+       |         (CAST(DATE_DIFF('day', pd, day) AS DOUBLE) /
+       |          CAST(DATE_DIFF('day', pd, nd) AS DOUBLE)) END AS filled
+       |FROM f ORDER BY day""".stripMargin) { (s, d) =>
+    val cal = s.range(1)
+      .select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1995-03-31")),
+        expr("interval 1 day"))).as("day"))
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1995-04-01").cast(TimestampType) &&
+        col("o_orderkey") % 101 === 0)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val j = cal.join(daily, Seq("day"), "left")
+    val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("rev").isNotNull, col("day"))
+    val obsRev = when(col("rev").isNotNull, col("rev"))
+    val f = j
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(obsRev, ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(obsRev, ignoreNulls = true).over(wNext))
+    f.select(col("day"), col("rev").isNotNull.as("observed"),
+        when(col("rev").isNotNull, col("rev"))
+          .when(col("pd").isNull, col("nv"))
+          .when(col("nd").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast(DoubleType) /
+              datediff(col("nd"), col("pd")).cast(DoubleType)))
+          .as("filled"))
+      .orderBy("day")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
-    st01StratifiedSample, dq01QualityAudit, ws01Winsorize)
+    st01StratifiedSample, dq01QualityAudit, ws01Winsorize, it01Interpolate)
 }
