@@ -97,6 +97,20 @@ object EventStreams {
   def typeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 
+  /** Streaming cardinality: the [[graft.operators.Hll]] register table
+    * built INCREMENTALLY by the streaming engine itself. The sketch's
+    * merge operation is register-wise max, and max is a streaming
+    * aggregate — so no custom state, no foreachBatch side-store: state
+    * is exactly the 64-registers-per-type table, constant-size however
+    * long the stream runs, and the result at any point equals the
+    * batch sketch over everything seen (StreamingSpec pins stream ≡
+    * batch). This is why mergeable sketches are the cardinality answer
+    * for unbounded streams — exact distinct-count state grows with the
+    * key universe. */
+  def hllRegisters(events: DataFrame): DataFrame =
+    graft.operators.Hll.registers(events,
+      col("event_type"), col("user_id").cast("string"))
+
   /** Stream-static enrichment: join a (possibly streaming) event frame
     * against a static dimension table, broadcast to each micro-batch —
     * stateless (no watermark), the production shape for decorating an

@@ -121,6 +121,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaSessionWindow == viaBatchQuery)
   }
 
+  test("hll sketch builds incrementally: streaming register table ≡ batch sketch") {
+    val batch = EventStreams.hllRegisters(Tables.events(spark, sf))
+      .orderBy("event_type", "bucket").collect().toSeq
+    val stream = runStream(EventStreams.hllRegisters, "complete", "hll_regs")
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState: final per-user totals equal batch groupBy") {
     import TestSpark.spark.implicits._
     val src = spark.readStream
