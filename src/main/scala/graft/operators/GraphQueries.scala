@@ -54,28 +54,31 @@ object GraphQueries {
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |edges AS (
-         |  SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(sp AS VARCHAR) AS dst FROM eb
+         |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM eb
          |  UNION ALL
-         |  SELECT 's' || CAST(sp AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM eb),
+         |  SELECT sp * 2 + 1, c * 2 FROM eb),
          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
          |nodes AS (SELECT DISTINCT src AS node FROM edges),
          |params AS (SELECT COUNT(*) AS n FROM nodes),
          |base AS (SELECT CAST((($SCALE // n) * 15) // 100 AS BIGINT) AS b FROM params),
          |r0 AS (SELECT node, CAST($SCALE // n AS BIGINT) AS r FROM nodes, params),
          |${(1 to ITERS).map(iterSql).mkString(",\n")}
-         |SELECT node, r AS rank_scaled FROM r$ITERS
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+         |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+         |  r AS rank_scaled FROM r$ITERS
          |ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin) { (s, d) =>
       val eb = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
+      // Nodes are BIGINT-encoded (customer = 2k, supplier = 2k+1):
+      // long join keys shuffle and checkpoint at a fraction of the
+      // string encoding's cost; labels decode only in the final 25 rows.
       val edges = eb.select(
-          concat(lit("c"), col("c").cast("string")).as("src"),
-          concat(lit("s"), col("sp").cast("string")).as("dst"))
+          (col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
         .unionByName(eb.select(
-          concat(lit("s"), col("sp").cast("string")).as("src"),
-          concat(lit("c"), col("c").cast("string")).as("dst")))
+          (col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
         .localCheckpoint() // static across rounds: compute the join once
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val edgeDeg = edges.join(deg, "src").localCheckpoint()
@@ -101,7 +104,12 @@ object GraphQueries {
               expr("85 * coalesce(s, 0) div 100")).as("r"))
           .localCheckpoint()
       }
-      ranks.select(col("node"), col("r").as("rank_scaled"))
+      ranks.select(
+          when(col("node") % 2 === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+            .otherwise(concat(lit("s"), expr("node div 2").cast("string")))
+            .as("node"),
+          col("r").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("node")).limit(25)
     }
   }
