@@ -517,9 +517,54 @@ object TextQueries {
       .orderBy("wa", "wb")
   }
 
+  /** Vocabulary coverage (OOV rate) — the dictionary-based quality
+    * signal: fraction of a doc's tokens found in the corpus's top-200
+    * vocabulary. The vocabulary is a TakeOrdered top-k (never a global
+    * sort) and broadcasts to the per-doc scoring join; per-doc math is
+    * integer counts plus one final division. Report: per-language mean
+    * coverage and the docs below 60% (the would-be filter victims). */
+  val oov01VocabCoverage: GraftQuery = q(
+    "oov01_vocab_coverage",
+    "OOV rate vs the corpus top-200 vocabulary — dictionary quality gate",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT word FROM tok GROUP BY word
+      |  ORDER BY COUNT(*) DESC, word LIMIT 200),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang,
+      |    COUNT(*) AS n_tok,
+      |    SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+      |  FROM tok t LEFT JOIN vocab v ON t.word = v.word
+      |  GROUP BY t.doc_id, t.lang)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_in) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS coverage,
+      |  CAST(SUM(CASE WHEN n_in * 100 < n_tok * 60 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_coverage
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(200).select("word")
+    val scored = tok.join(broadcast(vocab.withColumn("hit", lit(1))),
+        Seq("word"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum(coalesce(col("hit"), lit(0))).as("n_in"))
+    scored.groupBy("lang")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        (sum(col("n_in")).cast(DoubleType) /
+          sum(col("n_tok")).cast(DoubleType)).as("coverage"),
+        sum(when(col("n_in") * 100 < col("n_tok") * 60, 1).otherwise(0))
+          .cast(LongType).as("n_low_coverage"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
     tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
-    fz01FuzzyJoin)
+    fz01FuzzyJoin, oov01VocabCoverage)
 }
