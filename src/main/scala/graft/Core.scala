@@ -128,5 +128,6 @@ object Registry {
       graft.operators.CorpusQueries.all ++
       graft.operators.BloomJoin.all ++
       graft.operators.GraphQueries.all ++
-      graft.operators.ZOrder.all
+      graft.operators.ZOrder.all ++
+      graft.sources.SynthQueries.all
 }
