@@ -111,6 +111,24 @@ object EventStreams {
     graft.operators.Hll.registers(events,
       col("event_type"), col("user_id").cast("string"))
 
+  /** Streaming heavy-hitters state: the cm01 Count-Min cells maintained
+    * by the engine as a plain streaming count — cell-wise ADD is the
+    * CMS merge, and counting is a streaming aggregate. 192 cells of
+    * state total (DEPTH×WIDTH), independent of stream length or key
+    * cardinality; point-queries read the cell minimum at any time. */
+  def cmsCells(events: DataFrame): DataFrame = {
+    val DEPTH = 3
+    val WIDTH = 64
+    def bucket(j: Int, t: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(s"$j:"), t)), 1, 8), 16, 10)
+        .cast("long") % WIDTH
+    events.select(explode(array((0 until DEPTH).map(j =>
+        struct(lit(j).as("row_j"),
+          bucket(j, col("user_id").cast("string")).as("bucket"))): _*)).as("e"))
+      .select(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+      .groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
+  }
+
   /** Stream-static enrichment: join a (possibly streaming) event frame
     * against a static dimension table, broadcast to each micro-batch —
     * stateless (no watermark), the production shape for decorating an

@@ -130,6 +130,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("count-min cells build incrementally: streaming cell counts ≡ batch sketch") {
+    val batch = EventStreams.cmsCells(Tables.events(spark, sf))
+      .orderBy("row_j", "bucket").collect().toSeq
+    val stream = runStream(EventStreams.cmsCells, "complete", "cms_cells")
+      .orderBy("row_j", "bucket").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState: final per-user totals equal batch groupBy") {
     import TestSpark.spark.implicits._
     val src = spark.readStream
