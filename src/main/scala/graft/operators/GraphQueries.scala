@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GraftQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation as repeated join+aggregate rounds — the
@@ -114,5 +115,84 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(gr01PageRank)
+  /** HITS hubs & authorities on the DIRECTED customer→supplier trade
+    * graph — the second named graph algorithm, sharing gr01's loop
+    * skeleton but alternating two score vectors: authority(s) = Σ
+    * hub(c) over buyers, hub(c) = Σ authority(s) over sellers, each
+    * renormalized to Σ = SCALE with integer division so every round
+    * stays exact and schedule-independent (no float normalization —
+    * `sqrt` norms would drift cross-engine). Two rounds, unrolled in
+    * the oracle. The per-role top-15 runs through the custom
+    * k-bounded TopKPerGroup operator, not a window sort. */
+  val gr02Hits: GraftQuery = {
+    val S = 1000000L // fixed-point scale; Σ scores per side ≈ S each round
+    def roundSql(i: Int): String = {
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ar$i AS (
+         |  SELECT sp, CAST(SUM(h) AS BIGINT) AS ar
+         |  FROM eb JOIN $prevH USING (c) GROUP BY sp),
+         |a$i AS (
+         |  SELECT sp, CAST(ar * $S // (SELECT SUM(ar) FROM ar$i) AS BIGINT) AS a
+         |  FROM ar$i),
+         |hr$i AS (
+         |  SELECT c, CAST(SUM(a) AS BIGINT) AS hr
+         |  FROM eb JOIN a$i USING (sp) GROUP BY c),
+         |h$i AS (
+         |  SELECT c, CAST(hr * $S // (SELECT SUM(hr) FROM hr$i) AS BIGINT) AS h
+         |  FROM hr$i)""".stripMargin
+    }
+    q("gr02_hits",
+      "2-round integer HITS hubs/authorities; per-role top-15 via the TopK operator",
+      s"""WITH eb AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT c, $S AS h FROM eb),
+         |${(1 to 2).map(roundSql).mkString(",\n")},
+         |scored AS (
+         |  SELECT 'authority' AS role, sp AS nid, a AS score FROM a2
+         |  UNION ALL SELECT 'hub', c, h FROM h2),
+         |ranked AS (
+         |  SELECT role, nid, score,
+         |    ROW_NUMBER() OVER (PARTITION BY role ORDER BY score DESC, nid) AS rn
+         |  FROM scored)
+         |SELECT role, CASE WHEN role = 'hub' THEN 'c' || CAST(nid AS VARCHAR)
+         |                  ELSE 's' || CAST(nid AS VARCHAR) END AS node,
+         |  score, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 15 ORDER BY role, rn""".stripMargin) { (s, d) =>
+      val eb = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct().localCheckpoint()
+      var h = eb.select(col("c")).distinct().withColumn("h", lit(S))
+      var a: DataFrame = null
+      for (_ <- 1 to 2) {
+        val ar = eb.join(broadcast(h), Seq("c")).groupBy("sp")
+          .agg(sum(col("h")).as("ar"))
+        a = ar.crossJoin(broadcast(ar.agg(sum(col("ar")).as("t"))))
+          .select(col("sp"), expr(s"ar * $S div t").as("a"))
+          .localCheckpoint()
+        val hr = eb.join(broadcast(a), Seq("sp")).groupBy("c")
+          .agg(sum(col("a")).as("hr"))
+        h = hr.crossJoin(broadcast(hr.agg(sum(col("hr")).as("t"))))
+          .select(col("c"), expr(s"hr * $S div t").as("h"))
+          .localCheckpoint()
+      }
+      val scored = a.select(lit("authority").as("role"), col("sp").as("nid"),
+          col("a").as("score"))
+        .unionByName(h.select(lit("hub").as("role"), col("c").as("nid"),
+          col("h").as("score")))
+      val top = graft.plans.TopKPerGroup.perGroup(scored,
+        Seq(col("role")), struct(col("score"), -col("nid")), k = 15)
+      val w = Window.partitionBy(col("role"))
+        .orderBy(col("score").desc, col("nid"))
+      top.withColumn("rn", row_number().over(w).cast("long"))
+        .select(col("role"),
+          when(col("role") === "hub", concat(lit("c"), col("nid").cast("string")))
+            .otherwise(concat(lit("s"), col("nid").cast("string"))).as("node"),
+          col("score"), col("rn"))
+        .orderBy("role", "rn")
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits)
 }

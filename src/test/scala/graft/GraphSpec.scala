@@ -20,6 +20,18 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hits scores are deterministic and the per-role top-k uses the TopK operator") {
+    val gr02 = Registry.all.find(_.name == "gr02_hits").get
+    val a = gr02.build(spark, sf).collect().toSeq
+    val b = gr02.build(spark, sf).collect().toSeq
+    // sf0.001 has only 10 suppliers: authority side caps below k=15
+    assert(a.size == 25 && a == b)
+    assert(a.count(_.getString(0) == "hub") == 15)
+    val plan = gr02.build(spark, sf).queryExecution.executedPlan.toString
+    assert("TopK".r.findAllIn(plan).size >= 2,
+      "per-role top-15 must run through the k-bounded TopK operator\n" + plan.take(2000))
+  }
+
   test("pagerank final top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = gr01.build(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
