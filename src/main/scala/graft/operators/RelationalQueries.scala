@@ -1041,8 +1041,69 @@ object RelationalQueries {
     }
   }
 
+  /** Sketch ROLLUP — the reason sketches beat exact distincts in a
+    * warehouse: per-group register tables re-aggregate to coarser
+    * grains by register-wise max, WITHOUT rescanning the data. Here
+    * the per-event-type registers from hll02's construction merge
+    * into one global sketch; the exact global distinct is computed
+    * alongside to show the estimate lands. An exact per-type distinct
+    * can NOT roll up this way (users overlap across types) — that is
+    * the whole point, and why the merged estimate differs from the
+    * sum of per-type counts. */
+  val hll03SketchRollup: GraftQuery = {
+    import Hll._
+    val smearSql = Seq(1, 2, 4, 8, 16).zipWithIndex.map { case (k, i) =>
+      val prev = if (i == 0) "b" else s"s$i"
+      s"s${i + 1} AS (SELECT event_type, bucket, w | (w >> $k) AS w FROM $prev)"
+    }.mkString(",\n")
+    q("hll03_sketch_rollup",
+      "global distinct by merging per-type HLL registers — re-aggregation without rescan",
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(CONCAT('0x', SUBSTRING(md5('h:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+         |  FROM events),
+         |b AS (SELECT event_type, h32 >> $W AS bucket, h32 & ${(1L << W) - 1} AS w FROM h),
+         |$smearSql,
+         |r AS (SELECT event_type, bucket, ${W + 1} - bit_count(w) AS rho FROM s5),
+         |pertype AS (SELECT event_type, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+         |merged AS (SELECT bucket, MAX(mj) AS mj FROM pertype GROUP BY bucket),
+         |grid AS (SELECT unnest(range(0, $M)) AS bucket),
+         |full_regs AS (
+         |  SELECT grid.bucket, COALESCE(mj, 0) AS mj
+         |  FROM grid LEFT JOIN merged ON grid.bucket = merged.bucket),
+         |agg AS (
+         |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (${W + 1} - mj)) AS BIGINT) AS harmonic_scaled,
+         |    CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |  FROM full_regs),
+         |exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact,
+         |                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+         |          FROM events)
+         |SELECT n_types, n_exact, n_zero, harmonic_scaled,
+         |  CAST($ALPHA AS DOUBLE) * $M * $M * ${1L << (W + 1)} / CAST(harmonic_scaled AS DOUBLE) AS hll_est
+         |FROM agg, exact""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val perType = registers(ev, col("event_type"), col("user_id").cast(StringType))
+      val merged = perType.groupBy("bucket").agg(max(col("mj")).as("mj"))
+      val grid = s.range(M).select(col("id").as("bucket"))
+      val full = grid.join(merged, Seq("bucket"), "left")
+        .withColumn("mj", coalesce(col("mj"), lit(0)))
+      val aggd = full.agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - mj)"))
+          .cast(LongType).as("harmonic_scaled"),
+        sum(when(col("mj") === 0, 1).otherwise(0)).cast(LongType).as("n_zero"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"),
+        countDistinct(col("event_type")).cast(LongType).as("n_types"))
+      aggd.crossJoin(broadcast(exact))
+        .select(col("n_types"), col("n_exact"), col("n_zero"),
+          col("harmonic_scaled"),
+          (lit(ALPHA) * lit(M * M) * lit(1L << (W + 1)) /
+            col("harmonic_scaled").cast(DoubleType)).as("hll_est"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     ap01ApproxQuantiles, q47WriteRoundtrip, cm01CountMin, hll02OracleDistinct,
+    hll03SketchRollup,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,
