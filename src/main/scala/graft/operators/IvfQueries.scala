@@ -311,9 +311,9 @@ object IvfQueries {
     * trained cells — training → index → search as one lineage. Scoring
     * stays in the quantized integer space, so every cosine is
     * bit-reproducible in the oracle's unrolled SQL. */
-  val ivf05TrainedSearch: GraftQuery = q(
-    "ivf05_trained_search",
-    "IVF ANN over k-means-trained cells: probe-1 top-5 per query",
+  /** Shared by ivf05 (in-memory index) and ivf06 (persisted index):
+    * the storage round trip is lossless, so both match this SQL. */
+  private lazy val sqlTrainedSearch: String =
     s"""WITH ${KmeansSql.ctes(TRAIN_ITERS)},
        |${KmeansSql.assign(s"s$TRAIN_ITERS", "af")},
        |pairs AS (
@@ -329,12 +329,22 @@ object IvfQueries {
        |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
        |  FROM pairs)
        |SELECT query_id, cand_id, qcos, rn FROM ranked WHERE rn <= 5
-       |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+       |ORDER BY query_id, rn""".stripMargin
+
+  val ivf05TrainedSearch: GraftQuery = q(
+    "ivf05_trained_search",
+    "IVF ANN over k-means-trained cells: probe-1 top-5 per query",
+    sqlTrainedSearch) { (s, d) =>
     val qv = quantizedDf(s, d)
     // both join sides read the assignment; pin it once (train already
     // checkpoints per round, so this adds one small materialization)
-    val assigned = assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
-      .localCheckpoint()
+    searchAssigned(
+      assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS)).localCheckpoint())
+  }
+
+  /** Probe-1 top-5 search over an assignment table (vec_id, q, n2,
+    * cid) — the serving-side join shared by ivf05/ivf06. */
+  private def searchAssigned(assigned: DataFrame): DataFrame = {
     val qa = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("q").as("qa"),
         col("n2").as("na"), col("cid"))
@@ -354,6 +364,34 @@ object IvfQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Persisted serving index: the trained assignment is WRITTEN to
+    * storage partitioned by cell (one directory per inverted list —
+    * the on-disk layout a vector store uses), reloaded, and searched.
+    * A probe that targets one cell reads one directory: IvfSpec pins
+    * `PartitionFilters` on a single-cell read-back. The storage round
+    * trip is lossless, so the oracle is ivf05's SQL verbatim — train →
+    * persist → reload → search loses nothing. */
+  val ivf06PersistedIndex: GraftQuery = q(
+    "ivf06_persisted_index",
+    "IVF index persisted partitioned-by-cell, reloaded, searched from storage",
+    sqlTrainedSearch) { (s, d) =>
+    val dir = indexDir(s, d)
+    val index = s.read.parquet(dir)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid").cast(LongType).as("cid"))
+    searchAssigned(index)
+  }
+
+  /** Build + persist the cell-partitioned index once per (session,
+    * sf dir); later queries/specs reload it like a serving node. */
+  def indexDir(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf06_").toString
+    val qv = quantizedDf(s, d)
+    assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    dir
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch)
+    Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
+      ivf06PersistedIndex)
 }

@@ -69,6 +69,18 @@ class IvfSpec extends AnyFunSuite {
     assert(docs.last > 0, "the curated corpus is non-empty")
   }
 
+  test("persisted index: single-cell probe reads one partition directory") {
+    val dir = graft.operators.IvfQueries.indexDir(spark, sf)
+    val one = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("cid") === 3)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cid"),
+      "cell predicate must prune index partitions\n" + plan.take(2000))
+    // and the persisted search equals the in-memory search (same oracle)
+    val mem = SparkEntry.queries("ivf05_trained_search")(spark, sf).collect().toSeq
+    val per = SparkEntry.queries("ivf06_persisted_index")(spark, sf).collect().toSeq
+    assert(per == mem)
+  }
+
   test("k-means training conserves the corpus and is deterministic") {
     val total = Tables.embeddings(spark, sf).count()
     def run() = Registry.all.find(_.name == "ivf03_kmeans_train").get
