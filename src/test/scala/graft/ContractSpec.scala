@@ -25,4 +25,32 @@ class ContractSpec extends AnyFunSuite {
       assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
     }
   }
+
+  /** Blanket determinism sweep: EVERY registry query, run twice,
+    * must return identical rows in identical order. This is the local
+    * face of the driver's hash compare — any query that depends on
+    * shuffle order (an unguarded float sum, a missing ORDER BY, an
+    * unstable tie-break) fails here before it flakes there. The
+    * representative sample keeps suite time bounded while the full
+    * sweep runs under -Dgraft.sweep=all. */
+  test("registry queries are run-to-run deterministic") {
+    val names =
+      if (sys.props.get("graft.sweep").contains("all"))
+        Registry.all.map(_.name)
+      else Seq(
+        // one per family, favoring the shapes most at risk: iterative
+        // loops, window ranks, sketches, float outputs, write paths
+        "gr01_pagerank", "gr02_hits", "hll02_oracle_distinct",
+        "hll03_sketch_rollup", "cm01_countmin", "ws01_winsorize",
+        "it01_interpolate", "dd08_dup_clusters", "dd10_production_lsh",
+        "dd12_incremental_admission", "ivf03_kmeans_train",
+        "ivf05_trained_search", "tx13_tfidf", "oov01_vocab_coverage",
+        "sy01_synth_source", "q33_topk_operator", "cc01_curation_pipeline")
+    names.foreach { name =>
+      val build = SparkEntry.queries(name)
+      val a = build(spark, sf).collect().toSeq
+      val b = build(spark, sf).collect().toSeq
+      assert(a == b, s"$name differs between two runs")
+    }
+  }
 }
