@@ -146,6 +146,55 @@ final class SynthReaderFactory(cols: Array[String])
       override def close(): Unit = ()
     }
   }
+
+  /** Vectorized path: the scan hands whole-stage codegen 4096-row
+    * `ColumnarBatch`es instead of one `InternalRow` per call — the
+    * same contract Spark's own parquet reader serves, and why a
+    * `ColumnarToRow` boundary appears above the scan in the plan
+    * (pinned in SynthSourceSpec). Vectors are allocated once per
+    * reader and refilled per batch, parquet-reader style. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val SynthPartition(start, end) = partition
+    val CAP = 4096
+    val schema = StructType(cols.map(c => SynthSource.SCHEMA(c)))
+    new PartitionReader[ColumnarBatch] {
+      private val vectors = OnHeapColumnVector.allocateColumns(CAP, schema)
+      private val batch = new ColumnarBatch(
+        vectors.map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnVector]))
+      private var cur = start
+      override def next(): Boolean = {
+        if (cur >= end) return false
+        val n = math.min(CAP.toLong, end - cur).toInt
+        var i = 0
+        while (i < n) {
+          val id = cur + i
+          var c = 0
+          while (c < cols.length) {
+            cols(c) match {
+              case "id" => vectors(c).putLong(i, id)
+              case "grp" => vectors(c).putLong(i, SynthSource.grpOf(id))
+              case "val" => vectors(c).putLong(i, SynthSource.valOf(id))
+              case "label" =>
+                val b = ("g" + SynthSource.grpOf(id)).getBytes("UTF-8")
+                vectors(c).putByteArray(i, b, 0, b.length)
+            }
+            c += 1
+          }
+          i += 1
+        }
+        cur += n
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
 }
 
 /** Registry face of the connector. */

@@ -36,6 +36,16 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(!plan.contains("label#"), plan.take(2000))
   }
 
+  test("scan is vectorized: columnar batches feed a ColumnarToRow boundary") {
+    val df = synth()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      "scan must serve ColumnarBatches\n" + plan.take(2000))
+    // and the columnar path returns the same rows as the formula
+    assert(df.agg(org.apache.spark.sql.functions.sum("val")).head().getLong(0) ==
+      (0L until 100000L).map(i => (i * 2654435761L) % 1000003L).sum)
+  }
+
   test("generated rows match the formula") {
     val r = synth(rows = 1000, parts = 4)
       .filter(col("id") === 999).collect().head
