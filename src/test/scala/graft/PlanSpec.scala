@@ -144,6 +144,19 @@ class PlanSpec extends AnyFunSuite {
       "deletion-neighborhood join must stay an equi-join\n" + p.take(3000))
   }
 
+  test("no registry query plans a CartesianProduct") {
+    // crossJoin against a broadcast 1-row aggregate plans as
+    // BroadcastNestedLoopJoin (fine — the big side streams once); a
+    // CartesianProduct means BOTH sides shuffle-replicate, the one
+    // join shape with no 100 TB story. Planning-only sweep: build each
+    // query's executed plan at sf0.001 and grep.
+    val offenders = Registry.all.flatMap { gq =>
+      val p = gq.build(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(gq.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("join strategy hints steer the planner: broadcast / shuffle_hash / merge") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf)
