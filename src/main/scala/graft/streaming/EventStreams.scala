@@ -186,4 +186,29 @@ object EventStreams {
         col("p_ts") >= col("v_ts") &&
         col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
   }
+
+  /** Stream-stream LEFT OUTER join — the abandonment report: every
+    * view, WITH its purchase when one follows within 30 minutes,
+    * null-extended otherwise. The outer semantics are the hard part
+    * in streaming: a view's null row may only emit once the watermark
+    * proves no matching purchase can still arrive, so unmatched
+    * results trail the data by the watermark delay and the join state
+    * stays bounded. Same condition as [[viewToPurchase]], so the
+    * matched subset is identical — StreamingSpec pins both halves
+    * against the batch left join. */
+  def viewAbandonment(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+  }
 }

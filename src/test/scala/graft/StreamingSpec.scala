@@ -174,6 +174,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: null rows emit only when the watermark closes them") {
+    val streamed = runStream(EventStreams.viewAbandonment, "append", "ss_outer")
+      .select(col("view_id"), col("purchase_id"), col("v_ts"))
+      .collect().toSeq
+    val batchDf = EventStreams.viewAbandonment(Tables.events(spark, sf))
+    val batch = batchDf.select(col("view_id"), col("purchase_id"), col("v_ts"))
+      .collect().toSeq
+    // Matched rows don't wait for the watermark: identical to batch.
+    def matched(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(matched(streamed) == matched(batch))
+    // Null-extended rows may be withheld for views still inside the
+    // final watermark horizon; on the CLOSED region (views older than
+    // maxTs - 1h watermark - 30min join window) stream ≡ batch.
+    val maxTs = Tables.events(spark, sf)
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val horizon = maxTs - (90 * 60 * 1000L)
+    def closedNulls(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(r => r.isNullAt(1) && r.getTimestamp(2).getTime < horizon)
+        .map(_.getLong(0)).sorted
+    assert(closedNulls(streamed) == closedNulls(batch))
+    assert(closedNulls(batch).nonEmpty, "test corpus must contain abandoned views")
+  }
+
   test("foreachBatch multi-sink: one stream feeds two outputs from a shared batch (ref multi-job fan-out)") {
     val outA = Files.createTempDirectory("graft-sinkA").toString
     val outB = Files.createTempDirectory("graft-sinkB").toString
