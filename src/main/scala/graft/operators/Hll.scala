@@ -26,22 +26,24 @@ object Hll {
   val ALPHA = 0.709   // standard alpha_64 bias constant
 
   /** Max-rho register table for `df` grouped by `key`: one row per
-    * (key, bucket) with column `mj`. Missing buckets mean Mj = 0; the
-    * caller densifies against a bucket grid when estimating. Two
-    * register tables over disjoint (or overlapping!) inputs merge by
-    * register-wise MAX — the property SketchSpec pins. */
+    * (gkey, bucket) with column `mj` (output columns are always named
+    * `gkey`/`bucket`/`mj`, whatever expression `key` is). Missing
+    * buckets mean Mj = 0; the caller densifies against a bucket grid
+    * when estimating. Two register tables over disjoint (or
+    * overlapping!) inputs merge by register-wise MAX — the property
+    * SketchSpec pins. */
   def registers(df: DataFrame, key: Column, value: Column): DataFrame = {
-    val h = df.select(key.as("event_type"),
+    val h = df.select(key.as("gkey"),
       conv(substring(md5(concat(lit("h:"), value)), 1, 8), 16, 10)
         .cast(LongType).as("h32"))
-    val bw = h.select(col("event_type"),
+    val bw = h.select(col("gkey"),
       shiftright(col("h32"), W).as("bucket"),
       col("h32").bitwiseAND(lit((1L << W) - 1)).as("w"))
     val smeared = Seq(1, 2, 4, 8, 16).foldLeft(bw)((acc, k) =>
       acc.withColumn("w", expr(s"w | shiftright(w, $k)")))
     smeared
-      .select(col("event_type"), col("bucket"),
+      .select(col("gkey"), col("bucket"),
         (lit(W + 1) - expr("bit_count(w)")).as("rho"))
-      .groupBy("event_type", "bucket").agg(max(col("rho")).as("mj"))
+      .groupBy("gkey", "bucket").agg(max(col("rho")).as("mj"))
   }
 }

@@ -1021,6 +1021,7 @@ object RelationalQueries {
          |ORDER BY a.event_type""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
       val regs = registers(ev, col("event_type"), col("user_id").cast(StringType))
+        .withColumnRenamed("gkey", "event_type")
       val types = ev.select("event_type").distinct()
       val grid = types.crossJoin(broadcast(
         s.range(M).select(col("id").as("bucket"))))
@@ -1082,7 +1083,7 @@ object RelationalQueries {
          |  CAST($ALPHA AS DOUBLE) * $M * $M * ${1L << (W + 1)} / CAST(harmonic_scaled AS DOUBLE) AS hll_est
          |FROM agg, exact""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
-      val perType = registers(ev, col("event_type"), col("user_id").cast(StringType))
+      val perType = registers(ev, col("event_type"), col("user_id").cast(StringType)) // gkey unused: merged over all types
       val merged = perType.groupBy("bucket").agg(max(col("mj")).as("mj"))
       val grid = s.range(M).select(col("id").as("bucket"))
       val full = grid.join(merged, Seq("bucket"), "left")
