@@ -44,10 +44,10 @@ class SketchSpec extends AnyFunSuite {
     val b = ev.filter(col("user_id") % 3 =!= 1)
     val merged = Hll.registers(a, col("event_type"), col("user_id").cast("string"))
       .unionByName(Hll.registers(b, col("event_type"), col("user_id").cast("string")))
-      .groupBy("event_type", "bucket").agg(max(col("mj")).as("mj"))
-      .orderBy("event_type", "bucket").collect().toSeq
+      .groupBy("gkey", "bucket").agg(max(col("mj")).as("mj"))
+      .orderBy("gkey", "bucket").collect().toSeq
     val whole = Hll.registers(ev, col("event_type"), col("user_id").cast("string"))
-      .orderBy("event_type", "bucket").collect().toSeq
+      .orderBy("gkey", "bucket").collect().toSeq
     assert(merged == whole)
   }
 

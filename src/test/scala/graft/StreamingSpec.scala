@@ -123,9 +123,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("hll sketch builds incrementally: streaming register table ≡ batch sketch") {
     val batch = EventStreams.hllRegisters(Tables.events(spark, sf))
-      .orderBy("event_type", "bucket").collect().toSeq
+      .orderBy("gkey", "bucket").collect().toSeq
     val stream = runStream(EventStreams.hllRegisters, "complete", "hll_regs")
-      .orderBy("event_type", "bucket").collect().toSeq
+      .orderBy("gkey", "bucket").collect().toSeq
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
