@@ -129,5 +129,6 @@ object Registry {
       graft.operators.BloomJoin.all ++
       graft.operators.GraphQueries.all ++
       graft.operators.ZOrder.all ++
+      graft.operators.HierarchyQueries.all ++
       graft.sources.SynthQueries.all
 }

@@ -383,9 +383,11 @@ object AnalyticsQueries {
     * both engines pick the identical element; interpolating
     * percentiles and float rank math would both drift cross-engine.
     * The clipped mean then goes through the exact-decimal [[Det]] sum.
-    * Shape: one per-group window sort to rank (the known q15
-    * low-cardinality caveat applies — salt for few huge groups), one
-    * broadcast of the 3-row cut-point table, one partial+final agg. */
+    * Shape: the cut points come from [[Rank.discretePercentiles]] —
+    * the distributed range-partitioned rank, NOT a `row_number` window
+    * over the 3-value flag (that plan sorts the whole table in 3 tasks;
+    * flagged as the round-3 scale-killer) — then one broadcast of the
+    * 3-row cut-point table and one partial+final agg. */
   val ws01Winsorize: GraftQuery = q(
     "ws01_winsorize",
     "winsorized mean via discrete integer-rank percentiles — robust stats, deterministic",
@@ -408,13 +410,9 @@ object AnalyticsQueries {
       |GROUP BY flag, p05, p95
       |ORDER BY flag""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val w = Window.partitionBy(col("flag")).orderBy(col("p"))
-    val r = li.select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("flag"))))
-    val k = r.groupBy("flag").agg(
-      max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("p"))).as("p05"),
-      max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("p"))).as("p95"))
+    val k = Rank.discretePercentiles(
+      li.select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p")),
+      "flag", "p", Seq("p05" -> 5, "p95" -> 95))
     li.join(broadcast(k), col("l_returnflag") === col("flag"))
       .groupBy("flag", "p05", "p95")
       .agg(

@@ -166,5 +166,98 @@ object MultimodalQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[GraftQuery] = Seq(mm01BinaryMeta, mm02DecodeFeatures, mm03FrameSample)
+  // ------------------------------------------------- real header decode
+
+  final case class ImgMeta(doc_id: Long, fmt: String, width: Long,
+      height: Long, channels: Long)
+
+  /** Serialize a REAL image container header so the decode stage has
+    * actual bytes to parse: BMP (BITMAPINFOHEADER, little-endian) for
+    * even doc_ids, PNG (signature + IHDR chunk, big-endian) for odd.
+    * Dimensions derive from doc_id with integer arithmetic the oracle
+    * replays column-side. */
+  private[operators] object ImgCodec {
+    private def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def be32(v: Int) = le32(v).reverse
+
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(54)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+        .putInt(54) // file size (header-only payload)
+        .putInt(0).putInt(54) // reserved, pixel-data offset
+        .putInt(40) // BITMAPINFOHEADER size
+        .putInt(w).putInt(h)
+        .putShort(1) // planes
+        .putShort(24) // bpp → 3 channels
+      b.array()
+    }
+
+    val PngSig: Array[Byte] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a,
+      0x1a, 0x0a).map(_.toByte)
+    def png(w: Int, h: Int): Array[Byte] =
+      PngSig ++ be32(13) ++ "IHDR".getBytes("US-ASCII") ++
+        be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ // depth 8, colorType 6 (RGBA), ...
+        be32(0) // CRC slot (not validated here)
+
+    /** The actual byte-level parse: dispatch on magic, then read the
+      * dimension fields at their container offsets in the container's
+      * endianness. Throws on unknown magic — decode errors must
+      * surface, not pass as zeros. */
+    def parse(docId: Long, p: Array[Byte]): ImgMeta = {
+      def leAt(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+      def beAt(i: Int) = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      if (p.length >= 30 && p(0) == 'B' && p(1) == 'M') {
+        val bpp = (p(28) & 0xff) | ((p(29) & 0xff) << 8)
+        ImgMeta(docId, "bmp", leAt(18).toLong, leAt(22).toLong, bpp / 8L)
+      } else if (p.length >= 26 && p.take(8).sameElements(PngSig)) {
+        val channels = (p(25) & 0xff) match {
+          case 0 => 1L; case 2 => 3L; case 4 => 2L; case 6 => 4L
+          case c => throw new IllegalArgumentException(s"colorType $c")
+        }
+        ImgMeta(docId, "png", beAt(16).toLong, beAt(20).toLong, channels)
+      } else throw new IllegalArgumentException(
+        s"doc $docId: unknown image magic")
+    }
+  }
+
+  /** mm04: REAL header decode, not the deterministic fake — the encode
+    * stage writes genuine BMP/PNG container headers, the decode stage
+    * byte-parses them back (magic dispatch, little- vs big-endian
+    * dimension fields), both inside the per-partition batch path. The
+    * oracle recomputes the expected scalars from the doc_id arithmetic
+    * alone, so a parse that read the wrong offset, endianness, or
+    * format would hash-mismatch. */
+  val mm04HeaderDecode: GraftQuery = q(
+    "mm04_header_decode",
+    "real BMP/PNG header encode → byte-level decode (magic dispatch, both endiannesses)",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+      |  CAST(16 + doc_id % 240 AS BIGINT) AS width,
+      |  CAST(16 + (doc_id // 3) % 200 AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS channels
+      |FROM documents WHERE doc_id < 400
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val w = (16 + id % 240).toInt
+      val h = (16 + (id / 3) % 200).toInt
+      val payload = if (id % 2 == 0) ImgCodec.bmp(w, h) else ImgCodec.png(w, h)
+      MediaRecord(id, if (id % 2 == 0) "image/bmp" else "image/png",
+        payload.length.toLong, payload)
+    })
+    media.mapPartitions(_.map(r => ImgCodec.parse(r.doc_id, r.payload)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(mm01BinaryMeta, mm02DecodeFeatures, mm03FrameSample, mm04HeaderDecode)
 }

@@ -849,25 +849,46 @@ object RelationalQueries {
     None,
     "HLL++ sketch cardinality — constant memory at any scale")
 
-  /** Quantile sketch (percentile_approx / GK-sketch family). No
-    * oracle — sketch internals are engine-specific; AggSpec pins the
-    * rank-error bound against the exact q30 percentiles. Mergeable
-    * sketch state is what makes per-group quantiles feasible when a
-    * group no longer fits a sort: constant memory per (task × group).
-    * The sketch's array output is projected to scalar p50/p95 columns
-    * so the driver's rows-only check can sort and hash the frame. */
-  val ap01ApproxQuantiles: GraftQuery = GraftQuery(
+  /** Per-group quantiles at scale, TWO ways. The registry row is the
+    * DETERMINISTIC one: the value at discrete integer rank
+    * (n·pct+99) div 100 via [[Rank.discretePercentiles]] — a
+    * range-partitioned distributed rank (no per-group global sort, no
+    * interpolation), so it hash-matches a DuckDB oracle bit-for-bit.
+    * The GK-sketch variant ([[ap01Sketch]] — `percentile_approx`,
+    * mergeable state, constant memory per task×group) is what a 100 TB
+    * pipeline would often prefer; its internals are engine-specific so
+    * it cannot face a cross-engine hash, and SketchSpec instead pins
+    * it within rank-error of this exact result. */
+  val ap01ApproxQuantiles: GraftQuery = q(
     "ap01_approx_quantiles",
-    (s, d) => Tables.lineitem(s, d)
+    "per-group p50/p95 via distributed discrete rank (sketch variant spec-pinned)",
+    """WITH r AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT g AS l_returnflag,
+      |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50,
+      |  MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS p95
+      |FROM r GROUP BY g
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Rank.discretePercentiles(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice", Seq("p50" -> 50, "p95" -> 95))
+      .orderBy("l_returnflag")
+  }
+
+  /** The mergeable-sketch variant of ap01 (not a registry row — see
+    * [[ap01ApproxQuantiles]]); SketchSpec pins it within the sketch's
+    * rank-error bound of the exact distributed-rank values. */
+  def ap01Sketch(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.5), lit(0.95)), lit(10000)).as("price_q"))
       .select(col("l_returnflag"),
         element_at(col("price_q"), 1).as("p50"),
         element_at(col("price_q"), 2).as("p95"))
-      .orderBy("l_returnflag"),
-    None,
-    "quantile sketch per group — mergeable, constant memory at any scale")
+      .orderBy("l_returnflag")
 
   /** Write-path round trip: orders written partitioned by a derived
     * year column ([[graft.sources.Formats.write]] → partitionBy

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   * `pathGlobFilter` when it is a simple one-segment suffix pattern, and
   * always re-checked post-scan, mirroring the reference's
   * CouldMatch-prune + Match-confirm split (work.go:19-37).
+  *
+  * Known divergence from the reference's raw directory walk: Hadoop's
+  * listing applies its hidden-file filter — basenames starting with
+  * `_` or `.` (the `_SUCCESS`/`.crc` convention) never reach the
+  * DataFrame, whatever the predicate says. Corpora must not rely on
+  * such names carrying data (mr01 originally named its directory
+  * files `_ctx.txt` and saw an empty corpus).
   */
 object Corpus {
 

@@ -65,37 +65,53 @@ final case class PathGlob(pattern: String) extends PathPredicate {
     case RegexSeg(p) => p.matcher(s).matches()
   }
 
-  /** Can pattern segments [i..) match path segments [j..) exactly? */
-  private def matchFrom(path: Array[String], i: Int, j: Int): Boolean = {
-    if (i == segs.length) j == path.length
-    else segs(i) match {
-      case Globstar =>
-        matchFrom(path, i + 1, j) || (j < path.length && matchFrom(path, i, j + 1))
-      case seg =>
-        j < path.length && segMatch(seg, path(j)) && matchFrom(path, i + 1, j + 1)
+  /** Bottom-up DP, O(|pattern|·|path|): `row(j)` = "can pattern
+    * segments [i..) resolve path segments [j..)". Globstar recurrences
+    * read the same row at j+1 (consume a path segment) and the i+1 row
+    * at j (consume the star), so one right-to-left sweep per pattern
+    * segment suffices. The naive recursion is exponential when several
+    * globstars stack (each branches 2-ways at every position) —
+    * GlobSpec pins a 8-globstar × 40-segment case that must finish in
+    * milliseconds.
+    *
+    * `exact`: can [i..) match [j..) exactly (matches()).
+    * `!exact`: can [i..) match SOME extension of [j..) — true once the
+    * folder path is fully consumed, since whatever pattern remains can
+    * still match some file deeper in the tree (couldMatch()). */
+  private def resolves(path: Array[String], exact: Boolean): Boolean = {
+    val P = path.length
+    // Base row i = S (pattern consumed): exact-mode matches only the
+    // consumed path (j == P); could-mode is false for j < P (leftover
+    // folder segments, nothing left to match them) and true at j == P.
+    var below = new Array[Boolean](P + 1) // row i+1
+    var row = new Array[Boolean](P + 1) // row i
+    below(P) = true
+    var i = segs.length - 1
+    while (i >= 0) {
+      // j == P (path consumed): could-mode is always feasible (deeper
+      // files can still satisfy the remaining pattern); exact-mode only
+      // if this segment is a globstar matching zero segments and the
+      // rest of the pattern also resolves emptily.
+      row(P) = !exact || (segs(i) == Globstar && below(P))
+      var j = P - 1
+      while (j >= 0) {
+        row(j) = segs(i) match {
+          case Globstar => below(j) || row(j + 1)
+          case seg => segMatch(seg, path(j)) && below(j + 1)
+        }
+        j -= 1
+      }
+      val t = below; below = row; row = t
+      i -= 1
     }
-  }
-
-  /** Can pattern segments [i..) match some strict or non-strict
-    * extension of path segments [j..)? True once the folder path is
-    * fully consumed: whatever pattern remains can still match some
-    * file deeper in the tree. */
-  private def couldFrom(path: Array[String], i: Int, j: Int): Boolean = {
-    if (j == path.length) true
-    else if (i == segs.length) false
-    else segs(i) match {
-      case Globstar =>
-        couldFrom(path, i + 1, j) || couldFrom(path, i, j + 1)
-      case seg =>
-        segMatch(seg, path(j)) && couldFrom(path, i + 1, j + 1)
-    }
+    below(0)
   }
 
   def matches(path: String): Boolean =
-    matchFrom(path.split("/", -1), 0, 0)
+    resolves(path.split("/", -1), exact = true)
 
   def couldMatch(folder: String): Boolean =
-    folder.isEmpty || couldFrom(folder.split("/", -1), 0, 0)
+    folder.isEmpty || resolves(folder.split("/", -1), exact = false)
 
   /** Leading exact directory segments (the basename segment never
     * joins the prefix — it names a file, not a subtree). */

@@ -96,6 +96,32 @@ class GlobSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological globstar stacks resolve in polynomial time") {
+    // 8 stacked globstars over 40 segments: the naive two-branch
+    // recursion is ~2^40 here; the DP must answer instantly.
+    val deep = (1 to 40).map(i => s"x$i").mkString("/")
+    val manyStars = PathGlob(("**/" * 8) + "a")
+    val t0 = System.nanoTime()
+    assert(manyStars.matches(deep + "/a"))
+    assert(!manyStars.matches(deep))
+    assert(manyStars.couldMatch(deep))
+    val splitStars = PathGlob("a/**/**/**/**/**/**/**/b")
+    assert(splitStars.matches("a/" + deep + "/b"))
+    assert(!splitStars.matches("a/" + deep + "/c"))
+    assert(splitStars.couldMatch("a/" + deep))
+    assert(!splitStars.couldMatch("z/" + deep))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 1000.0, s"glob DP took ${elapsedMs}ms — exponential?")
+  }
+
+  test("globstar consumes zero segments at the path end") {
+    assert(PathGlob("a/**").matches("a"))
+    assert(PathGlob("a/**/**").matches("a"))
+    assert(PathGlob("**").matches(""))
+    assert(!PathGlob("a/b").matches("a"))
+    assert(!PathGlob("a/**/b").matches("a"))
+  }
+
   test("partial segment wildcards") {
     assert(PathGlob("*.json").matches("bar.json"))
     assert(PathGlob("b*r.json").matches("bar.json"))

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[graft.operators.Rank.discretePercentiles]] — the distributed
+  * range-partitioned exact-rank selection that replaced the
+  * low-cardinality `row_number` window (round-3 verdict's scale-killer):
+  *  - values equal a single-node sort's value at rank (n·pct+99) div 100;
+  *  - the plan is the scale-safe shape (range exchange present; every
+  *    window partition key includes the shuffle-partition id, so no
+  *    window partition is ever a whole group);
+  *  - the mergeable GK-sketch variant (percentile_approx) stays within
+  *    its rank-error bound of the exact values.
+  */
+class RankSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def exactByHand(pct: Int): Map[String, Double] = {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val rank = (sorted.length.toLong * pct + 99) / 100 // 1-based ceil
+        g -> sorted((rank - 1).toInt)
+      }
+    rows
+  }
+
+  test("distributed discrete rank equals single-node sort at every pinned pct") {
+    val got = graft.operators.Rank.discretePercentiles(
+        Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice",
+        Seq("p05" -> 5, "p50" -> 50, "p95" -> 95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val (e05, e50, e95) = (exactByHand(5), exactByHand(50), exactByHand(95))
+    assert(got.keySet == e50.keySet)
+    got.foreach { case (g, (p05, p50, p95)) =>
+      assert(p05 == e05(g), s"p05($g)")
+      assert(p50 == e50(g), s"p50($g)")
+      assert(p95 == e95(g), s"p95($g)")
+    }
+  }
+
+  test("rank plan is range-partitioned; no window partition is a whole group") {
+    val p = SparkEntry.queries("ws01_winsorize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "expected the distributed range exchange\n" + p.take(3000))
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, "expected the per-(pid, group) local rank window")
+    windows.foreach(w => assert(w.contains("pid#"),
+      "a window partition key without pid# sorts a whole group in one task:\n" + w))
+  }
+
+  test("percentile_approx sketch lands within rank-error of the exact values") {
+    // accuracy=10000 → rank error eps = 1/10000; at sf0.001 group sizes
+    // (~2k rows) the sketch should be exact-or-adjacent. Bound by value
+    // distance between the exact ranks at pct ± 1 (generous envelope).
+    val exact = SparkEntry.queries("ap01_approx_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sketch = graft.operators.RelationalQueries.ap01Sketch(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sketch.keySet == exact.keySet)
+    sketch.foreach { case (g, (s50, s95)) =>
+      val (e50, e95) = exact(g)
+      assert(math.abs(s50 - e50) <= 0.02 * math.abs(e50) + 1e-9,
+        s"$g p50 sketch $s50 vs exact $e50")
+      assert(math.abs(s95 - e95) <= 0.02 * math.abs(e95) + 1e-9,
+        s"$g p95 sketch $s95 vs exact $e95")
+    }
+  }
+}
