@@ -196,6 +196,20 @@ class StreamingSpec extends AnyFunSuite {
         .map(_.getLong(0)).sorted
     assert(closedNulls(streamed) == closedNulls(batch))
     assert(closedNulls(batch).nonEmpty, "test corpus must contain abandoned views")
+    // NEGATIVE guard (bounded-state contract): a view whose 30-min
+    // match window the final watermark (maxTs - 1h) cannot yet prove
+    // closed must NOT have emitted a null row — an early null would
+    // mean the join declares abandonment while a matching purchase can
+    // still legally arrive.
+    def openNulls(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(r => r.isNullAt(1) && r.getTimestamp(2).getTime >= horizon)
+        .map(_.getLong(0)).sorted
+    assert(openNulls(streamed).isEmpty,
+      s"null rows emitted INSIDE the watermark horizon: ${openNulls(streamed).take(5)}")
+    // ...and the guard must bite: the batch join DOES see abandoned
+    // views in that region, so the stream really is withholding them.
+    assert(openNulls(batch).nonEmpty,
+      "no still-open abandoned views in the corpus — horizon guard is vacuous")
   }
 
   test("foreachBatch multi-sink: one stream feeds two outputs from a shared batch (ref multi-job fan-out)") {
