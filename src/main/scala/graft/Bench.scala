@@ -30,16 +30,30 @@ object Bench {
       val elapsed =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
+      // Isolation between queries: a query that persists/checkpoints
+      // internally must not leave cached blocks behind to squeeze the
+      // storage/execution memory of every query after it — a 128-query
+      // run would otherwise slow down monotonically with position.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Sub-phase timings (write-vs-read split for layout-write queries):
+    // elapsed above is the whole round trip; "write" is the phase the
+    // query recorded on its last timed run, "read" the remainder.
+    val phases = results.flatMap { case (k, v) =>
+      graft.Phases.get(k, "write").filter(_ => v >= 0).map { w =>
+        s"\"$k\":{\"write\":$w,\"read\":${math.max(0.0, v - w)}}"
+      }
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query map on its own line FIRST; the driver tail-captures
     // stdout, so the LAST line must be the compact total-only JSON
     // (a single giant line gets its front — the total — truncated).
-    println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","phases":$phases,"queries":$qs}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"runs_per_query":$runs,"sf":"$sfDir"}""")
     spark.stop()
     // a broken query must not shrink the headline total and exit 0

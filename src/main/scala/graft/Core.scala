@@ -111,6 +111,22 @@ object Det {
     s"CAST(SUM(CAST($e AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)"
 }
 
+/** Wall-clock sub-phase recorder for queries whose single timing mixes
+  * unlike costs (zo01/q47 each pay a full layout WRITE before the read
+  * path under test). The write phase records itself here; the bench
+  * then reports write and read separately so a layout-write cost swing
+  * can't mask a read-path regression. Last-run-wins per key — the
+  * bench reads the value left by its final timed run. */
+object Phases {
+  private val t = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def timed[A](query: String, phase: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    try body finally t.put(s"$query.$phase", (System.nanoTime() - t0) / 1e9)
+  }
+  def get(query: String, phase: String): Option[Double] =
+    Option(t.get(s"$query.$phase"))
+}
+
 /** Single registry the driver contract ([[SparkEntry]]) is generated
   * from; every module contributes its queries here. */
 object Registry {

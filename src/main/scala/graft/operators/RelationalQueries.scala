@@ -906,9 +906,11 @@ object RelationalQueries {
        |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val out = java.nio.file.Files.createTempDirectory("graft_q47_").toString
-    graft.sources.Formats.write(
-      Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
-      "parquet", out, partitionBy = Seq("o_year"))
+    graft.Phases.timed("q47_write_roundtrip", "write") {
+      graft.sources.Formats.write(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        "parquet", out, partitionBy = Seq("o_year"))
+    }
     graft.sources.Formats.read(s, "parquet", out)
       .filter(col("o_year") === 1995)
       .groupBy("o_orderpriority")
@@ -976,6 +978,66 @@ object RelationalQueries {
         .select(col("term"), col("n").as("n_exact"), col("n_est"),
           (col("n_est") - col("n")).as("overcount"))
         .orderBy("term")
+    }
+  }
+
+  /** Sketch-based JOIN-SIZE ESTIMATION — the planning-time use of cm01's
+    * Count-Min machinery: |A ⋈ B on k| = Σ_k a(k)·b(k), and the CMS
+    * inner product Σ_b A_j[b]·B_j[b] (min over rows j) overestimates it
+    * by at most the hash-collision mass. A cost-based planner runs this
+    * BEFORE the join to pick broadcast-vs-shuffle and pre-size shuffle
+    * partitions; at 100 TB each sketch is still DEPTH×WIDTH cells built
+    * by one map-side partial aggregation — the estimate never touches
+    * the join itself. Same md5 bucket family as cm01, so the sketch
+    * contents AND the estimate hash-match the DuckDB oracle; overcount
+    * ≥ 0 by construction (collisions only add). */
+  val cm02JoinSize: GraftQuery = {
+    val DEPTH = 3
+    val WIDTH = 256
+    def sqlBucket(j: Int, e: String) =
+      s"CAST(CONCAT('0x', SUBSTRING(md5('$j:' || CAST($e AS VARCHAR)), 1, 8)) AS BIGINT) % $WIDTH"
+    def sqlEntries(table: String, keyE: String) =
+      (0 until DEPTH).map(j =>
+        s"SELECT $j AS row_j, ${sqlBucket(j, keyE)} AS bucket FROM $table")
+        .mkString("\n  UNION ALL ")
+    q("cm02_join_size",
+      "join-size estimation via Count-Min inner product (sketch-based join planning)",
+      s"""WITH ea AS (
+         |  ${sqlEntries("orders", "o_custkey")}),
+         |eb AS (
+         |  ${sqlEntries("customer", "c_custkey")}),
+         |sa AS (SELECT row_j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM ea GROUP BY 1, 2),
+         |sb AS (SELECT row_j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM eb GROUP BY 1, 2),
+         |ip AS (
+         |  SELECT sa.row_j, CAST(SUM(sa.c * sb.c) AS BIGINT) AS dot
+         |  FROM sa JOIN sb ON sa.row_j = sb.row_j AND sa.bucket = sb.bucket
+         |  GROUP BY sa.row_j),
+         |est AS (SELECT CAST(MIN(dot) AS BIGINT) AS n_est FROM ip),
+         |ex AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |SELECT n_exact, n_est, n_est - n_exact AS overcount FROM ex, est""".stripMargin) {
+      (s, d) =>
+        def bucket(j: Int, c: Column) =
+          conv(substring(md5(concat(lit(s"$j:"), c.cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % WIDTH
+        def sketch(df: DataFrame, key: Column) =
+          df.select(explode(array((0 until DEPTH).map(j =>
+            struct(lit(j).as("row_j"), bucket(j, key).as("bucket"))): _*)).as("e"))
+            .select(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+            .groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
+        val sa = sketch(Tables.orders(s, d), col("o_custkey"))
+        val sb = sketch(Tables.customer(s, d), col("c_custkey"))
+          .withColumnRenamed("c", "cb")
+        val ip = sa.join(sb, Seq("row_j", "bucket"))
+          .groupBy("row_j").agg(sum(col("c") * col("cb")).cast(LongType).as("dot"))
+        val est = ip.agg(min("dot").cast(LongType).as("n_est"))
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(est))
+          .select(col("n_exact"), col("n_est"),
+            (col("n_est") - col("n_exact")).as("overcount"))
     }
   }
 
@@ -1124,7 +1186,8 @@ object RelationalQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    ap01ApproxQuantiles, q47WriteRoundtrip, cm01CountMin, hll02OracleDistinct,
+    ap01ApproxQuantiles, q47WriteRoundtrip, cm01CountMin, cm02JoinSize,
+    hll02OracleDistinct,
     hll03SketchRollup,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,

@@ -64,6 +64,57 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Johnson–Lindenstrauss RANDOM PROJECTION with Achlioptas's sparse
+    * database-friendly matrix (signs drawn {+1, 0, −1} with probability
+    * {1/6, 2/3, 1/6} from the md5 family): 64-dim float vectors → 8
+    * projected coordinates, the standard cheapening step before ANN
+    * (shorter vectors → smaller index, faster distance kernels;
+    * pairwise distances preserved within JL bounds). The sign matrix is
+    * a COMPILE-TIME constant — it lives in the plan as literals, the
+    * projection is pure per-row whole-stage-codegen arithmetic, no
+    * shuffle, no UDF, no broadcast; at 100 TB this is a map-only pass.
+    * Determinism: exact float→double casts and a fixed left-associated
+    * add chain (sparse terms only), identical in Spark and the SQL
+    * oracle, so the projected coordinates hash-match bit-for-bit.
+    * Consumers scale by √(3/K) when absolute distances matter; ranking
+    * is scale-invariant so the factor is left out of the stored
+    * projection. */
+  val rp01RandomProjection: GraftQuery = {
+    val K = 8
+    val D = 64
+    // {+1,0,-1} ~ {1/6,2/3,1/6}: Achlioptas (2003), via the corpus-wide
+    // md5 hash family so both engines could re-derive it
+    def sign(k: Int, i: Int): Int = {
+      val b = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$i".getBytes("UTF-8"))
+      (b(0) & 0xff) % 6 match { case 0 => 1; case 1 => -1; case _ => 0 }
+    }
+    val sparse: Seq[Seq[(Int, Int)]] = (0 until K).map(k =>
+      (0 until D).map(i => (i, sign(k, i))).filter(_._2 != 0))
+    val sqlCols = sparse.zipWithIndex.map { case (terms, k) =>
+      val chain = terms.map {
+        case (i, 1) => s"(CAST(embedding[${i + 1}] AS DOUBLE))"
+        case (i, _) => s"(-CAST(embedding[${i + 1}] AS DOUBLE))"
+      }.mkString(" + ")
+      s"$chain AS p$k"
+    }
+    q("rp01_random_projection",
+      "JL random projection 64→8 dims (Achlioptas sparse signs, map-only, codegen)",
+      s"""SELECT vec_id,
+         |  ${sqlCols.mkString(",\n  ")}
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val projCols = sparse.zipWithIndex.map { case (terms, k) =>
+        terms.map { case (i, sgn) =>
+          val e = element_at(col("embedding"), i + 1).cast(DoubleType)
+          if (sgn == 1) e else -e
+        }.reduce(_ + _).as(s"p$k")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: projCols: _*)
+        .orderBy("vec_id")
+    }
+  }
+
   /** SimHash-style sign-bit bucket histogram — the partition layout
     * the scalable ANN path shuffles by. */
   val sm02SimhashBuckets: GraftQuery = q(
@@ -225,5 +276,5 @@ object SimilarityQueries {
 
   val all: Seq[GraftQuery] = Seq(
     sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,
-    sm05Int8Quantize, sm06QuantizedTopK)
+    sm05Int8Quantize, sm06QuantizedTopK, rp01RandomProjection)
 }

@@ -422,9 +422,12 @@ object TextQueries {
     val prof = graft.plans.TopKPerGroup.perGroup(
       cnt, Seq(col("lang")), struct(col("n"), col("trigram")), 20)
       .select(col("lang").as("cand"), col("trigram"))
+    // DISTINCT (doc, trigram) would shuffle the full exploded set; as
+    // doc_id is unique per input row, de-duplicating the trigram ARRAY
+    // before exploding is the same relation computed map-side.
     val dg = docs.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), col("lang"), explode(trigrams(col("text"))).as("trigram"))
-      .distinct()
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(trigrams(col("text")))).as("trigram"))
     val hits = dg.join(broadcast(prof), "trigram")
       .groupBy("doc_id", "lang", "cand").agg(count(lit(1)).as("nh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("nh").desc, col("cand"))

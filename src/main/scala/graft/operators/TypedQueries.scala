@@ -128,6 +128,43 @@ object TypedQueries {
       .orderBy("s_name")
   }
 
+  /** Skew DIAGNOSIS — the planning query that decides WHEN the salted
+    * rewrites (sk01/sk02) are worth their extra shuffle. One cheap
+    * pre-aggregation builds the key histogram (output rows = key
+    * cardinality, never data size); each key then gets an integer salt
+    * factor = how many even-share reducer slots its rows would fill
+    * (`ceil(n·P / total)`, P = target parallelism), and a `skewed` flag
+    * at the 2×-even-share threshold — the same signal AQE's runtime
+    * skew-split reacts to, computed ahead of time so a static plan can
+    * salt exactly the hot keys and leave the rest alone. All integer
+    * arithmetic (basis points, ceil-div), so the plan itself is
+    * oracle-checked, not just the histogram. */
+  val sk03SkewPlanner: GraftQuery = {
+    val P = 32
+    q("sk03_skew_planner",
+      "skew diagnosis: key histogram -> integer salt-factor plan for sk01/sk02",
+      s"""WITH k AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM k)
+         |SELECT l_returnflag, n,
+         |  CAST(n * 10000 // total AS BIGINT) AS share_bp,
+         |  CAST(GREATEST(1, (n * $P + total - 1) // total) AS BIGINT) AS salt,
+         |  n * $P > 2 * total AS skewed
+         |FROM k, t ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val k = Tables.lineitem(s, d)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val t = k.agg(sum("n").cast(LongType).as("total"))
+      k.crossJoin(broadcast(t))
+        .select(col("l_returnflag"), col("n"),
+          expr("n * 10000 div total").cast(LongType).as("share_bp"),
+          greatest(lit(1L), expr(s"(n * $P + total - 1) div total"))
+            .cast(LongType).as("salt"),
+          (col("n") * P > col("total") * 2).as("skewed"))
+        .orderBy("l_returnflag")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(ua01TypedAggregator, ty01TypedReduce, sk01SaltedAgg,
-    sk02SaltedJoin)
+    sk02SaltedJoin, sk03SkewPlanner)
 }

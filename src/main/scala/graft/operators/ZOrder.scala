@@ -73,8 +73,10 @@ object ZOrder {
       .withColumn("x", col("o_custkey") % 256)
       .withColumn("y", col("o_orderkey") % 256)
       .withColumn("z", zval(col("x"), col("y")))
-    o.repartitionByRange(16, col("z")).sortWithinPartitions("z")
-      .write.mode("overwrite").parquet(out)
+    graft.Phases.timed("zo01_zorder_layout", "write") {
+      o.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+    }
     s.read.parquet(out)
   }
 
