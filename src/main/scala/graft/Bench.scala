@@ -7,6 +7,10 @@ object Bench {
     // median-of-N timed runs (default 3): single-run spread on
     // sub-second queries is ±50% on this machine (BASELINE.md)
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // dev-only: comma-separated name prefixes restrict the run (the
+    // driver never sets this → full sweep)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    def selected(name: String) = only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,7 +21,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       // warm-up pass absorbs JIT/codegen/file-footer costs, then
       // median of `runs` steady-state executions
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

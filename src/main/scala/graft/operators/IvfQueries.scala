@@ -385,9 +385,13 @@ object IvfQueries {
     * sf dir); later queries/specs reload it like a serving node. */
   def indexDir(s: SparkSession, d: String): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf06_").toString
-    val qv = quantizedDf(s, d)
-    assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
-      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    // train + layout-write is the indexing phase; recorded so the bench
+    // reports it apart from the serving-side read+search it gates
+    graft.Phases.timed("ivf06_persisted_index", "write") {
+      val qv = quantizedDf(s, d)
+      assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
+        .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    }
     dir
   }
 

@@ -1,37 +1,48 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed exact-rank selection — the value at integer rank
-  * `ceil(pct·n/100)` per group WITHOUT a per-group global sort.
+  * `ceil(pct·n/100)` per group WITHOUT sorting (or even shuffling) the
+  * fact table.
   *
   * The naive plan (`row_number() OVER (PARTITION BY group ORDER BY v)`)
   * sorts each group inside ONE task: with a low-cardinality group key
   * (ws01's `l_returnflag` has 3 values) that is the whole table sorted
-  * in 3 tasks — a scale-killer at 100 TB. Here the sort is the
-  * distributed one:
+  * in 3 tasks — a scale-killer at 100 TB. A range-exchange variant
+  * (spread each group over many ordered partitions, prefix-sum the
+  * per-partition counts) fixes the parallelism but still pays one full
+  * shuffle of the fact table. Exact rank selection needs neither: it is
+  * histogram refinement (the distributed selection algorithm):
   *
-  *  1. `repartitionByRange(group, v)` — Spark's sampled range exchange
-  *     spreads every group across many ordered partitions (parallelism
-  *     = `spark.sql.shuffle.partitions`, tuned to data size, NOT to
-  *     group-key cardinality);
-  *  2. a per-(partition, group) local `row_number` — each window
-  *     partition is one range slice of one group, bounded by
-  *     rows-per-shuffle-partition;
-  *  3. global rank = local rank + the group's total row count in all
-  *     lower-range partitions — a (#partitions × #groups)-row
-  *     prefix-sum table, broadcast back.
+  *  1. per-group `min/max/count` — one columnar scan, tiny output;
+  *  2. bucket every value into `B` equi-width bins over [lo, hi] — a
+  *     deterministic per-row expression (broadcast of the tiny extent
+  *     table; no shuffle of fact rows). The histogram aggregation
+  *     ships #groups × B partial counts, never data;
+  *  3. per-group prefix sums over the histogram locate the ONE bucket
+  *     whose count interval covers each target rank, and the rank's
+  *     local position `lr` inside that bucket;
+  *  4. fact rows join the broadcast hit-bucket table — everything
+  *     outside a hit bucket dies map-side — and a `row_number` window
+  *     partitioned by (group, pct) orders ONLY the surviving bucket
+  *     (≈ n/B rows; the window's exchange moves one bucket per
+  *     (group, pct), never the table).
   *
-  * The value at a global rank is invariant to where the sampled range
-  * boundaries fall (ties may straddle partitions; equal values are
-  * interchangeable), so the output is deterministic even though the
-  * range sampling is not. The count table and the local ranks both
-  * hang off the SAME range exchange, which Catalyst/AQE plan once and
-  * reuse (ReusedExchange / AQE stage reuse) — so `spark_partition_id`
-  * is observed on one physical shuffle, not two possibly-different
-  * ones; RankSpec pins the reuse and the end values.
+  * The bucket index is a pure function of (v, lo, hi), so every branch
+  * observes identical bucketing with no cross-stage partition-id
+  * coupling, and the selected value — an exact order statistic — is
+  * independent of bucketing entirely. Degenerate value distributions
+  * (a bucket holding most of a group, e.g. a near-constant column)
+  * degrade step 4 toward the naive sort for that group only; a second
+  * refinement level over the hit bucket would bound that, and the
+  * histogram (one tiny frame) tells the planner when it's needed.
+  *
+  * The tiny frames (`ext`, `hits`) are `localCheckpoint`ed so their
+  * broadcast builds don't re-trigger the fact scan per reference —
+  * total cost is three column-pruned scans and zero fact shuffles.
   */
 object Rank {
 
@@ -41,29 +52,37 @@ object Rank {
     * the identical element; no interpolation, no float rank math).
     * `valCol` must be non-null. Output is NOT sorted — callers order. */
   def discretePercentiles(df: DataFrame, groupCol: String, valCol: String,
-      pcts: Seq[(String, Int)]): DataFrame = {
-    val parted = df.select(col(groupCol).as("g"), col(valCol).as("v"))
-      .repartitionByRange(col("g"), col("v"))
-      .withColumn("pid", spark_partition_id())
-    val cnts = parted.groupBy("pid", "g").agg(count(lit(1)).as("c"))
-    val offs = cnts.select(col("pid"), col("g"),
-      coalesce(sum("c").over(Window.partitionBy("g").orderBy("pid")
+      pcts: Seq[(String, Int)], buckets: Int = 1024): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(valCol).as("v"))
+    val ext = base.groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val bucketed = base.join(broadcast(ext.select("g", "lo", "hi")), Seq("g"))
+      .withColumn("b", when(col("hi") === col("lo"), lit(0)).otherwise(
+        least(lit(buckets - 1),
+          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)
+            .cast("int"))))
+    val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val offs = hist.select(col("g"), col("b"), col("c"),
+      coalesce(sum("c").over(Window.partitionBy("g").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
-    val tgt = cnts.groupBy("g").agg(sum("c").as("n"))
-      .select(col("g") +: pcts.map { case (a, p) =>
-        expr(s"(n * $p + 99) div 100").as(s"r_$a") }: _*)
-    val isHit: Column = pcts.map { case (a, _) =>
-      col("grank") === col(s"r_$a") }.reduce(_ || _)
+    val tgt = ext.select(col("g") +: pcts.map { case (a, p) =>
+      expr(s"(n * $p + 99) div 100").as(s"r_$a") }: _*)
+    // one row per (group, pct): the bucket holding the target rank and
+    // the rank's local position inside it — tiny by construction
+    val hits = pcts.map { case (a, _) =>
+      offs.join(tgt, Seq("g"))
+        .filter(col(s"r_$a") > col("off") && col(s"r_$a") <= col("off") + col("c"))
+        .select(col("g"), col("b"),
+          (col(s"r_$a") - col("off")).as("lr"), lit(a).as("tag"))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val w = Window.partitionBy("g", "tag").orderBy("v")
+    val sel = bucketed.join(broadcast(hits), Seq("g", "b"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("lr"))
     val aggs = pcts.map { case (a, _) =>
-      max(when(col("grank") === col(s"r_$a"), col("v"))).as(a) }
-    parted
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("pid", "g").orderBy("v")))
-      .join(broadcast(offs), Seq("pid", "g"))
-      .withColumn("grank", col("off") + col("rn"))
-      .join(broadcast(tgt), Seq("g"))
-      .filter(isHit)
-      .groupBy("g")
+      max(when(col("tag") === a, col("v"))).as(a) }
+    sel.groupBy("g")
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("g", groupCol)
   }

@@ -918,6 +918,47 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Bucketed-table JOIN — the co-located join with NO runtime
+    * shuffle. Both sides are written `bucketBy(join key)` (+ in-bucket
+    * sort), so their on-disk layout already satisfies the join's
+    * required distribution: EnsureRequirements inserts no Exchange on
+    * either side (FormatsSpec pins the plan, both for the raw
+    * mechanism and for this registry query). The `merge` hint keeps
+    * the sort-merge strategy even where the dim side would broadcast,
+    * so the shuffle-free path is what actually runs. At 100 TB this is
+    * THE pattern for repeated joins on a canonical key (user_id,
+    * doc_id): pay the distribution once at write time, join
+    * shuffle-free in every consumer after. The write is recorded as a
+    * bench phase, apart from the read+join it buys. */
+  val q48BucketedJoin: GraftQuery = q(
+    "q48_bucketed_join",
+    "bucketed-table sort-merge join: zero-Exchange equi-join from layout",
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${Det.sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    // external tables on a fresh path: no state shared across sessions
+    // (a stale managed-table location from a dead session would make
+    // saveAsTable refuse), overwrite handles re-registration within one
+    val wh = java.nio.file.Files.createTempDirectory("graft_q48_").toString
+    graft.Phases.timed("q48_bucketed_join", "write") {
+      Tables.orders(s, d).write.mode("overwrite")
+        .option("path", s"$wh/orders")
+        .bucketBy(16, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bkt")
+      Tables.customer(s, d).write.mode("overwrite")
+        .option("path", s"$wh/customer")
+        .bucketBy(16, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bkt")
+    }
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_customer_bkt").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Count-Min sketch over token occurrences — the mergeable
     * heavy-hitter structure (depth 3 × width 64 here; width scales the
     * ε = e/width error bound). Unlike HLL/GK (engine-opaque state),
@@ -1185,10 +1226,128 @@ object RelationalQueries {
     }
   }
 
+  /** Sketch SET ALGEBRA — why a warehouse stores register tables
+    * instead of distinct counts: two audiences (users who clicked,
+    * users who purchased) have a union sketch obtainable WITHOUT any
+    * rescan (register-wise max), and |A ∩ B| follows by
+    * inclusion–exclusion on the three estimates — the audience-overlap
+    * question exact counts can only answer with a join over raw data.
+    * Registers, estimates, and the derived intersection are all
+    * reproduced by the DuckDB oracle (hll02's integer construction);
+    * the exact counts sit alongside to show where the estimates land.
+    * At scale each side is one 64-cell register table however many
+    * events exist, and the set algebra never touches the fact table. */
+  val hll04SetAlgebra: GraftQuery = {
+    import Hll._
+    val smearSql = Seq(1, 2, 4, 8, 16).zipWithIndex.map { case (k, i) =>
+      val prev = if (i == 0) "b" else s"s$i"
+      s"s${i + 1} AS (SELECT side, bucket, w | (w >> $k) AS w FROM $prev)"
+    }.mkString(",\n")
+    val estSql = (hs: String) =>
+      s"CAST($ALPHA AS DOUBLE) * $M * $M * ${1L << (W + 1)} / CAST($hs AS DOUBLE)"
+    q("hll04_set_algebra",
+      "HLL union (register max) + intersection (inclusion-exclusion) of two audiences",
+      s"""WITH ev AS (
+         |  SELECT 'a' AS side, user_id FROM events WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT 'b' AS side, user_id FROM events WHERE event_type = 'purchase'),
+         |h AS (
+         |  SELECT side,
+         |    CAST(CONCAT('0x', SUBSTRING(md5('h:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+         |  FROM ev),
+         |b AS (SELECT side, h32 >> $W AS bucket, h32 & ${(1L << W) - 1} AS w FROM h),
+         |$smearSql,
+         |r AS (SELECT side, bucket, ${W + 1} - bit_count(w) AS rho FROM s5),
+         |perside AS (SELECT side, bucket, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+         |uregs AS (SELECT bucket, MAX(mj) AS mj FROM perside GROUP BY bucket),
+         |grid AS (SELECT unnest(range(0, $M)) AS bucket),
+         |sides AS (SELECT 'a' AS side UNION ALL SELECT 'b'),
+         |full_s AS (
+         |  SELECT sides.side, grid.bucket, COALESCE(mj, 0) AS mj
+         |  FROM sides CROSS JOIN grid
+         |  LEFT JOIN perside ON sides.side = perside.side AND grid.bucket = perside.bucket),
+         |full_u AS (
+         |  SELECT grid.bucket, COALESCE(mj, 0) AS mj
+         |  FROM grid LEFT JOIN uregs ON grid.bucket = uregs.bucket),
+         |aggs AS (
+         |  SELECT side, CAST(SUM(CAST(1 AS BIGINT) << (${W + 1} - mj)) AS BIGINT) AS hs
+         |  FROM full_s GROUP BY side),
+         |wide AS (
+         |  SELECT MAX(CASE WHEN side = 'a' THEN hs END) AS hs_a,
+         |         MAX(CASE WHEN side = 'b' THEN hs END) AS hs_b
+         |  FROM aggs),
+         |aggu AS (
+         |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (${W + 1} - mj)) AS BIGINT) AS hs_union
+         |  FROM full_u),
+         |est AS (
+         |  SELECT hs_a, hs_b, hs_union,
+         |    ${estSql("hs_a")} AS est_a,
+         |    ${estSql("hs_b")} AS est_b,
+         |    ${estSql("hs_union")} AS est_union
+         |  FROM wide, aggu),
+         |ua AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         |ub AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         |exact AS (SELECT
+         |  (SELECT COUNT(*) FROM ua) AS n_exact_a,
+         |  (SELECT COUNT(*) FROM ub) AS n_exact_b,
+         |  (SELECT COUNT(*) FROM (SELECT user_id FROM ua UNION SELECT user_id FROM ub)) AS n_exact_union,
+         |  (SELECT COUNT(*) FROM ua JOIN ub USING (user_id)) AS n_exact_intersect)
+         |SELECT n_exact_a, n_exact_b, n_exact_union, n_exact_intersect,
+         |  hs_a, hs_b, hs_union, est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_intersect
+         |FROM est, exact""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      val sided = ev.filter(col("event_type") === "click")
+        .select(lit("a").as("side"), col("user_id"))
+        .unionByName(ev.filter(col("event_type") === "purchase")
+          .select(lit("b").as("side"), col("user_id")))
+      val perSide = registers(sided, col("side"), col("user_id").cast(StringType))
+        .withColumnRenamed("gkey", "side")
+      val uRegs = perSide.groupBy("bucket").agg(max("mj").as("mj"))
+      val grid = s.range(M).select(col("id").as("bucket"))
+      val sides = sided.select("side").distinct()
+      def harmonic(regs: DataFrame, keys: Seq[String], gridDf: DataFrame) =
+        gridDf.join(regs, keys :+ "bucket", "left")
+          .withColumn("mj", coalesce(col("mj"), lit(0)))
+          .groupBy(keys.map(col): _*)
+          .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - mj)"))
+            .cast(LongType).as("hs"))
+      val hsS = harmonic(perSide, Seq("side"), sides.crossJoin(broadcast(grid)))
+      val wide = hsS.agg(
+        max(when(col("side") === "a", col("hs"))).as("hs_a"),
+        max(when(col("side") === "b", col("hs"))).as("hs_b"))
+      val hsU = grid.join(uRegs, Seq("bucket"), "left")
+        .withColumn("mj", coalesce(col("mj"), lit(0)))
+        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - mj)"))
+          .cast(LongType).as("hs_union"))
+      def estCol(hs: Column) =
+        lit(ALPHA) * lit(M * M) * lit(1L << (W + 1)) / hs.cast(DoubleType)
+      val est = wide.crossJoin(broadcast(hsU))
+        .select(col("hs_a"), col("hs_b"), col("hs_union"),
+          estCol(col("hs_a")).as("est_a"),
+          estCol(col("hs_b")).as("est_b"),
+          estCol(col("hs_union")).as("est_union"))
+      val ua = ev.filter(col("event_type") === "click").select("user_id").distinct()
+      val ub = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val exact = ua.agg(count(lit(1)).as("n_exact_a"))
+        .crossJoin(broadcast(ub.agg(count(lit(1)).as("n_exact_b"))))
+        .crossJoin(broadcast(
+          ua.union(ub).distinct().agg(count(lit(1)).as("n_exact_union"))))
+        .crossJoin(broadcast(
+          ua.join(ub, "user_id").agg(count(lit(1)).as("n_exact_intersect"))))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_exact_a"), col("n_exact_b"), col("n_exact_union"),
+          col("n_exact_intersect"), col("hs_a"), col("hs_b"), col("hs_union"),
+          col("est_a"), col("est_b"), col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    ap01ApproxQuantiles, q47WriteRoundtrip, cm01CountMin, cm02JoinSize,
+    ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, cm01CountMin,
+    cm02JoinSize,
     hll02OracleDistinct,
-    hll03SketchRollup,
+    hll03SketchRollup, hll04SetAlgebra,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,

@@ -120,6 +120,20 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q48 registry query joins bucketed tables with no join-side exchange") {
+    val df = SparkEntry.queries("q48_bucketed_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "bucketed join should plan as sort-merge:\n" + plan.take(3000))
+    // the final groupBy/orderBy may exchange on c_mktsegment; the join
+    // keys must never need one — that's what the bucket layout bought
+    val offending = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && l.toLowerCase.contains("custkey")).toSeq
+    assert(offending.isEmpty,
+      "join-side exchange on a bucketed key:\n" + offending.mkString("\n"))
+    assert(df.count() > 0)
+  }
+
   test("corpus glob pushdown: pathGlobFilter for **-shaped globs, exact post-filter always") {
     import graft.sources.PathGlob
     val pushable = Corpus.readFiltered(spark, "src/test/resources/refFixtures",

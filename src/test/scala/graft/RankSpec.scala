@@ -44,15 +44,26 @@ class RankSpec extends AnyFunSuite {
     }
   }
 
-  test("rank plan is range-partitioned; no window partition is a whole group") {
+  test("rank plan never shuffles or sorts the fact table") {
     val p = SparkEntry.queries("ws01_winsorize")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      "expected the distributed range exchange\n" + p.take(3000))
+    val lower = p.linesIterator.map(_.toLowerCase).toSeq
+    // the fact table's value column must never be shuffle-sorted: the
+    // final tiny orderBy on the group key may range-partition its
+    // 3-row result, but no range exchange may carry v
+    lower.filter(_.contains("rangepartitioning")).foreach(l =>
+      assert(!l.contains("v#"),
+        "histogram selection must not range-shuffle the fact table:\n" + l))
+    // the only fact-side ordering allowed is the hit-bucket rank: every
+    // sort or window touching v must be keyed by tag# — a column that
+    // exists only AFTER the broadcast hit-bucket join filtered the
+    // table down to ≈ n/B rows per (group, pct)
     val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windows.nonEmpty, "expected the per-(pid, group) local rank window")
-    windows.foreach(w => assert(w.contains("pid#"),
-      "a window partition key without pid# sorts a whole group in one task:\n" + w))
+    assert(windows.exists(_.contains("tag#")),
+      "expected the per-(group, pct) hit-bucket rank window\n" + p.take(3000))
+    lower.filter(l => l.contains("sort [") && l.contains("v#")).foreach(l =>
+      assert(l.contains("tag#"),
+        "a sort over v without the hit-bucket tag sorts a whole group in one task:\n" + l))
   }
 
   test("percentile_approx sketch lands within rank-error of the exact values") {
