@@ -36,9 +36,12 @@ import org.apache.spark.sql.functions._
   * coupling, and the selected value — an exact order statistic — is
   * independent of bucketing entirely. Degenerate value distributions
   * (a bucket holding most of a group, e.g. a near-constant column)
-  * degrade step 4 toward the naive sort for that group only; a second
-  * refinement level over the hit bucket would bound that, and the
-  * histogram (one tiny frame) tells the planner when it's needed.
+  * would degrade step 4 toward the naive sort for that group;
+  * `refineLevels` bounds that: each level re-histograms a hot cohort
+  * over its own extent (another ×B shrink) and an all-equal cohort —
+  * the case bucketing can never split — is answered directly from its
+  * extent, no ordering at all (see [[selectAt]]; RankSpec pins it on a
+  * 99%-constant column).
   *
   * The tiny frames (`ext`, `hits`) are `localCheckpoint`ed so their
   * broadcast builds don't re-trigger the fact scan per reference —
@@ -52,7 +55,8 @@ object Rank {
     * the identical element; no interpolation, no float rank math).
     * `valCol` must be non-null. Output is NOT sorted — callers order. */
   def discretePercentiles(df: DataFrame, groupCol: String, valCol: String,
-      pcts: Seq[(String, Int)], buckets: Int = 1024): DataFrame = {
+      pcts: Seq[(String, Int)], buckets: Int = 1024,
+      refineLevels: Int = 0): DataFrame = {
     val base = df.select(col(groupCol).as("g"), col(valCol).as("v"))
     val ext = base.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
@@ -76,14 +80,54 @@ object Rank {
         .select(col("g"), col("b"),
           (col(s"r_$a") - col("off")).as("lr"), lit(a).as("tag"))
     }.reduce(_ unionByName _).localCheckpoint()
-    val w = Window.partitionBy("g", "tag").orderBy("v")
-    val sel = bucketed.join(broadcast(hits), Seq("g", "b"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === col("lr"))
+    val cohorts = bucketed.join(broadcast(hits), Seq("g", "b"))
+      .select(col("g"), col("tag"), col("v"), col("lr"))
     val aggs = pcts.map { case (a, _) =>
       max(when(col("tag") === a, col("v"))).as(a) }
-    sel.groupBy("g")
+    selectAt(cohorts, refineLevels, buckets)
+      .groupBy("g")
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("g", groupCol)
+  }
+
+  /** Select the value at local rank `lr` inside each (g, tag) cohort.
+    * `levels = 0` orders the cohort directly — correct whenever cohorts
+    * are ≈ n/B rows, the common case. Each extra level re-histograms
+    * the cohort over its own [lo, hi] extent first, shrinking it
+    * another ×B before anything is ordered — the guard for DEGENERATE
+    * distributions where equi-width bucketing can't split a hot value
+    * range. An all-equal cohort (the true worst case: re-bucketing
+    * cannot make progress on it) short-circuits — its min equals its
+    * max, and that IS the answer at every rank, no ordering needed. */
+  private def selectAt(rows: DataFrame, levels: Int, buckets: Int): DataFrame = {
+    if (levels <= 0) {
+      val w = Window.partitionBy("g", "tag").orderBy("v")
+      rows.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === col("lr"))
+        .select(col("g"), col("tag"), col("v"))
+    } else {
+      val ext = rows.groupBy("g", "tag")
+        .agg(min("v").as("lo"), max("v").as("hi"), max("lr").as("lr"))
+        .localCheckpoint()
+      val done = ext.filter(col("lo") === col("hi"))
+        .select(col("g"), col("tag"), col("lo").as("v"))
+      val open = ext.filter(col("lo") =!= col("hi"))
+      val rebucketed = rows.drop("lr")
+        .join(broadcast(open.select("g", "tag", "lo", "hi")), Seq("g", "tag"))
+        .withColumn("b", least(lit(buckets - 1),
+          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)
+            .cast("int")))
+      val hist = rebucketed.groupBy("g", "tag", "b").agg(count(lit(1)).as("c"))
+      val offs = hist.select(col("g"), col("tag"), col("b"), col("c"),
+        coalesce(sum("c").over(Window.partitionBy("g", "tag").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+      val hit = offs.join(broadcast(open.select("g", "tag", "lr")), Seq("g", "tag"))
+        .filter(col("lr") > col("off") && col("lr") <= col("off") + col("c"))
+        .select(col("g"), col("tag"), col("b"), (col("lr") - col("off")).as("lr"))
+        .localCheckpoint()
+      val next = rebucketed.join(broadcast(hit), Seq("g", "tag", "b"))
+        .select(col("g"), col("tag"), col("v"), col("lr"))
+      done.unionByName(selectAt(next, levels - 1, buckets))
+    }
   }
 }

@@ -84,6 +84,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("n_chars"), "unused metadata columns must be pruned")
   }
 
+  test("rp01: random projection is map-only — no aggregation exchange, no join, no window") {
+    val p = plan("rp01_random_projection")
+    // the constant sign matrix lives in the plan as literals: the whole
+    // projection must pipeline inside the scan stage (the final ORDER BY
+    // on vec_id is the only exchange allowed)
+    assert(!p.contains("hashpartitioning"),
+      "projection must not shuffle\n" + p.take(3000))
+    assert(!p.contains("Window") && !p.toLowerCase.contains("join"),
+      "projection is per-row arithmetic only\n" + p.take(3000))
+  }
+
   test("q38: correlated EXISTS/NOT EXISTS decorrelates to semi + anti joins") {
     val p = plan("q38_exists_correlated")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join\n" + p.take(3000))

@@ -66,6 +66,33 @@ class RankSpec extends AnyFunSuite {
         "a sort over v without the hit-bucket tag sorts a whole group in one task:\n" + l))
   }
 
+  test("refinement levels guard degenerate distributions (99%-constant column)") {
+    // v = 0.0 for ~99% of rows: equi-width bucketing dumps the giant
+    // constant mass into bucket 0, which refinement answers from its
+    // extent (lo == hi) WITHOUT ordering it; the 1% tail still ranks
+    // exactly. Values must equal the single-node sort at every pct.
+    val skewed = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        when(col("l_orderkey") % 100 === 0, col("l_extendedprice"))
+          .otherwise(lit(0.0)).as("v"))
+    val byHand = skewed.collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        def at(pct: Int) = sorted(((sorted.length.toLong * pct + 99) / 100 - 1).toInt)
+        g -> (at(50), at(99))
+      }
+    val got = graft.operators.Rank.discretePercentiles(
+        skewed, "l_returnflag", "v",
+        Seq("p50" -> 50, "p99" -> 99), refineLevels = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == byHand.keySet)
+    byHand.foreach { case (g, (e50, e99)) =>
+      assert(got(g)._1 == e50, s"p50($g)")
+      assert(got(g)._2 == e99, s"p99($g)")
+    }
+  }
+
   test("percentile_approx sketch lands within rank-error of the exact values") {
     // accuracy=10000 → rank error eps = 1/10000; at sf0.001 group sizes
     // (~2k rows) the sketch should be exact-or-adjacent. Bound by value
