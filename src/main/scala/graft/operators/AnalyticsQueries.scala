@@ -297,6 +297,43 @@ object AnalyticsQueries {
       .orderBy("lang")
   }
 
+  /** Deterministic train/val/test ASSIGNMENT — the split every training
+    * pipeline needs to be reproducible, rerunnable, and joinable: a
+    * document's split is a pure function of its id (md5 bucket →
+    * 80/10/10 ranges), so any job on any day assigns identically, new
+    * documents never move old ones between splits, and "which split is
+    * this doc in" is a map-side expression, never a lookup table. The
+    * audit emits per-split counts, token mass, and the min/max id span
+    * to prove the assignment is interleaved, not contiguous. */
+  val st02SplitAssign: GraftQuery = q(
+    "st02_split_assign",
+    "deterministic hash 80/10/10 train/val/test split with per-split audit",
+    """WITH b AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    CAST(CONCAT('0x', SUBSTRING(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT CASE WHEN bucket < 80 THEN 'train'
+      |              WHEN bucket < 90 THEN 'val'
+      |              ELSE 'test' END AS split, doc_id, n_tokens
+      |  FROM b)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("split")
+  }
+
   /** Data-quality constraint audit — the Deequ-style gate a pipeline
     * runs before publishing a table. One report row per constraint:
     * checked count, violation count, pass verdict. Checks over the
@@ -502,5 +539,6 @@ object AnalyticsQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
-    st01StratifiedSample, dq01QualityAudit, ws01Winsorize, it01Interpolate)
+    st01StratifiedSample, st02SplitAssign, dq01QualityAudit, ws01Winsorize,
+    it01Interpolate)
 }

@@ -227,7 +227,50 @@ object EventQueries {
       .orderBy("window_start", "event_type")
   }
 
+  /** Inter-event latency percentiles — the SLO question ("p50/p95 gap
+    * between consecutive events of a type") answered with the
+    * histogram-refinement rank engine ([[Rank.discretePercentiles]],
+    * refineLevels = 1) rather than a per-type global sort: the lag
+    * window partitions by (user, type) — high cardinality, bounded
+    * per-user history, scale-safe — and the percentile selection never
+    * shuffles the gap table (gaps are integer microseconds, heavily
+    * repeated, exactly the discrete distribution the refinement's
+    * all-equal shortcut eats). The oracle mirrors the rank definition
+    * itself (ROW_NUMBER = ceil(n·pct/100)), so the exact-rank contract
+    * is checked, not an engine's interpolation. */
+  val ev09LatencyPercentiles: GraftQuery = q(
+    "ev09_latency_percentiles",
+    "p50/p95 inter-event gap per type via shuffle-free exact-rank selection",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |    us - LAG(us) OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY us, event_id) AS gap
+      |  FROM e),
+      |g AS (SELECT event_type, gap FROM d WHERE gap IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, gap,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g)
+      |SELECT event_type,
+      |  CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN gap END) AS BIGINT) AS p50_us,
+      |  CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN gap END) AS BIGINT) AS p95_us
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("unix_micros(ts)").as("us"))
+    val wl = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val gaps = e.withColumn("gap", col("us") - lag("us", 1).over(wl))
+      .filter(col("gap").isNotNull).select("event_type", "gap")
+    Rank.discretePercentiles(gaps, "event_type", "gap",
+        Seq("p50_us" -> 50, "p95_us" -> 95), refineLevels = 1)
+      .select(col("event_type"),
+        col("p50_us").cast(LongType), col("p95_us").cast(LongType))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
-    ev08SlidingWindow)
+    ev08SlidingWindow, ev09LatencyPercentiles)
 }

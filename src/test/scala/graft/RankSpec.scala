@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins [[graft.operators.Rank.discretePercentiles]] — the distributed
@@ -90,6 +92,54 @@ class RankSpec extends AnyFunSuite {
     byHand.foreach { case (g, (e50, e99)) =>
       assert(got(g)._1 == e50, s"p50($g)")
       assert(got(g)._2 == e99, s"p99($g)")
+    }
+  }
+
+  test("property: random multisets match single-node sort at every level") {
+    // adversarial value shapes: duplicates, negatives, constants, skew —
+    // the selection must equal the in-memory sorted answer whatever the
+    // distribution and however many refinement levels run
+    val valueGen: Gen[Double] = Gen.frequency(
+      3 -> Gen.choose(-1000, 1000).map(_.toDouble), // heavy duplication
+      2 -> Gen.oneOf(0.0, 1.0, -1.0),               // near-constant mass
+      2 -> Gen.choose(-1e9, 1e9),                    // continuous spread
+      1 -> Gen.oneOf(1e-9, -1e-9, 123.456))
+    val dataGen: Gen[List[(String, Double)]] = for {
+      nGroups <- Gen.choose(1, 4)
+      rows <- Gen.listOfN(120, for {
+        g <- Gen.choose(0, nGroups - 1).map(i => s"g$i")
+        v <- valueGen
+      } yield (g, v))
+    } yield rows
+    val pcts = Seq("p01" -> 1, "p50" -> 50, "p95" -> 95, "p100" -> 100)
+    var seed = Seed(7L)
+    (0 until 8).foreach { _ =>
+      dataGen.apply(Gen.Parameters.default, seed).foreach { rows =>
+        val expected = rows.groupBy(_._1).map { case (g, vs) =>
+          val sorted = vs.map(_._2).sorted
+          g -> pcts.map { case (_, p) =>
+            sorted(((sorted.length.toLong * p + 99) / 100 - 1).toInt) }
+        }
+        import scala.jdk.CollectionConverters._
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType)))
+        val df = spark.createDataFrame(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+        Seq(0, 1, 2).foreach { levels =>
+          val got = graft.operators.Rank.discretePercentiles(
+              df, "g", "v", pcts, buckets = 8, refineLevels = levels)
+            .collect().map(r => r.getString(0) ->
+              pcts.indices.map(i => r.getDouble(i + 1)).toSeq).toMap
+          assert(got.keySet == expected.keySet, s"levels=$levels")
+          expected.foreach { case (g, exp) =>
+            assert(got(g) == exp, s"levels=$levels group=$g")
+          }
+        }
+      }
+      seed = seed.next
     }
   }
 
