@@ -395,7 +395,48 @@ object IvfQueries {
     dir
   }
 
+  /** SemDeDup (semantic dedup, Abbas et al. 2023): cluster the corpus
+    * with the coarse quantizer, then drop any vector whose cosine to a
+    * LOWER-id member of its own cell exceeds τ — near-duplicate pairs
+    * are confirmed only inside a cell, never across the corpus, so the
+    * pair set is Σ(cell size²) instead of n². At 100 TB the cell count
+    * grows with the corpus (bounded cell size) and the confirm stage
+    * stays an equi-join on cid feeding per-cell local pair scans; the
+    * keep-lowest-id rule makes the drop set deterministic without
+    * iterating to a fixed point. Output is the per-cell audit a
+    * curation run reports: members vs dropped. */
+  val sd01SemDedup: GraftQuery = q(
+    "sd01_semdedup",
+    "SemDeDup: within-cell cosine near-dup drop (keep-lowest-id), per-cell audit",
+    s"""WITH $sqlAssign,
+       |pairs AS (
+       |  SELECT a.cid, b.vec_id AS drop_id
+       |  FROM assigned a
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN assigned b ON b.cid = a.cid AND b.vec_id > a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${sqlDot("ea", "eb")} / (SQRT(${sqlNorm2("ea")}) * SQRT(${sqlNorm2("eb")})) > 0.4)
+       |SELECT a.cid, COUNT(DISTINCT a.vec_id) AS n_members,
+       |  CAST(COUNT(DISTINCT p.drop_id) AS BIGINT) AS n_dropped
+       |FROM assigned a LEFT JOIN pairs p ON p.cid = a.cid
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin) { (s, d) =>
+    val assigned = assignedDf(s, d).select(col("vec_id"), col("embedding"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("keep_id"),
+      col("embedding").as("ae"))
+    val b = assigned.select(col("cid").as("bcid"), col("vec_id").as("drop_id"),
+      col("embedding").as("be"))
+    val dropped = a.join(b,
+        col("cid") === col("bcid") && col("drop_id") > col("keep_id"))
+      .filter(VectorExpressions.cosine_similarity(col("ae"), col("be")) > 0.4)
+      .groupBy(col("cid"))
+      .agg(countDistinct(col("drop_id")).as("n_dropped"))
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .orderBy("cid")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
-      ivf06PersistedIndex)
+      ivf06PersistedIndex, sd01SemDedup)
 }

@@ -1343,8 +1343,53 @@ object RelationalQueries {
     }
   }
 
+  /** Small-files compaction — the table-maintenance pass every file-based
+    * lake needs: a fragmented table (200 tiny files — the debris of
+    * per-micro-batch or per-task commits) is rewritten into 8
+    * evenly-sized files with one round-robin repartition. File counts
+    * are part of the CONTRACT: the result row carries
+    * countDistinct(input_file_name()) measured on each generation, and
+    * the oracle pins them as literals (200 → 8) alongside the
+    * content aggregate that proves the rewrite lost nothing. At 100 TB
+    * the same job runs per partition-directory with the target count
+    * sized to bytes/file (repartition keeps output sizes uniform —
+    * coalesce would inherit whatever skew the scan's split packing
+    * produced, and small inputs pack into too few splits to even hit a
+    * target count). */
+  val q49Compaction: GraftQuery = q(
+    "q49_compaction",
+    "small-file compaction: 200-file fragmented write → 8 even files, content-preserving",
+    s"""SELECT CAST(200 AS BIGINT) AS n_files_before,
+       |  CAST(8 AS BIGINT) AS n_files_after,
+       |  COUNT(*) AS n_rows,
+       |  ${Det.sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE EXTRACT(YEAR FROM l_shipdate) = 1995""".stripMargin) { (s, d) =>
+    val small = java.nio.file.Files.createTempDirectory("graft_q49_small_").toString
+    val compact = java.nio.file.Files.createTempDirectory("graft_q49_comp_").toString
+    graft.Phases.timed("q49_compaction", "write") {
+      Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995)
+        .repartition(200).write.mode("overwrite").parquet(small)
+      s.read.parquet(small)
+        .repartition(8).write.mode("overwrite").parquet(compact)
+    }
+    val before = s.read.parquet(small)
+      .select(input_file_name().as("f"))
+      .agg(countDistinct(col("f")).as("n_files_before"))
+    s.read.parquet(compact)
+      .select(input_file_name().as("f"), col("l_extendedprice"))
+      .agg(countDistinct(col("f")).as("n_files_after"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .crossJoin(broadcast(before))
+      .select(col("n_files_before"), col("n_files_after"),
+        col("n_rows"), col("sum_price"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, cm01CountMin,
+    ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
+    cm01CountMin,
     cm02JoinSize,
     hll02OracleDistinct,
     hll03SketchRollup, hll04SetAlgebra,

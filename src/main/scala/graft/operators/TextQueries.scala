@@ -565,9 +565,92 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** BM25 ranked retrieval for a fixed 3-term query. One map pass
+    * computes per-doc term frequencies and length (no explode — the
+    * tf of each query term is a `filter`+`size` over the token array,
+    * so the corpus never inflates); corpus statistics (N, avgdl, the
+    * three dfs) collapse to ONE broadcast row; scoring is then pure
+    * per-row arithmetic and the global top-20 plans as
+    * TakeOrderedAndProject (k-bounded heaps, no full sort). At 100 TB:
+    * map pass + 1-row aggregate + map pass + top-k — zero wide
+    * shuffles of the corpus.
+    *
+    * Determinism: BM25's usual ln() idf is NOT cross-engine
+    * bit-stable, so the idf here is the raw Robertson–Spärck Jones
+    * odds ratio (N−df+0.5)/(df+0.5) WITHOUT the log — idf ordering is
+    * preserved (log is monotone), and every arithmetic step (IEEE
+    * divides/multiplies/adds over exact integer inputs, fixed
+    * association order, k1=1.2 b=0.75) is correctly rounded
+    * identically in Spark and DuckDB, so scores hash-match
+    * bit-for-bit. Per-term scores sum left-associated (s1+s2)+s3. */
+  val bm01Bm25: GraftQuery = {
+    val terms = Seq("spark", "window", "stream")
+    val sqlTf = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf${i + 1}"
+    }.mkString(",\n    ")
+    val sqlDfs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}")
+      .mkString(", ")
+    def sqlTermScore(i: Int): String =
+      s"""((CAST(s.n_docs - s.df$i AS DOUBLE) + 0.5) / (CAST(s.df$i AS DOUBLE) + 0.5)
+         | * (CAST(f.tf$i AS DOUBLE) * 2.2))
+         | / (CAST(f.tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(f.dl AS DOUBLE) / s.avgdl)))""".stripMargin
+    q("bm01_bm25",
+      "BM25 top-20 retrieval: broadcast corpus stats, map-side scoring, heap top-k",
+      s"""WITH tf AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         |    $sqlTf
+         |  FROM documents),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         |    $sqlDfs
+         |  FROM tf),
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    ${sqlTermScore(1)}
+         |    + ${sqlTermScore(2)}
+         |    + ${sqlTermScore(3)} AS bm25
+         |  FROM tf f, stats s
+         |  WHERE f.tf1 + f.tf2 + f.tf3 > 0)
+         |SELECT doc_id, bm25,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn
+         |FROM scored QUALIFY rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        size(filter(toks, w => w === t)).as(s"tf${i + 1}")
+      }
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id") +: size(toks).as("dl") +: tfCols: _*)
+      val stats = tf.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"),
+        expr("CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)").as("df1"),
+        expr("CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)").as("df2"),
+        expr("CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT)").as("df3"))
+      def termScore(i: Int): Column = {
+        val tfi = col(s"tf$i").cast(DoubleType)
+        val dfi = col(s"df$i")
+        val idf = ((col("n_docs") - dfi).cast(DoubleType) + lit(0.5)) /
+          (dfi.cast(DoubleType) + lit(0.5))
+        (idf * (tfi * lit(2.2))) /
+          (tfi + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl"))))
+      }
+      val scored = tf.filter(col("tf1") + col("tf2") + col("tf3") > 0)
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (termScore(1) + termScore(2) + termScore(3)).as("bm25"))
+      scored.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast(LongType))
+        .orderBy("rn")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
     tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
-    fz01FuzzyJoin, oov01VocabCoverage)
+    fz01FuzzyJoin, oov01VocabCoverage, bm01Bm25)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-5 curation operators (sd01 / bm01 /
+  * q49) that the DuckDB oracle can't or shouldn't express: independent
+  * recomputation of the SemDeDup drop set, BM25 result-shape laws, and
+  * the compaction contract.
+  */
+class CurationSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    Registry.all.find(_.name == name).get.build(spark, sf)
+
+  test("sd01: per-cell audit matches an independent window-based recomputation") {
+    VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // independent assignment formulation: score all 16 centroids per
+    // vector with a crossJoin + row_number window (the shape sd01's
+    // map-side struct-max deliberately avoids) and take rank 1
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        VectorExpressions.cosine_similarity(col("embedding"), col("cemb")).as("cos_c"))
+      .withColumn("rc", row_number().over(w)).filter(col("rc") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("kid"), col("embedding").as("ae"))
+    val b = assigned.select(col("cid").as("bcid"), col("vec_id").as("did"), col("embedding").as("be"))
+    val drops = a.join(b, col("cid") === col("bcid") && col("did") > col("kid"))
+      .filter(VectorExpressions.cosine_similarity(col("ae"), col("be")) > 0.4)
+      .select(col("cid"), col("did")).distinct()
+      .groupBy("cid").agg(count(lit(1)).as("want_dropped"))
+    val members = assigned.groupBy("cid").agg(count(lit(1)).as("want_members"))
+    val want = members.join(drops, Seq("cid"), "left")
+      .na.fill(0L, Seq("want_dropped"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val got = run("sd01_semdedup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).sum == 500, "members must partition the corpus")
+  }
+
+  test("bm01: rank shape and term-membership law") {
+    val rows = run("bm01_bm25").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 20L), "rn must be 1..20 in order")
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse, "bm25 non-increasing by rn")
+    // every returned doc must contain at least one query term as a token
+    val ids = rows.map(_.getLong(0))
+    val terms = Seq("spark", "window", "stream")
+    val nWithTerm = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(size(filter(split(col("text"), " "),
+        w => terms.map(w === _).reduce(_ || _))) > 0)
+      .count()
+    assert(nWithTerm == 20)
+  }
+
+  test("q49: compaction preserves content and hits the file-count contract") {
+    val r = run("q49_compaction").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 200, "pre-compaction fragment count")
+    assert(r(0).getLong(1) == 8, "post-compaction file count")
+    val expected = Tables.lineitem(spark, sf)
+      .filter(year(col("l_shipdate")) === 1995).count()
+    assert(r(0).getLong(2) == expected, "row preservation")
+  }
+}
