@@ -43,9 +43,13 @@ import org.apache.spark.sql.functions._
   * extent, no ordering at all (see [[selectAt]]; RankSpec pins it on a
   * 99%-constant column).
   *
-  * The tiny frames (`ext`, `hits`) are `localCheckpoint`ed so their
-  * broadcast builds don't re-trigger the fact scan per reference —
-  * total cost is three column-pruned scans and zero fact shuffles.
+  * The narrow (group, value) projection is `localCheckpoint`ed ONCE up
+  * front — the three passes (extent, histogram, cohort) then read
+  * materialized blocks instead of re-evaluating the input lineage,
+  * which matters when the input is itself a window/join pipeline
+  * (ev09's per-user lag). The tiny frames (`ext`, `hits`) are
+  * checkpointed too so broadcast builds don't re-trigger a pass per
+  * reference. Zero fact shuffles throughout.
   */
 object Rank {
 
@@ -57,7 +61,15 @@ object Rank {
   def discretePercentiles(df: DataFrame, groupCol: String, valCol: String,
       pcts: Seq[(String, Int)], buckets: Int = 1024,
       refineLevels: Int = 0): DataFrame = {
+    // Selection is a MULTI-PASS algorithm (extent, histogram, cohort) —
+    // materialize the narrow (g, v) projection ONCE so the input
+    // lineage (which may itself be an expensive window/join pipeline,
+    // e.g. ev09's per-user lag) is evaluated once, not once per pass.
+    // localCheckpoint stores MEMORY_AND_DISK and truncates lineage;
+    // at scale this is the temp table any selection pass keeps, priced
+    // at one write of two columns instead of three re-evaluations.
     val base = df.select(col(groupCol).as("g"), col(valCol).as("v"))
+      .localCheckpoint()
     val ext = base.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
       .localCheckpoint()
@@ -106,13 +118,18 @@ object Rank {
         .filter(col("rn") === col("lr"))
         .select(col("g"), col("tag"), col("v"))
     } else {
-      val ext = rows.groupBy("g", "tag")
+      // a refine level re-reads its cohort three times (extent,
+      // re-histogram, next-cohort join); the cohort is ≈ n/B rows by
+      // construction, so pinning it is cheap and saves two re-derivations
+      // from the base
+      val pinned = rows.localCheckpoint()
+      val ext = pinned.groupBy("g", "tag")
         .agg(min("v").as("lo"), max("v").as("hi"), max("lr").as("lr"))
         .localCheckpoint()
       val done = ext.filter(col("lo") === col("hi"))
         .select(col("g"), col("tag"), col("lo").as("v"))
       val open = ext.filter(col("lo") =!= col("hi"))
-      val rebucketed = rows.drop("lr")
+      val rebucketed = pinned.drop("lr")
         .join(broadcast(open.select("g", "tag", "lo", "hi")), Seq("g", "tag"))
         .withColumn("b", least(lit(buckets - 1),
           floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets)

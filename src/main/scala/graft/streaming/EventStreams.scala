@@ -211,4 +211,29 @@ object EventStreams {
         col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
   }
+
+  /** Stream-stream FULL OUTER join — the reconciliation report: every
+    * view with its in-window purchase, abandoned views null-extended on
+    * the purchase side, AND walk-in purchases (no view in the preceding
+    * 30 minutes) null-extended on the view side. Both directions of
+    * null row wait on the watermark: a side may only null-emit once the
+    * other side's watermark proves no matching row can still arrive, so
+    * state stays bounded exactly as in the left-outer case but
+    * symmetrically. Same join condition as [[viewToPurchase]], so the
+    * matched subset is again identical to the inner join. */
+  def viewPurchaseReconcile(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "full_outer")
+  }
 }

@@ -212,6 +212,65 @@ class StreamingSpec extends AnyFunSuite {
       "no still-open abandoned views in the corpus — horizon guard is vacuous")
   }
 
+  test("stream-stream FULL OUTER join: both null directions close with the watermark") {
+    val cols = Seq("view_id", "purchase_id", "v_ts", "p_ts")
+    val streamed = runStream(EventStreams.viewPurchaseReconcile, "append", "ss_full")
+      .select(cols.map(col): _*).collect().toSeq
+    val batch = EventStreams.viewPurchaseReconcile(Tables.events(spark, sf))
+      .select(cols.map(col): _*).collect().toSeq
+    // Matched rows don't wait for the watermark: identical to batch.
+    def matched(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(matched(streamed) == matched(batch))
+    // Closed-region check, each direction, against a LOOSE horizon
+    // (2h = watermark delay + join window + another 30-min margin):
+    // a row this old is provably unmatched under ANY of the eviction
+    // margins Spark may derive from the interval condition, so its
+    // null row must have emitted and match batch exactly. (The exact
+    // per-side eviction threshold differs: a view closes once the
+    // watermark passes v_ts + 30min, but the purchase side's derived
+    // state watermark carries the interval bound on the other side —
+    // observed ~watermark − 30min — so the shared bound is the loose
+    // one.)
+    val maxTs = Tables.events(spark, sf)
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val closedHorizon = maxTs - (120 * 60 * 1000L)
+    def closedViewNulls(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(r => !r.isNullAt(0) && r.isNullAt(1) &&
+          r.getTimestamp(2).getTime < closedHorizon)
+        .map(_.getLong(0)).sorted
+    def closedPurchaseNulls(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(r => r.isNullAt(0) && !r.isNullAt(1) &&
+          r.getTimestamp(3).getTime < closedHorizon)
+        .map(_.getLong(1)).sorted
+    assert(closedViewNulls(streamed) == closedViewNulls(batch))
+    assert(closedPurchaseNulls(streamed) == closedPurchaseNulls(batch))
+    assert(closedViewNulls(batch).nonEmpty, "corpus must contain abandoned views")
+    assert(closedPurchaseNulls(batch).nonEmpty, "corpus must contain walk-in purchases")
+    // NEGATIVE guard, both directions, against each side's TIGHT bound
+    // (the earliest point a null emission could ever be legal): a view
+    // inside watermark + join window (90min), a purchase inside the
+    // bare watermark (60min), must NOT have null-emitted — a matching
+    // row can still legally arrive for it.
+    val openViewHorizon = maxTs - (90 * 60 * 1000L)
+    val openPurchaseHorizon = maxTs - (60 * 60 * 1000L)
+    def openViewNulls(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(r => !r.isNullAt(0) && r.isNullAt(1) &&
+          r.getTimestamp(2).getTime >= openViewHorizon).map(_.getLong(0))
+    def openPurchaseNulls(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.filter(r => r.isNullAt(0) && !r.isNullAt(1) &&
+          r.getTimestamp(3).getTime >= openPurchaseHorizon).map(_.getLong(1))
+    assert(openViewNulls(streamed).isEmpty,
+      s"view null rows inside the horizon: ${openViewNulls(streamed).take(5)}")
+    assert(openPurchaseNulls(streamed).isEmpty,
+      s"purchase null rows inside the horizon: ${openPurchaseNulls(streamed).take(5)}")
+    // ...and the guard must bite: batch DOES see unmatched rows there,
+    // so the stream really is withholding them.
+    assert(openViewNulls(batch).nonEmpty || openPurchaseNulls(batch).nonEmpty,
+      "no still-open unmatched rows in the corpus — horizon guard is vacuous")
+  }
+
   test("foreachBatch multi-sink: one stream feeds two outputs from a shared batch (ref multi-job fan-out)") {
     val outA = Files.createTempDirectory("graft-sinkA").toString
     val outB = Files.createTempDirectory("graft-sinkB").toString
