@@ -648,9 +648,42 @@ object TextQueries {
     }
   }
 
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalize]], a native
+    * codegen expression — Spark has no built-in) applied to a
+    * deliberately DECOMPOSED corpus: every 'e' is replaced by
+    * e + combining acute (U+0301), then canonically recomposed. The
+    * char counts prove real composition happened (each e+◌́ pair
+    * collapses to one é) and the digest pins the exact normalized
+    * bytes against DuckDB's utf8proc-based `nfc_normalize` — two
+    * independent UAX #15 implementations agreeing byte-for-byte.
+    * Map-only, zero shuffles; this is the canonicalization step that
+    * runs before any fingerprint/dedup pass on web text. */
+  val nu01NfcNormalize: GraftQuery = q(
+    "nu01_nfc_normalize",
+    "Unicode NFC canonicalization via a native expression, cross-checked vs utf8proc",
+    """SELECT doc_id,
+      |  LENGTH(decomp) AS n_raw,
+      |  LENGTH(nfc_normalize(decomp)) AS n_nfc,
+      |  md5(nfc_normalize(decomp)) AS fp
+      |FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS decomp
+      |      FROM documents WHERE doc_id < 100)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.plans.NfcNormalize.register(s)
+    val decomp = regexp_replace(col("text"), "e", "e\u0301")
+    val nfc = graft.plans.NfcNormalize.nfc_normalize(col("decomp"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), decomp.as("decomp"))
+      .select(col("doc_id"),
+        length(col("decomp")).cast(LongType).as("n_raw"),
+        length(nfc).cast(LongType).as("n_nfc"),
+        md5(nfc.cast(BinaryType)).as("fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
     tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
-    fz01FuzzyJoin, oov01VocabCoverage, bm01Bm25)
+    fz01FuzzyJoin, oov01VocabCoverage, bm01Bm25, nu01NfcNormalize)
 }

@@ -202,6 +202,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"minhash_signature k must be an integer literal, got $other")
         })))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NfcNormalize].getName, "nfc_normalize"),
+        (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     // the whole-operator surface rides the same deployment path: a
     // session built withExtensions gets the TopKPerGroup physical
     // strategy without any per-session imperative registration
