@@ -415,7 +415,51 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** Temperature-smoothed mixture weights (the multilingual-sampling
+    * rule p_i^(1/T) / Σ p_j^(1/T), here at T = 2 so the exponent is an
+    * exactly-rounded `sqrt`): up-samples tail sources less brutally
+    * than mx01's hard cap. Cross-engine determinism of the normalizer
+    * is the subtle part — Σ over per-source doubles is shuffle-order-
+    * dependent — so each smoothed share is quantized to 6dp FIRST and
+    * the normalizer sums EXACT decimals (order-independent), with one
+    * final double divide. Single narrow aggregation; the normalizer is
+    * a broadcast 1-row frame — same shape at any corpus size. */
+  val mx02TemperatureMix: GraftQuery = q(
+    "mx02_temperature_mix",
+    "temperature-smoothed (T=2) domain sampling weights, exact-decimal normalizer",
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS tt FROM per),
+      |sm AS (
+      |  SELECT source, tokens,
+      |    CAST(ROUND(SQRT(tokens / tt), 6) AS DECIMAL(18,6)) AS wq
+      |  FROM per CROSS JOIN tot),
+      |z AS (SELECT SUM(wq) AS zt FROM sm)
+      |SELECT source, tokens,
+      |  ROUND(tokens / (SELECT tt FROM tot), 6) AS share,
+      |  ROUND(CAST(wq AS DOUBLE) / CAST((SELECT zt FROM z) AS DOUBLE), 6) AS temp_weight
+      |FROM sm ORDER BY source""".stripMargin) { (s, d) =>
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).cast(LongType).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).cast(DoubleType).as("tt"))
+    val sm = per.crossJoin(broadcast(tot))
+      .withColumn("wq",
+        round(sqrt(col("tokens") / col("tt")), 6).cast(DecimalType(18, 6)))
+    val z = sm.agg(sum(col("wq")).as("zt"))
+    sm.crossJoin(broadcast(z))
+      .select(col("source"), col("tokens"),
+        round(col("tokens") / col("tt"), 6).as("share"),
+        round(col("wq").cast(DoubleType) / col("zt").cast(DoubleType), 6)
+          .as("temp_weight"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
-    cc01CurationPipeline, pk01SequencePacking, mx01DomainMix)
+    cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
+    mx02TemperatureMix)
 }

@@ -155,6 +155,32 @@ class PlanSpec extends AnyFunSuite {
       "deletion-neighborhood join must stay an equi-join\n" + p.take(3000))
   }
 
+  test("bm01: corpus stats broadcast; global top-20 is TakeOrdered, no sort-merge join") {
+    val p = plan("bm01_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row stats frame must broadcast, never shuffle the corpus")
+  }
+
+  test("sd01: within-cell near-dup confirm is an equi-join on the cell id") {
+    val p = plan("sd01_semdedup")
+    assert(
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cid#".r
+        .findFirstIn(p).isDefined,
+      "pair confirm must be keyed by cid (cell-bounded), got:\n" + p.take(3000))
+  }
+
+  test("mx02: smoothed-weight normalizer joins as broadcast; no shuffle of per-source rows") {
+    val p = plan("mx02_temperature_mix")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("nu01: normalization is map-only — no join, no aggregation") {
+    val p = plan("nu01_nfc_normalize")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("no registry query plans a CartesianProduct") {
     // crossJoin against a broadcast 1-row aggregate plans as
     // BroadcastNestedLoopJoin (fine — the big side streams once); a
