@@ -270,7 +270,49 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Sequential pattern mining — the top-5 most common 3-step user
+    * journeys. Shape: ONE shuffle keys the events by user; each user's
+    * ordered type sequence is assembled in its task (sort_array over
+    * the collected (ts, event_id, type) structs — per-user data, never
+    * a global sort) and sliding trigrams come from a higher-order
+    * `transform` over index offsets, so the n-gram inflation happens
+    * map-side AFTER the only exchange. Count + TakeOrdered top-5
+    * finish it. Per-user sequences are bounded by session behavior;
+    * a pathological user would be capped/sessionized upstream (ev02). */
+  val ev10PathMining: GraftQuery = q(
+    "ev10_path_mining",
+    "top-5 3-step user journeys: per-user ordered trigrams, one shuffle",
+    """WITH seqs AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      |  FROM events GROUP BY user_id),
+      |tris AS (
+      |  SELECT unnest(CASE WHEN len(types) >= 3
+      |    THEN list_transform(generate_series(1, len(types) - 2),
+      |      i -> types[i] || '>' || types[i+1] || '>' || types[i+2])
+      |    ELSE [] END) AS path
+      |  FROM seqs)
+      |SELECT path, COUNT(*) AS n
+      |FROM tris GROUP BY path
+      |ORDER BY n DESC, path LIMIT 5""".stripMargin) { (s, d) =>
+    val types = transform(
+      sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+      e => e.getField("event_type"))
+    val paths = when(size(col("types")) >= 3,
+      transform(sequence(lit(1), size(col("types")) - 2),
+        i => concat_ws(">",
+          element_at(col("types"), i),
+          element_at(col("types"), i + 1),
+          element_at(col("types"), i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    Tables.events(s, d)
+      .groupBy("user_id").agg(types.as("types"))
+      .select(explode(paths).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(5)
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
-    ev08SlidingWindow, ev09LatencyPercentiles)
+    ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining)
 }

@@ -1387,8 +1387,41 @@ object RelationalQueries {
         col("n_rows"), col("sum_price"))
   }
 
+  /** Schema evolution on the write path: generation 1 lands without
+    * `o_flag`, generation 2 adds it; a `mergeSchema` read unions the
+    * file schemas and null-extends the old generation — the routine
+    * lake migration (add a column, never rewrite history). The oracle
+    * mirrors the union algebraically from the base table. At scale
+    * schema merge is a FOOTER-ONLY operation (one footer per file at
+    * planning time); the data pages of generation-1 files are never
+    * touched to add the column. */
+  val q50SchemaMerge: GraftQuery = q(
+    "q50_schema_merge",
+    "additive schema evolution: two file generations, mergeSchema read, null-extended history",
+    s"""SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+       |  COUNT(*) AS n_flagged,
+       |  ${Det.sqlDsum("o_totalprice")} AS gen1_price,
+       |  CAST(2 AS BIGINT) AS n_generations
+       |FROM orders""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_q50_").toString
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    graft.Phases.timed("q50_schema_merge", "write") {
+      base.withColumn("gen", lit(1))
+        .write.mode("append").parquet(dir)
+      base.withColumn("gen", lit(2))
+        .withColumn("o_flag", col("o_totalprice") > 1000.0)
+        .write.mode("append").parquet(dir)
+    }
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_flag")).as("n_flagged"),
+        dsum(when(col("gen") === 1, col("o_totalprice"))).as("gen1_price"),
+        countDistinct(col("gen")).as("n_generations"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
+    q50SchemaMerge,
     cm01CountMin,
     cm02JoinSize,
     hll02OracleDistinct,

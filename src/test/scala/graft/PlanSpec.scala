@@ -181,6 +181,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("ev10: trigram inflation happens after the single per-user exchange; top-5 is TakeOrdered") {
+    val p = plan("ev10_path_mining")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "exactly one shuffle keys events by user\n" + p.take(3000))
+  }
+
   test("no registry query plans a CartesianProduct") {
     // crossJoin against a broadcast 1-row aggregate plans as
     // BroadcastNestedLoopJoin (fine — the big side streams once); a
