@@ -194,5 +194,70 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits)
+  /** Multi-round BFS from one source over the trade graph — the third
+    * loop shape: FRONTIER EXPANSION. Each round is (a) one equi-join of
+    * the static edge list against the current frontier and (b) one
+    * anti-join against the visited set, then the frontier's distance
+    * stamps. Levels unroll in the oracle as CTEs (same fixed-round
+    * discipline as gr01/gr02 — determinism by construction, not by
+    * convergence tests). Scale shape: the frontier/visited tables are
+    * |V|-bounded while edges are |E|-bounded, so the per-round joins
+    * keep the BIG side static (bucketed by src at cluster scale) and
+    * shuffle only node-sized tables; localCheckpoint per round stops
+    * the plan deepening. Output is the reachability profile (nodes per
+    * distance) — diameter-bounded rounds, here 4. */
+  val gr03Bfs: GraftQuery = {
+    val SRC = 2L // customer 1, node-encoded (2k)
+    val ROUNDS = 4
+    def lvlSql(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""f$i AS (
+         |  SELECT DISTINCT e.dst AS node FROM edges e
+         |  JOIN $prev p ON e.src = p.node AND p.d = ${i - 1}
+         |  WHERE e.dst NOT IN (SELECT node FROM $prev)),
+         |v$i AS (SELECT node, d FROM $prev UNION ALL SELECT node, $i AS d FROM f$i)""".stripMargin
+    }
+    q("gr03_bfs",
+      s"$ROUNDS-round BFS frontier expansion: reachability profile from one customer",
+      s"""WITH eb AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM eb
+         |  UNION ALL
+         |  SELECT sp * 2 + 1, c * 2 FROM eb),
+         |v0 AS (SELECT CAST($SRC AS BIGINT) AS node, 0 AS d),
+         |${(1 to ROUNDS).map(lvlSql).mkString(",\n")}
+         |SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n_nodes,
+         |  MIN(node) AS min_node, MAX(node) AS max_node
+         |FROM v$ROUNDS GROUP BY d ORDER BY d""".stripMargin) { (s, d) =>
+      val eb = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = eb.select(
+          (col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+        .unionByName(eb.select(
+          (col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+        .localCheckpoint() // static across rounds
+      var visited = s.range(1).select(lit(SRC).as("node"), lit(0).as("d"))
+        .localCheckpoint()
+      for (r <- 1 to ROUNDS) {
+        val frontier = visited.filter(col("d") === (r - 1))
+        val next = edges
+          .join(broadcast(frontier.select(col("node"))), col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")).withColumnRenamed("node", "vn"),
+            col("node") === col("vn"), "left_anti")
+          .select(col("node"), lit(r).as("d"))
+        visited = visited.unionByName(next).localCheckpoint()
+      }
+      visited.groupBy(col("d").cast("long").as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy("d")
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs)
 }
