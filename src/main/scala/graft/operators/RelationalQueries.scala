@@ -1419,9 +1419,46 @@ object RelationalQueries {
         countDistinct(col("gen")).as("n_generations"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view pattern:
+    * a persisted per-group (count, exact-decimal sum) STATE absorbs a
+    * delta batch by algebraic merge (counts add, sums add) instead of
+    * recomputing from history. The oracle aggregates the full table
+    * directly, so a hash match IS the merge law
+    * `merge(partial(A), partial(B)) = agg(A ∪ B)` checked end-to-end
+    * through a storage round trip. At 100 TB this is the difference
+    * between touching one day's partition and rescanning years: state
+    * size is |groups|, delta cost is |delta|, history is never read
+    * again. Decimal (not double) sums make the merge exact and
+    * order-independent — the same reason Det exists. */
+  val q51IncrementalAgg: GraftQuery = q(
+    "q51_incremental_agg",
+    "incremental materialized aggregate: persisted state + delta merge ≡ full recompute",
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Det.sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_q51_").toString
+    val orders = Tables.orders(s, d)
+    val cutoff = lit("1997-01-01").cast(DateType)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Det.dec2(col("o_totalprice"))).as("sum_dec"))
+    graft.Phases.timed("q51_incremental_agg", "write") {
+      partial(orders.filter(col("o_orderdate") < cutoff))
+        .write.mode("overwrite").parquet(dir) // the standing view state
+    }
+    val state = s.read.parquet(dir)
+    val delta = partial(orders.filter(col("o_orderdate") >= cutoff))
+    state.unionByName(delta)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("sum_dec")).cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
-    q50SchemaMerge,
+    q50SchemaMerge, q51IncrementalAgg,
     cm01CountMin,
     cm02JoinSize,
     hll02OracleDistinct,
