@@ -211,5 +211,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session built withExtensions gets the TopKPerGroup physical
     // strategy without any per-session imperative registration
     e.injectPlannerStrategy(_ => TopKPerGroup.TopKStrategy)
+    // opt-in logical rewrite (spark.graft.approxDistinct=true):
+    // exact COUNT(DISTINCT) -> constant-state HLL++ sketch
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }
