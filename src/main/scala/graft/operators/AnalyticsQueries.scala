@@ -537,8 +537,71 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  /** Sampling-plan apportionment — the largest-remainder (Hamilton)
+    * method: a target budget of 100 documents is split across sources
+    * proportionally, floors first, then the leftover seats go to the
+    * largest remainders (ties to the lexicographically first source).
+    * All integer arithmetic, so the plan is exactly reproducible and
+    * Σ quota = target BY CONSTRUCTION — the apportionment law a
+    * sampling plan must satisfy (CurationSpec pins it). Selection is
+    * then deterministic per source: the quota's worth of docs in
+    * md5(doc_id) order, a per-source window whose partition count
+    * equals the source count (bounded, parallel) — never a global
+    * sort. The audit reports quota vs selected vs token mass. */
+  val st03QuotaAlloc: GraftQuery = q(
+    "st03_quota_alloc",
+    "largest-remainder sampling quotas + deterministic hash-order selection",
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n_docs) AS t FROM per),
+      |base AS (
+      |  SELECT source, n_docs, (100 * n_docs) // t AS base, (100 * n_docs) % t AS rem
+      |  FROM per CROSS JOIN tot),
+      |lo AS (SELECT 100 - SUM(base) AS leftover FROM base),
+      |quota AS (
+      |  SELECT source, n_docs,
+      |    base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+      |                      <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END) AS quota
+      |  FROM base),
+      |sel AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT q.source, q.n_docs, CAST(q.quota AS BIGINT) AS quota,
+      |  CAST(COUNT(s.doc_id) AS BIGINT) AS n_selected,
+      |  CAST(COALESCE(SUM(s.n_tok), 0) AS BIGINT) AS sel_tokens
+      |FROM quota q LEFT JOIN sel s ON s.source = q.source AND s.rn <= q.quota
+      |GROUP BY q.source, q.n_docs, q.quota ORDER BY q.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("t"))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(100 * n_docs) div t"))
+      .withColumn("rem", expr("(100 * n_docs) % t"))
+    val leftover = base.agg((lit(100) - sum(col("base"))).as("leftover"))
+    val quota = base.crossJoin(broadcast(leftover))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota",
+        (col("base") + when(col("rk") <= col("leftover"), 1).otherwise(0))
+          .cast(LongType))
+      .select(col("source"), col("n_docs"), col("quota"))
+    val sel = docs
+      .select(col("source").as("s_source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("s_source"))
+          .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))))
+    quota.join(sel,
+        col("s_source") === col("source") && col("rn") <= col("quota"), "left")
+      .groupBy("source", "n_docs", "quota")
+      .agg(count(col("doc_id")).as("n_selected"),
+        coalesce(sum(col("n_tok")), lit(0)).cast(LongType).as("sel_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
-    st01StratifiedSample, st02SplitAssign, dq01QualityAudit, ws01Winsorize,
-    it01Interpolate)
+    st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
+    ws01Winsorize, it01Interpolate)
 }

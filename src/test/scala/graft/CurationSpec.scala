@@ -66,6 +66,15 @@ class CurationSpec extends AnyFunSuite {
     assert(nWithTerm == 20)
   }
 
+  test("st03: apportionment law — quotas sum exactly to the target, selection fills them") {
+    val rows = run("st03_quota_alloc").collect()
+    assert(rows.map(_.getLong(2)).sum == 100, "largest-remainder must hit the target exactly")
+    rows.foreach { r =>
+      assert(r.getLong(3) == math.min(r.getLong(2), r.getLong(1)),
+        s"source ${r.getString(0)}: selection must fill min(quota, available)")
+    }
+  }
+
   test("q49: compaction preserves content and hits the file-count contract") {
     val r = run("q49_compaction").collect()
     assert(r.length == 1)
