@@ -1456,9 +1456,58 @@ object RelationalQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Structured extraction from JSON event payloads — the schema-on-read
+    * path every log pipeline needs: a JSON string column parses through
+    * `from_json` with an explicit schema (codegen'd Jackson parse, one
+    * map pass — no regex games, unlike q24's regexp fallback), fields
+    * project out, and the result aggregates. The JSON itself is built
+    * from table columns with integer cents (double→string formatting is
+    * NOT cross-engine stable; integers are), so both engines parse the
+    * identical byte sequence. Malformed-input contract: a corrupt row
+    * yields nulls (PERMISSIVE), pinned by the injected bad record. */
+  val q52FromJson: GraftQuery = q(
+    "q52_from_json",
+    "schema-on-read: from_json with explicit schema over synthesized payloads",
+    """WITH payloads AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'not json'
+      |    ELSE '{"k":' || CAST(o_orderkey AS VARCHAR)
+      |      || ',"s":"' || o_orderstatus
+      |      || '","cents":' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+      |      || '}' END AS js
+      |  FROM orders),
+      |parsed AS (
+      |  SELECT CASE WHEN js = 'not json' THEN NULL
+      |           ELSE CAST(json_extract(js, '$.k') AS BIGINT) END AS k,
+      |    CASE WHEN js = 'not json' THEN NULL
+      |         ELSE json_extract_string(js, '$.s') END AS s,
+      |    CASE WHEN js = 'not json' THEN NULL
+      |         ELSE CAST(json_extract(js, '$.cents') AS BIGINT) END AS cents
+      |  FROM payloads)
+      |SELECT s, COUNT(*) AS n, COUNT(k) AS n_parsed,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM parsed GROUP BY s ORDER BY s NULLS FIRST""".stripMargin) { (s, d) =>
+    val js = when(col("o_orderkey") % 97 === 0, lit("not json"))
+      .otherwise(concat(
+        lit("{\"k\":"), col("o_orderkey").cast(StringType),
+        lit(",\"s\":\""), col("o_orderstatus"),
+        lit("\",\"cents\":"),
+        round(col("o_totalprice") * 100).cast(LongType).cast(StringType),
+        lit("}")))
+    Tables.orders(s, d)
+      .select(js.as("js"))
+      .select(from_json(col("js"), StructType(Seq(
+        StructField("k", LongType), StructField("s", StringType),
+        StructField("cents", LongType)))).as("p"))
+      .select(col("p.k").as("k"), col("p.s").as("s"), col("p.cents").as("cents"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+        sum(col("cents")).cast(LongType).as("total_cents"))
+      .orderBy(col("s").asc_nulls_first)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
-    q50SchemaMerge, q51IncrementalAgg,
+    q50SchemaMerge, q51IncrementalAgg, q52FromJson,
     cm01CountMin,
     cm02JoinSize,
     hll02OracleDistinct,
