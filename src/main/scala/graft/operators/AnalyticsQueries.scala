@@ -93,10 +93,14 @@ object AnalyticsQueries {
   /** Moment statistics (mean/variance/stddev/correlation) computed from
     * exact decimal power sums, with the closed-form arithmetic done in
     * IEEE doubles using an IDENTICAL expression tree on both engines —
-    * deterministic without any rounding, unlike builtin `stddev`/`corr`
-    * whose accumulation order differs per engine. The power sums are one
-    * map-side partial aggregation; the closed forms are per-group scalar
-    * math on the tiny aggregated result.
+    * unlike builtin `stddev`/`corr` whose accumulation order differs per
+    * engine. The power sums are one map-side partial aggregation; the
+    * closed forms are per-group scalar math on the tiny aggregated
+    * result. Outputs quantize to 9dp: the second-moment decimals exceed
+    * 2^53 in scaled-raw form, where DuckDB's decimal-to-double cast may
+    * double-round (int-to-double, then /10^scale) while the JVM's
+    * BigDecimal cast single-rounds — a 1-ulp divergence observed at
+    * sf0.001 that the quantization absorbs.
     */
   val q44StatsMoments: GraftQuery = q(
     "q44_stats_moments",
@@ -110,10 +114,10 @@ object AnalyticsQueries {
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      |  sx / n AS mean_qty,
-      |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
-      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-      |  (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+      |  ROUND(sx / n, 9) AS mean_qty,
+      |  ROUND((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+      |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS std_qty,
+      |  ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 9) AS corr_qty_price
       |FROM sums ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val qty = dec2(col("l_quantity"))
     val price = dec2(col("l_extendedprice"))
@@ -128,11 +132,11 @@ object AnalyticsQueries {
     val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
     val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
     sums.select(col("l_returnflag"), n.cast(LongType).as("n_rows"),
-      (sx / n).as("mean_qty"),
-      ((sxx - sx * sx / n) / (n - lit(1))).as("var_qty"),
-      sqrt((sxx - sx * sx / n) / (n - lit(1))).as("std_qty"),
-      ((sxy - sx * sy / n) /
-        sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_price"))
+      round(sx / n, 9).as("mean_qty"),
+      round((sxx - sx * sx / n) / (n - lit(1)), 9).as("var_qty"),
+      round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 9).as("std_qty"),
+      round((sxy - sx * sy / n) /
+        sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 9).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
