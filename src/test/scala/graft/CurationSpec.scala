@@ -75,6 +75,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mx02: temperature weights are a proper distribution that compresses spread") {
+    val rows = run("mx02_temperature_mix").collect()
+    val shares = rows.map(_.getDouble(2))
+    val weights = rows.map(_.getDouble(3))
+    // each weight is quantized to 6dp, so the sum may drift by n·5e-7
+    assert(math.abs(weights.sum - 1.0) < weights.length * 5e-7,
+      "weights must normalize to 1 within quantization")
+    // T=2 smoothing compresses the mixture toward uniform: the ratio of
+    // max to min weight must shrink vs the raw shares
+    assert(weights.max / weights.min < shares.max / shares.min,
+      "temperature smoothing must reduce the spread")
+  }
+
   test("q49: compaction preserves content and hits the file-count contract") {
     val r = run("q49_compaction").collect()
     assert(r.length == 1)

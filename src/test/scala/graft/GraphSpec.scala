@@ -8,6 +8,21 @@ class GraphSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def gr01 = Registry.all.find(_.name == "gr01_pagerank").get
 
+  test("bfs levels alternate sides of the bipartite trade graph") {
+    // Nodes encode customer=2k, supplier=2k+1; every edge crosses sides,
+    // so distance parity must equal node parity (source is a customer).
+    val rows = Registry.all.find(_.name == "gr03_bfs").get
+      .build(spark, sf).collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 0L)
+    rows.foreach { r =>
+      val d = r.getLong(0); val minN = r.getLong(2); val maxN = r.getLong(3)
+      assert(minN % 2 == d % 2 && maxN % 2 == d % 2,
+        s"distance $d holds nodes of the wrong side: $minN..$maxN")
+    }
+    // frontier growth: the dense trade graph reaches both sides
+    assert(rows.length >= 3, "BFS should reach at least distance 2")
+  }
+
   test("pagerank top-25 is positive, descending, and deterministic across runs") {
     val a = gr01.build(spark, sf).collect().toSeq
     val b = gr01.build(spark, sf).collect().toSeq
