@@ -312,7 +312,58 @@ object EventQueries {
       .limit(5)
   }
 
+  /** Volume-anomaly detection: each (event_type, hour) count scored
+    * against the TRAILING 24 hours (rows 24..1 preceding — the current
+    * hour never contaminates its own baseline) as a z-score; top-20 by
+    * |z|. Shape: the fact table collapses to hourly counts first (one
+    * aggregation), the window then runs over type×hour rows — bounded
+    * by the calendar, not the corpus — and the top-20 is a TakeOrdered
+    * heap. Determinism: baseline mean/variance come from exact integer
+    * window sums (s, ss, n all < 2^53 so the double casts are exact),
+    * the z chain is a fixed expression tree, and the var > 0 guard is
+    * the INTEGER test n·ss − s² > 0 — no epsilon, no fp comparison. */
+  val ev11AnomalyZscore: GraftQuery = q(
+    "ev11_anomaly_zscore",
+    "hourly volume anomalies: trailing-24h z-score, top-20 by |z|",
+    """WITH hourly AS (
+      |  SELECT event_type, DATE_TRUNC('hour', ts) AS h, COUNT(*) AS c
+      |  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)),
+      |w AS (
+      |  SELECT event_type, h, c,
+      |    SUM(c) OVER win AS s, SUM(c * c) OVER win AS ss,
+      |    COUNT(*) OVER win AS n
+      |  FROM hourly
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT event_type, h, c,
+      |    (CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / SQRT((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+      |              / CAST(n - 1 AS DOUBLE)) AS z
+      |  FROM w WHERE n = 24 AND n * ss - s * s > 0)
+      |SELECT event_type, h, c, z FROM scored
+      |ORDER BY ABS(z) DESC, event_type, h LIMIT 20""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val sCol = sum(col("c")).over(win)
+    val ssCol = sum(col("c") * col("c")).over(win)
+    val nCol = count(lit(1)).over(win)
+    val scored = hourly
+      .select(col("event_type"), col("h"), col("c"),
+        sCol.as("s"), ssCol.as("ss"), nCol.as("n"))
+      .filter(col("n") === 24 && col("n") * col("ss") - col("s") * col("s") > 0)
+      .select(col("event_type"), col("h"), col("c"),
+        ((col("c").cast(DoubleType) - col("s").cast(DoubleType) / col("n").cast(DoubleType)) /
+          sqrt((col("ss").cast(DoubleType) -
+              (col("s").cast(DoubleType) * col("s").cast(DoubleType)) / col("n").cast(DoubleType)) /
+            (col("n") - 1).cast(DoubleType))).as("z"))
+    scored.orderBy(abs(col("z")).desc, col("event_type"), col("h")).limit(20)
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
-    ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining)
+    ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore)
 }
