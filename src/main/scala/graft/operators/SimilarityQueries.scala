@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * extension required on the oracle side.
   */
 object SimilarityQueries {
-  import VectorSql.{bucketExpr, sqlBucket, sqlDot, sqlNorm2}
+  import VectorSql.{bucketExpr, sqlBucket, sqlDot, sqlDotCols, sqlNorm2}
 
   /** Cosine via the native codegen'd expressions (graft.plans) —
     * ascending-index double accumulation, bit-identical to the
@@ -35,15 +35,29 @@ object SimilarityQueries {
       Some(sql), doc)
 
   /** Brute-force cosine top-10 for 3 query vectors against the whole
-    * table. The query side is tiny → broadcast; candidates stream. */
+    * table. The query side is tiny → broadcast; candidates stream.
+    *
+    * Oracle memory note: the query/candidate norms are pre-projected
+    * in CTEs so the join evaluates ONE 64-term chain per pair (the
+    * dot) instead of three — the round-5 form (norms recomputed per
+    * pair over the full view) starved a long-lived DuckDB process of
+    * memory. `dot / (qnorm * cnorm)` is the identical fp expression
+    * tree to the inline form, so the hash compare is unaffected. */
   val sm01CosineTopK: GraftQuery = q(
     "sm01_cosine_topk",
     "brute-force cosine top-k (ANN baseline)",
-    s"""WITH pairs AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-       |    ${sqlDot("q", "c")} / (SQRT(${sqlNorm2("q")}) * SQRT(${sqlNorm2("c")})) AS cosine
-       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 3),
+    s"""WITH qv AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe,
+       |    SQRT(${sqlNorm2("e")}) AS qnorm
+       |  FROM embeddings e WHERE e.vec_id < 3),
+       |cv AS (
+       |  SELECT e.vec_id AS cand_id, e.embedding AS ce,
+       |    SQRT(${sqlNorm2("e")}) AS cnorm
+       |  FROM embeddings e),
+       |pairs AS (
+       |  SELECT query_id, cand_id,
+       |    ${sqlDotCols("qv", "qe", "cv", "ce")} / (qnorm * cnorm) AS cosine
+       |  FROM qv JOIN cv ON cand_id <> query_id),
        |ranked AS (
        |  SELECT query_id, cand_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -136,10 +150,12 @@ object SimilarityQueries {
     "sm03_ann_bucketed",
     "LSH-bucketed approximate nearest neighbors",
     s"""WITH coded AS (
-       |  SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+       |  SELECT e.vec_id, e.embedding, ${sqlBucket("e")} AS bucket,
+       |    SQRT(${sqlNorm2("e")}) AS nrm
+       |  FROM embeddings e),
        |pairs AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-       |    ${sqlDot("q", "c")} / (SQRT(${sqlNorm2("q")}) * SQRT(${sqlNorm2("c")})) AS cosine
+       |    ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS cosine
        |  FROM coded q JOIN coded c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
        |  WHERE q.vec_id < 10),
        |ranked AS (

@@ -16,9 +16,13 @@ private[operators] object VectorSql {
   val Planes = 8
 
   /** SQL Σ aᵢ·bᵢ, left-associated ascending — matches DotProduct. */
-  def sqlDot(a: String, b: String): String =
+  def sqlDot(a: String, b: String): String = sqlDotCols(a, "embedding", b, "embedding")
+
+  /** [[sqlDot]] with explicit column names, for oracles whose CTEs
+    * pre-project the embedding under an alias (sm01's slim oracle). */
+  def sqlDotCols(a: String, acol: String, b: String, bcol: String): String =
     (1 to Dim).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      s"CAST($a.$acol[$i] AS DOUBLE) * CAST($b.$bcol[$i] AS DOUBLE)")
       .mkString("(", " + ", ")")
 
   /** SQL Σ aᵢ², same association — matches L2Norm squared. */

@@ -10,7 +10,8 @@ the off-gate scale probes (sf0.001 / sf0.1); the driver's gate runs the
 plain selfcheck at sf0.01. Dev tool only — not part of the shipped
 library.
 """
-sys.path.insert(0, '/root/repo/tools')
+import sys, os, glob, json
+import multiprocessing as mp
 
 def one(args):
     name, sql, sf_dir, out_dir = args
