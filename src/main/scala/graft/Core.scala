@@ -111,6 +111,49 @@ object Det {
     s"CAST(SUM(CAST($e AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)"
 }
 
+/** Pluggable mid-query materialization for multi-pass and iterative
+  * operators (selection passes, LSH label propagation, PageRank/BFS
+  * rounds, k-means iterations).
+  *
+  * `localCheckpoint` — the local[*] fast path — stores blocks WITHOUT
+  * lineage on the executors that computed them: on a real cluster one
+  * executor loss makes every consumer of the pinned frame fail
+  * unrecoverably. The cluster-safe default is therefore
+  * `persist(MEMORY_AND_DISK)` plus an eager count, so multi-pass
+  * consumers materialize the frame once and an evicted or lost block
+  * silently recomputes from lineage (all pinned plans here are
+  * deterministic — see [[Det]]). Long iterative chains at real scale
+  * should opt into `checkpoint`: reliable, lineage-TRUNCATING (keeps
+  * round-N plans round-sized and stops recovery cascading to round 0),
+  * at the price of a checkpoint-dir write per round — requires
+  * `SparkContext.setCheckpointDir`.
+  *
+  * Mode per session via `spark.graft.materialize`:
+  * `persist` (default) | `checkpoint` | `local` (pre-round-6 behavior).
+  */
+object Pin {
+  def apply(df: DataFrame): DataFrame = pin(df, eager = true)
+  /** Lazy variant — for frames consumed exactly once per loop round,
+    * where pinning only guards against cross-round lineage growth. */
+  def lazily(df: DataFrame): DataFrame = pin(df, eager = false)
+
+  private def pin(df: DataFrame, eager: Boolean): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialize", "persist") match {
+      case "local"      => df.localCheckpoint(eager)
+      case "checkpoint" => df.checkpoint(eager)
+      case _ =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (eager) p.count()
+        p
+    }
+
+  /** Postfix syntax at call sites: `df.pinned` / `df.pinnedLazily`. */
+  implicit class PinOps(private val df: DataFrame) extends AnyVal {
+    def pinned: DataFrame = Pin(df)
+    def pinnedLazily: DataFrame = Pin.lazily(df)
+  }
+}
+
 /** Wall-clock sub-phase recorder for queries whose single timing mixes
   * unlike costs (zo01/q47 each pay a full layout WRITE before the read
   * path under test). The write phase records itself here; the bench

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, GraftQuery, Tables}
+import graft.Pin.PinOps
 import graft.Det._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -388,12 +389,12 @@ object AnalyticsQueries {
       sum(when(col("o_orderdate") < lit("1992-01-01").cast(DateType) ||
         col("o_orderdate") > lit("1998-12-31").cast(DateType), 1)
         .otherwise(0)).as("bad_date"))
-      .localCheckpoint() // 1 row; three report rows read it without rescanning
+      .pinned // 1 row; three report rows read it without rescanning
     val l = li.agg(
       count(lit(1)).as("n"),
       sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)
         .otherwise(0)).as("bad_qty"))
-      .localCheckpoint()
+      .pinned
     val lCnt = li.agg(count(lit(1)).as("n"))
     val lfkViol = li.join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -286,12 +287,12 @@ object CorpusQueries {
       // Six stage counts re-traverse the funnel, so pin each set once —
       // the checkpoint costs one execution of a frame this size anyway.
       val keepers = s3.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id").localCheckpoint()
+        .select("doc_id").pinned
       val s4 = s3.join(keepers, Seq("doc_id"), "left_semi")
       graft.plans.VectorExpressions.register(s)
       val shDf = s4
         .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint()
+        .pinned
       val sig = shDf.select(col("doc_id"),
         graft.plans.VectorExpressions.minhash_signature(col("sh"), B * R).as("sig"))
       val bands = sig.select(col("doc_id"), explode(array((0 until B).map(b =>
@@ -299,13 +300,13 @@ object CorpusQueries {
           md5(concat((b * R until (b + 1) * R).map(j =>
             element_at(col("sig"), j + 1)): _*)).as("bk"))): _*)).as("e"))
         .select(col("doc_id"), col("e.bi").as("bi"), col("e.bk").as("bk"))
-        .localCheckpoint()
+        .pinned
       val dominated = bands.select(col("doc_id").as("da"), col("bi"), col("bk"))
         .join(bands.select(col("doc_id").as("db"),
           col("bi").as("bi2"), col("bk").as("bk2")),
           col("bi") === col("bi2") && col("bk") === col("bk2") &&
             col("db") < col("da"))
-        .select(col("da").as("doc_id")).distinct().localCheckpoint()
+        .select(col("da").as("doc_id")).distinct().pinned
       val s5 = s4.join(dominated, Seq("doc_id"), "left_anti")
       val ev = s1.filter(col("doc_id") % 50 === 0).filter(size(col("ws")) >= 3)
         .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))

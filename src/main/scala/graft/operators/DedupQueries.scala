@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -224,7 +225,7 @@ object DedupQueries {
     * bucket. Components are computed on the bipartite doc↔bucket
     * incidence (never materializing the per-bucket quadratic edge
     * set): each round folds labels doc→bucket→doc through two min
-    * aggregations, covering two graph hops, and `localCheckpoint`
+    * aggregations, covering two graph hops, and [[graft.Pin]]
     * truncates lineage per round so no cache or plan grows with the
     * round count. Convergence is detected from the label sum, which
     * strictly decreases until fixpoint — one scalar action per round,
@@ -270,9 +271,9 @@ object DedupQueries {
     val shared = inc0.groupBy("bucket").agg(count(lit(1)).as("nb"))
       .filter(col("nb") > 1).select("bucket")
     val inc = inc0.join(shared, "bucket")
-      .select(col("doc_id"), col("bucket")).localCheckpoint()
+      .select(col("doc_id"), col("bucket")).pinned
     var labels = inc.select(col("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).localCheckpoint()
+      .withColumn("lbl", col("doc_id")).pinned
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
@@ -284,7 +285,7 @@ object DedupQueries {
       // lazy checkpoint: labelSum's action materializes it, so each
       // round pays ONE job instead of checkpoint-then-sum paying two
       val next = inc.join(bucketMin, "bucket")
-        .groupBy("doc_id").agg(min("blbl").as("lbl")).localCheckpoint(false)
+        .groupBy("doc_id").agg(min("blbl").as("lbl")).pinnedLazily
       val s2 = labelSum(next)
       converged = s2 == prevSum
       prevSum = s2
@@ -380,14 +381,14 @@ object DedupQueries {
       // The shingle array and the md5-family signature are the
       // expensive map-side expressions; every downstream branch (both
       // self-join sides, both confirm sides) would re-evaluate them
-      // per reference. localCheckpoint pins each ONCE — both frames
+      // per reference. Pin materializes each ONCE — both frames
       // are a few rows-per-doc of short strings, so the materialized
       // state is tiny next to the recomputation it saves (9 s → s).
       graft.plans.VectorExpressions.register(s)
       val docs = Tables.documents(s, d)
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint()
+        .pinned
       // 8-component signature (native single-pass expression, values
       // identical to the minhashOf composition) + B band rows, map-side
       val sig = docs.select(col("doc_id"),
@@ -397,7 +398,7 @@ object DedupQueries {
           md5(concat((b * R until (b + 1) * R).map(j =>
             element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
         .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
-        .localCheckpoint()
+        .pinned
       val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))
         .join(bands.select(col("doc_id").as("doc_b"),
           col("band_idx").as("bi"), col("bkey").as("bk")),
@@ -514,7 +515,7 @@ object DedupQueries {
           md5(concat((b * R until (b + 1) * R).map(j =>
             element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
         .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
-        .localCheckpoint() // one signature pass feeds both split branches
+        .pinned // one signature pass feeds both split branches
       val delta = bands.filter(col("doc_id") % 10 === 0)
       val corpus = bands.filter(col("doc_id") % 10 =!= 0)
       val hits = broadcast(delta

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,7 +21,7 @@ import org.apache.spark.sql.functions._
   *    whatever the partial-aggregation schedule.
   *
   * Scale shape: each round is one shuffle (groupBy dst) joined against
-  * the static edge list; ranks are `localCheckpoint`ed per round so the
+  * the static edge list; ranks are pinned ([[graft.Pin]]) per round so the
   * plan does not deepen with iteration count (dd08's pattern). The edge
   * list with out-degrees is computed once and reused by every round. At
   * cluster scale the edge list would be bucketed by src so the per-round
@@ -80,14 +81,14 @@ object GraphQueries {
           (col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
         .unionByName(eb.select(
           (col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-        .localCheckpoint() // static across rounds: compute the join once
+        .pinned // static across rounds: compute the join once
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val edgeDeg = edges.join(deg, "src").localCheckpoint()
+      val edgeDeg = edges.join(deg, "src").pinned
       val nodes = edges.select(col("src").as("node")).distinct()
       val params = nodes.agg(count(lit(1)).as("n"))
       var ranks = nodes.crossJoin(broadcast(params))
         .select(col("node"), expr(s"$SCALE div n").as("r"))
-        .localCheckpoint()
+        .pinned
       for (_ <- 1 to ITERS) {
         // |V| ≪ |E|: the rank table broadcasts, so the big edge side
         // never shuffles for the join — the only per-round shuffle is
@@ -103,7 +104,7 @@ object GraphQueries {
           .select(col("node"),
             (expr(s"($SCALE div n) * 15 div 100") +
               expr("85 * coalesce(s, 0) div 100")).as("r"))
-          .localCheckpoint()
+          .pinned
       }
       ranks.select(
           when(col("node") % 2 === 0,
@@ -162,7 +163,7 @@ object GraphQueries {
       val eb = Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct().localCheckpoint()
+        .distinct().pinned
       var h = eb.select(col("c")).distinct().withColumn("h", lit(S))
       var a: DataFrame = null
       for (_ <- 1 to 2) {
@@ -170,12 +171,12 @@ object GraphQueries {
           .agg(sum(col("h")).as("ar"))
         a = ar.crossJoin(broadcast(ar.agg(sum(col("ar")).as("t"))))
           .select(col("sp"), expr(s"ar * $S div t").as("a"))
-          .localCheckpoint()
+          .pinned
         val hr = eb.join(broadcast(a), Seq("sp")).groupBy("c")
           .agg(sum(col("a")).as("hr"))
         h = hr.crossJoin(broadcast(hr.agg(sum(col("hr")).as("t"))))
           .select(col("c"), expr(s"hr * $S div t").as("h"))
-          .localCheckpoint()
+          .pinned
       }
       val scored = a.select(lit("authority").as("role"), col("sp").as("nid"),
           col("a").as("score"))
@@ -203,7 +204,7 @@ object GraphQueries {
     * convergence tests). Scale shape: the frontier/visited tables are
     * |V|-bounded while edges are |E|-bounded, so the per-round joins
     * keep the BIG side static (bucketed by src at cluster scale) and
-    * shuffle only node-sized tables; localCheckpoint per round stops
+    * shuffle only node-sized tables; a Pin per round stops
     * the plan deepening. Output is the reachability profile (nodes per
     * distance) — diameter-bounded rounds, here 4. */
   val gr03Bfs: GraftQuery = {
@@ -239,9 +240,9 @@ object GraphQueries {
           (col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
         .unionByName(eb.select(
           (col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-        .localCheckpoint() // static across rounds
+        .pinned // static across rounds
       var visited = s.range(1).select(lit(SRC).as("node"), lit(0).as("d"))
-        .localCheckpoint()
+        .pinned
       for (r <- 1 to ROUNDS) {
         val frontier = visited.filter(col("d") === (r - 1))
         val next = edges
@@ -250,7 +251,7 @@ object GraphQueries {
           .join(visited.select(col("node")).withColumnRenamed("node", "vn"),
             col("node") === col("vn"), "left_anti")
           .select(col("node"), lit(r).as("d"))
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next).pinned
       }
       visited.groupBy(col("d").cast("long").as("d"))
         .agg(count(lit(1)).as("n_nodes"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
 import graft.plans.VectorExpressions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -168,7 +169,7 @@ object IvfQueries {
       .withColumn("cn2", aggregate(col("cvec"), lit(0L), (acc, x) => acc + x * x))
 
   /** Spherical k-means trainer: Lloyd loop with a fixed iteration count
-    * (determinism) and a localCheckpoint per round to truncate the
+    * (determinism) and a Pin per round to bound re-evaluation of the
     * growing lineage — the dd08 convergence-loop pattern. The centroid
     * state is k rows, so checkpointing it is free; the corpus is only
     * touched by the map-side assignment pass, once per round. Clusters
@@ -179,7 +180,7 @@ object IvfQueries {
       .select(col("vec_id").as("cid"), lit(1L).as("n"),
         col("q").as("cvec"), col("n2").as("cn2"))
     for (_ <- 1 to iters)
-      cents = recompute(assignToCells(qv, cents)).localCheckpoint()
+      cents = recompute(assignToCells(qv, cents)).pinned
     cents
   }
 
@@ -339,7 +340,7 @@ object IvfQueries {
     // both join sides read the assignment; pin it once (train already
     // checkpoints per round, so this adds one small materialization)
     searchAssigned(
-      assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS)).localCheckpoint())
+      assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS)).pinned)
   }
 
   /** Probe-1 top-5 search over an assignment table (vec_id, q, n2,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Pin.PinOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,7 +44,7 @@ import org.apache.spark.sql.functions._
   * extent, no ordering at all (see [[selectAt]]; RankSpec pins it on a
   * 99%-constant column).
   *
-  * The narrow (group, value) projection is `localCheckpoint`ed ONCE up
+  * The narrow (group, value) projection is pinned ([[graft.Pin]]) ONCE up
   * front — the three passes (extent, histogram, cohort) then read
   * materialized blocks instead of re-evaluating the input lineage,
   * which matters when the input is itself a window/join pipeline
@@ -65,14 +66,15 @@ object Rank {
     // materialize the narrow (g, v) projection ONCE so the input
     // lineage (which may itself be an expensive window/join pipeline,
     // e.g. ev09's per-user lag) is evaluated once, not once per pass.
-    // localCheckpoint stores MEMORY_AND_DISK and truncates lineage;
-    // at scale this is the temp table any selection pass keeps, priced
+    // Pin materializes it (persist+count by default — recomputable on
+    // executor loss; see graft.Pin for the checkpoint/local modes).
+    // At scale this is the temp table any selection pass keeps, priced
     // at one write of two columns instead of three re-evaluations.
     val base = df.select(col(groupCol).as("g"), col(valCol).as("v"))
-      .localCheckpoint()
+      .pinned
     val ext = base.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .pinned
     val bucketed = base.join(broadcast(ext.select("g", "lo", "hi")), Seq("g"))
       .withColumn("b", when(col("hi") === col("lo"), lit(0)).otherwise(
         least(lit(buckets - 1),
@@ -91,7 +93,7 @@ object Rank {
         .filter(col(s"r_$a") > col("off") && col(s"r_$a") <= col("off") + col("c"))
         .select(col("g"), col("b"),
           (col(s"r_$a") - col("off")).as("lr"), lit(a).as("tag"))
-    }.reduce(_ unionByName _).localCheckpoint()
+    }.reduce(_ unionByName _).pinned
     val cohorts = bucketed.join(broadcast(hits), Seq("g", "b"))
       .select(col("g"), col("tag"), col("v"), col("lr"))
     val aggs = pcts.map { case (a, _) =>
@@ -122,10 +124,10 @@ object Rank {
       // re-histogram, next-cohort join); the cohort is ≈ n/B rows by
       // construction, so pinning it is cheap and saves two re-derivations
       // from the base
-      val pinned = rows.localCheckpoint()
+      val pinned = rows.pinned
       val ext = pinned.groupBy("g", "tag")
         .agg(min("v").as("lo"), max("v").as("hi"), max("lr").as("lr"))
-        .localCheckpoint()
+        .pinned
       val done = ext.filter(col("lo") === col("hi"))
         .select(col("g"), col("tag"), col("lo").as("v"))
       val open = ext.filter(col("lo") =!= col("hi"))
@@ -141,7 +143,7 @@ object Rank {
       val hit = offs.join(broadcast(open.select("g", "tag", "lr")), Seq("g", "tag"))
         .filter(col("lr") > col("off") && col("lr") <= col("off") + col("c"))
         .select(col("g"), col("tag"), col("b"), (col("lr") - col("off")).as("lr"))
-        .localCheckpoint()
+        .pinned
       val next = rebucketed.join(broadcast(hit), Seq("g", "tag", "b"))
         .select(col("g"), col("tag"), col("v"), col("lr"))
       done.unionByName(selectAt(next, levels - 1, buckets))

@@ -143,6 +143,31 @@ class RankSpec extends AnyFunSuite {
     }
   }
 
+  test("all three Pin materialization modes select identical values") {
+    // persist (cluster-safe default), local (pre-round-6 localCheckpoint)
+    // and reliable checkpoint must be pure execution-strategy choices —
+    // same order statistics, bit-for-bit. Exercises graft.Pin's full
+    // mode switch through the heaviest multi-pass consumer.
+    val expected = exactByHand(50)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      Seq("persist", "local", "checkpoint").foreach { mode =>
+        spark.conf.set("spark.graft.materialize", mode)
+        try {
+          val got = graft.operators.Rank.discretePercentiles(
+              Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice",
+              Seq("p50" -> 50), refineLevels = 1)
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          assert(got == expected, s"mode=$mode")
+        } finally spark.conf.unset("spark.graft.materialize")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(ckptDir.toString)).deleteRecursively()
+    }
+  }
+
   test("percentile_approx sketch lands within rank-error of the exact values") {
     // accuracy=10000 → rank error eps = 1/10000; at sf0.001 group sizes
     // (~2k rows) the sketch should be exact-or-adjacent. Bound by value
