@@ -111,6 +111,29 @@ object Det {
     s"CAST(SUM(CAST($e AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)"
 }
 
+/** Scratch directories for queries that exercise the write path
+  * (layout rewrites, bucketed warehouses, schema-evolution
+  * generations, view state). All land under ONE per-JVM root that a
+  * shutdown hook deletes recursively, so repeated Verify/Bench sweeps
+  * can't accumulate unbounded disk — the round-5 leak where every
+  * build of q49/q50/q51 left fresh `createTempDirectory` debris
+  * behind (q49 writes the 1995 lineitem subset twice per run). */
+object Scratch {
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(r)))
+    r
+  }
+  def dir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  private def delete(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+}
+
 /** Pluggable mid-query materialization for multi-pass and iterative
   * operators (selection passes, LSH label propagation, PageRank/BFS
   * rounds, k-means iterations).

@@ -97,11 +97,20 @@ object AnalyticsQueries {
     * unlike builtin `stddev`/`corr` whose accumulation order differs per
     * engine. The power sums are one map-side partial aggregation; the
     * closed forms are per-group scalar math on the tiny aggregated
-    * result. Outputs quantize to 9dp: the second-moment decimals exceed
-    * 2^53 in scaled-raw form, where DuckDB's decimal-to-double cast may
-    * double-round (int-to-double, then /10^scale) while the JVM's
-    * BigDecimal cast single-rounds — a 1-ulp divergence observed at
-    * sf0.001 that the quantization absorbs.
+    * result. Outputs quantize to 9dp as `FLOOR(x·1e9 + 0.5) / 1e9` —
+    * pure IEEE mul/add/floor/div with the IDENTICAL expression tree on
+    * both engines (engine ROUND built-ins are NOT interchangeable:
+    * Spark rounds via BigDecimal HALF_UP of the exact double, DuckDB
+    * by scaled float arithmetic). The quantization exists because the
+    * second-moment decimals exceed 2^53 in scaled-raw form, where
+    * DuckDB's decimal→double cast may double-round (int→double, then
+    * /10^scale) while the JVM's BigDecimal cast single-rounds — a
+    * 1-ulp INPUT divergence observed at sf0.001. NOTE: absorbing a
+    * 1-ulp input difference by quantizing is an EMPIRICAL mitigation
+    * (two inputs 1 ulp apart could in principle straddle a floor
+    * boundary), validated by the cross-scale probes at sf0.001/0.01/
+    * 0.1 — it is not a by-construction guarantee; the floor form only
+    * removes the ROUND-implementation divergence by construction.
     */
   val q44StatsMoments: GraftQuery = q(
     "q44_stats_moments",
@@ -115,10 +124,10 @@ object AnalyticsQueries {
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-      |  ROUND(sx / n, 9) AS mean_qty,
-      |  ROUND((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
-      |  ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS std_qty,
-      |  ROUND((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 9) AS corr_qty_price
+      |  FLOOR((sx / n) * 1e9 + 0.5) / 1e9 AS mean_qty,
+      |  FLOOR(((sxx - sx * sx / n) / (n - 1)) * 1e9 + 0.5) / 1e9 AS var_qty,
+      |  FLOOR(sqrt((sxx - sx * sx / n) / (n - 1)) * 1e9 + 0.5) / 1e9 AS std_qty,
+      |  FLOOR(((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))) * 1e9 + 0.5) / 1e9 AS corr_qty_price
       |FROM sums ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val qty = dec2(col("l_quantity"))
     val price = dec2(col("l_extendedprice"))
@@ -132,12 +141,16 @@ object AnalyticsQueries {
         sum(qty * price).cast(DoubleType).as("sxy"))
     val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
     val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+    // floor returns LONG in Spark / DOUBLE in DuckDB, but the integral
+    // values here are < 2^53 so the long→double widening in the final
+    // division is exact — both engines divide the same numerator
+    def q9(x: Column): Column = floor(x * lit(1e9) + lit(0.5)) / lit(1e9)
     sums.select(col("l_returnflag"), n.cast(LongType).as("n_rows"),
-      round(sx / n, 9).as("mean_qty"),
-      round((sxx - sx * sx / n) / (n - lit(1)), 9).as("var_qty"),
-      round(sqrt((sxx - sx * sx / n) / (n - lit(1))), 9).as("std_qty"),
-      round((sxy - sx * sy / n) /
-        sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 9).as("corr_qty_price"))
+      q9(sx / n).as("mean_qty"),
+      q9((sxx - sx * sx / n) / (n - lit(1))).as("var_qty"),
+      q9(sqrt((sxx - sx * sx / n) / (n - lit(1)))).as("std_qty"),
+      q9((sxy - sx * sy / n) /
+        sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 

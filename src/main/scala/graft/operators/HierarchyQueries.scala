@@ -36,7 +36,7 @@ object HierarchyQueries {
     * operator — the operator is the distributed read + broadcast
     * prefix resolution that follows. */
   private def writeCorpus(s: SparkSession, d: String): String = {
-    val root = Files.createTempDirectory("graft_mr01_").toString
+    val root = graft.Scratch.dir("graft_mr01_")
     val rows = Tables.documents(s, d).filter(col("doc_id") < 300)
       .select("doc_id", "lang", "source", "text").collect()
     def put(rel: Path, content: String): Unit = {

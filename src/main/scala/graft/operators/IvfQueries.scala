@@ -385,7 +385,7 @@ object IvfQueries {
   /** Build + persist the cell-partitioned index once per (session,
     * sf dir); later queries/specs reload it like a serving node. */
   def indexDir(s: SparkSession, d: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf06_").toString
+    val dir = graft.Scratch.dir("graft_ivf06_")
     // train + layout-write is the indexing phase; recorded so the bench
     // reports it apart from the serving-side read+search it gates
     graft.Phases.timed("ivf06_persisted_index", "write") {

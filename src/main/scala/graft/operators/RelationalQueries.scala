@@ -905,7 +905,7 @@ object RelationalQueries {
        |FROM orders
        |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    val out = java.nio.file.Files.createTempDirectory("graft_q47_").toString
+    val out = graft.Scratch.dir("graft_q47_")
     graft.Phases.timed("q47_write_roundtrip", "write") {
       graft.sources.Formats.write(
         Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
@@ -940,7 +940,7 @@ object RelationalQueries {
     // external tables on a fresh path: no state shared across sessions
     // (a stale managed-table location from a dead session would make
     // saveAsTable refuse), overwrite handles re-registration within one
-    val wh = java.nio.file.Files.createTempDirectory("graft_q48_").toString
+    val wh = graft.Scratch.dir("graft_q48_")
     graft.Phases.timed("q48_bucketed_join", "write") {
       Tables.orders(s, d).write.mode("overwrite")
         .option("path", s"$wh/orders")
@@ -1355,18 +1355,25 @@ object RelationalQueries {
     * sized to bytes/file (repartition keeps output sizes uniform —
     * coalesce would inherit whatever skew the scan's split packing
     * produced, and small inputs pack into too few splits to even hit a
-    * target count). */
+    * target count).
+    *
+    * File-count contract: round-robin repartition(k) spreads n rows
+    * ±1-evenly, and empty partitions write no file, so each generation
+    * lands exactly `LEAST(k, n)` files — the oracle derives the counts
+    * from COUNT(*) instead of pinning 200/8 literals, keeping the
+    * contract scale-independent (sparser inputs than the k=200 targets
+    * would otherwise silently break the hash). */
   val q49Compaction: GraftQuery = q(
     "q49_compaction",
     "small-file compaction: 200-file fragmented write → 8 even files, content-preserving",
-    s"""SELECT CAST(200 AS BIGINT) AS n_files_before,
-       |  CAST(8 AS BIGINT) AS n_files_after,
+    s"""SELECT CAST(LEAST(200, COUNT(*)) AS BIGINT) AS n_files_before,
+       |  CAST(LEAST(8, COUNT(*)) AS BIGINT) AS n_files_after,
        |  COUNT(*) AS n_rows,
        |  ${Det.sqlDsum("l_extendedprice")} AS sum_price
        |FROM lineitem
        |WHERE EXTRACT(YEAR FROM l_shipdate) = 1995""".stripMargin) { (s, d) =>
-    val small = java.nio.file.Files.createTempDirectory("graft_q49_small_").toString
-    val compact = java.nio.file.Files.createTempDirectory("graft_q49_comp_").toString
+    val small = graft.Scratch.dir("graft_q49_small_")
+    val compact = graft.Scratch.dir("graft_q49_comp_")
     graft.Phases.timed("q49_compaction", "write") {
       Tables.lineitem(s, d)
         .filter(year(col("l_shipdate")) === 1995)
@@ -1403,7 +1410,7 @@ object RelationalQueries {
        |  ${Det.sqlDsum("o_totalprice")} AS gen1_price,
        |  CAST(2 AS BIGINT) AS n_generations
        |FROM orders""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_q50_").toString
+    val dir = graft.Scratch.dir("graft_q50_")
     val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
     graft.Phases.timed("q50_schema_merge", "write") {
       base.withColumn("gen", lit(1))
@@ -1436,7 +1443,7 @@ object RelationalQueries {
     s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
        |  ${Det.sqlDsum("o_totalprice")} AS sum_price
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_q51_").toString
+    val dir = graft.Scratch.dir("graft_q51_")
     val orders = Tables.orders(s, d)
     val cutoff = lit("1997-01-01").cast(DateType)
     def partial(df: DataFrame): DataFrame =

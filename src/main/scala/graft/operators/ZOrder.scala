@@ -68,7 +68,7 @@ object ZOrder {
   /** Orders written z-ordered to a temp dir and read back — shared by
     * the registry query and ZOrderSpec's skipping test. */
   def zorderedOrders(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_zo01_").toString
+    val out = graft.Scratch.dir("graft_zo01_")
     val o = Tables.orders(s, d)
       .withColumn("x", col("o_custkey") % 256)
       .withColumn("y", col("o_orderkey") % 256)
