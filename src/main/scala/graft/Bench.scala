@@ -13,6 +13,7 @@ object Bench {
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions) // production injection path
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

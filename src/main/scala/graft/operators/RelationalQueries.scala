@@ -849,6 +849,45 @@ object RelationalQueries {
     None,
     "HLL++ sketch cardinality — constant memory at any scale")
 
+  /** The [[graft.plans.ApproxDistinctRewrite]] face of the registry: the
+    * SAME multi-distinct DataFrame code built twice. ad01 runs it exact
+    * (flag off — the default) and is oracle-checked; ad02 builds it in a
+    * child session with `spark.graft.approxDistinct=true`, so the
+    * INJECTED optimizer rule — not a code change — swaps both distincts
+    * to HLL++ and the Expand round (row replication × #distincts, the
+    * most state-hungry aggregate shape in the engine) disappears from
+    * the physical plan. PlanSpec pins the plan divergence; RewriteSpec
+    * pins the estimates within the sketch rsd. ad02's estimate is
+    * engine-specific state (like hll01), so it records the weaker
+    * rows-only check by design — ad01 IS its exact-side oracle. */
+  private def adDistincts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  val ad01ExactDistinct: GraftQuery = q(
+    "ad01_exact_distinct",
+    "multi-distinct per group, exact (Expand + double aggregation) — rewrite pair, exact side",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin)(adDistincts)
+
+  val ad02ApproxDistinct: GraftQuery = GraftQuery(
+    "ad02_approx_distinct",
+    (s, d) => {
+      // child session: same SparkContext and injected extensions, but
+      // the opt-in flag can't leak into any other registry query
+      val s2 = s.newSession()
+      s2.conf.set("spark.graft.approxDistinct", "true")
+      adDistincts(s2, d)
+    },
+    None,
+    "same code through the injected COUNT(DISTINCT)→HLL++ rewrite (no Expand round)")
+
   /** Per-group quantiles at scale, TWO ways. The registry row is the
     * DETERMINISTIC one: the value at discrete integer rank
     * (n·pct+99) div 100 via [[Rank.discretePercentiles]] — a
@@ -1522,7 +1561,7 @@ object RelationalQueries {
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,
     q33TopKOperator, q34ExceptAll, q35HashSample, q36ArrayFuncs,
     q37IntersectAll, q38ExistsCorrelated, q39FilteredAgg, q40Lateral,
-    q41RankFamily, hll01ApproxDistinct,
+    q41RankFamily, hll01ApproxDistinct, ad01ExactDistinct, ad02ApproxDistinct,
     q01PricingSummary, q02FilterProject, q03GlobalAgg, q04TopK,
     q05JoinBroadcast, q06JoinMultiway, q07SemiJoin, q08AntiJoin,
     q09OuterJoin, q10ThetaJoin, q11GroupHaving, q12Distinct,

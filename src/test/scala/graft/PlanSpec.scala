@@ -201,6 +201,21 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("ad01/ad02: the injected rewrite splits the pair's plans — Expand exact, HLL++ sketched") {
+    // the registry face of ApproxDistinctRewrite: identical DataFrame
+    // code, divergent physical plans purely via the session flag
+    val exact = plan("ad01_exact_distinct")
+    assert(exact.contains("Expand"),
+      "exact multi-distinct should plan the Expand round\n" + exact.take(2000))
+    assert(!exact.contains("approx_count_distinct"),
+      "flag off must stay exact\n" + exact.take(2000))
+    val sketched = plan("ad02_approx_distinct")
+    assert(sketched.contains("approx_count_distinct"),
+      "injected rule must fire in ad02's child session\n" + sketched.take(2000))
+    assert(!sketched.contains("Expand"),
+      "sketched multi-distinct must not replicate rows\n" + sketched.take(2000))
+  }
+
   test("join strategy hints steer the planner: broadcast / shuffle_hash / merge") {
     val o = Tables.orders(spark, sf)
     val c = Tables.customer(spark, sf)
