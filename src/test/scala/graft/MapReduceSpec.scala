@@ -140,6 +140,37 @@ class MapReduceSpec extends AnyFunSuite {
     assert(res("order") == Seq("ctx0", "ctx1", "ctx2"))
   }
 
+  test("deep tree with context GAPS: stack keeps root→leaf order across missing levels (work.go:82-91)") {
+    // 6-level tree where levels 2 and 4 have NO directory file — the
+    // reference's stack append (work.go:82-91) simply skips a folder
+    // that contributes nothing, so the leaf must see the sparse
+    // ancestor chain in root→leaf order with no placeholder for the
+    // gaps; a ctx in a SIBLING branch must never leak in
+    val corpus = Corpus.fromRecords(spark, Seq(
+      "ctx.txt" -> "L0".getBytes,
+      "a/ctx.txt" -> "L1".getBytes,
+      // a/b has no ctx (gap)
+      "a/b/c/ctx.txt" -> "L3".getBytes,
+      // a/b/c/d has no ctx (gap)
+      "a/b/c/d/e/ctx.txt" -> "L5".getBytes,
+      "a/b/c/d/e/f/leaf.txt" -> "data".getBytes,
+      "a/x/ctx.txt" -> "SIBLING".getBytes, // other branch
+      "a/x/other.txt" -> "data".getBytes))
+    val job = MapReduceJob[Seq[String], Map[String, Seq[String]]](
+      name = "deep",
+      filter = PathGlob(Seq("**/leaf.txt", "**/other.txt")),
+      directoryFiles = Some(PathGlob(Seq("ctx.txt", "**/ctx.txt"))),
+      mapper = (path, parents, _) =>
+        Iterator.single(Seq(path) ++ parents.map(b => new String(b, "UTF-8"))),
+      zero = Map.empty,
+      fold = (acc, v) => acc + (v.head -> v.tail),
+      merge = _ ++ _)
+    val res = MapReduceRunner.run(spark, corpus, Seq(job))("deep")
+      .asInstanceOf[Map[String, Seq[String]]]
+    assert(res("a/b/c/d/e/f/leaf.txt") == Seq("L0", "L1", "L3", "L5"))
+    assert(res("a/x/other.txt") == Seq("L0", "L1")) // SIBLING excluded (same folder), L3/L5 other branch
+  }
+
   test("same-folder directory file is NOT a parent of its siblings (mapreduce.go:152-198)") {
     val corpus = Corpus.fromRecords(spark, Seq(
       "folder/file.txt" -> "ctx".getBytes,

@@ -393,6 +393,66 @@ class StreamingSpec extends AnyFunSuite {
     first.unpersist(); ev.unpersist()
   }
 
+  test("parquet file sink is exactly-once through a checkpointed restart: no duplicate, no missing windows") {
+    // the sink users actually deploy: append-mode windowed counts into
+    // a parquet directory, killed and restarted with more data. The
+    // offsets in the checkpoint stop the restart from reprocessing old
+    // files; the sink's _spark_metadata commit log makes file
+    // visibility atomic. Together: every watermark-closed window lands
+    // EXACTLY once across the two runs.
+    val dataDir = Files.createTempDirectory("graft-fsink-data").toString
+    val outDir = Files.createTempDirectory("graft-fsink-out").toString
+    val ckpt = Files.createTempDirectory("graft-fsink-ckpt").toString
+    val ev = Tables.events(spark, sf).orderBy("ts").cache()
+    val n = ev.count()
+    val half = (n / 2).toInt
+    val first = ev.limit(half).cache()
+    // two files in run 1 (watermark advances between batches, so run 1
+    // emits something); one more file for run 2
+    first.limit(half / 2).coalesce(1).write.mode("append").parquet(dataDir)
+    first.exceptAll(first.limit(half / 2))
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    def run(): org.apache.spark.sql.streaming.StreamingQueryProgress = {
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      val q = EventStreams.tumblingHourly(src)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.lastProgress
+    }
+    run()
+    val emitted1 = spark.read.parquet(outDir).count()
+    assert(emitted1 > 0, "run 1 must commit at least one closed window")
+    ev.exceptAll(first).coalesce(1).write.mode("append").parquet(dataDir)
+    val progress2 = run()
+    assert(new java.io.File(outDir, "_spark_metadata").exists,
+      "file sink must write its commit log")
+    val out = spark.read.parquet(outDir).cache()
+    assert(out.count() > emitted1, "the restart must append newly closed windows")
+    // exactly-once: no (window, type) key is ever emitted twice
+    val dups = out.groupBy("window_start", "event_type")
+      .count().filter(col("count") > 1).collect()
+    assert(dups.isEmpty, s"duplicate windows across restart: ${dups.mkString(",")}")
+    // no wrong rows: everything emitted matches the batch aggregate of
+    // the COMPLETE input bit-for-bit
+    val batch = EventStreams.tumblingHourly(ev, withWatermarkCol = false)
+    assert(out.exceptAll(batch).isEmpty,
+      "emitted rows must equal the batch aggregate for their windows")
+    // no missing rows: every window the final watermark closed is there
+    val wm = java.sql.Timestamp.from(java.time.Instant.parse(
+      progress2.eventTime.get("watermark")))
+    val missing = batch
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wm))
+      .exceptAll(out).collect()
+    assert(missing.isEmpty,
+      s"windows closed by watermark $wm never reached the sink: ${missing.take(5).mkString(",")}")
+    out.unpersist(); first.unpersist(); ev.unpersist()
+  }
+
   test("stream-static enrichment join ≡ batch join (dims broadcast per micro-batch)") {
     val dims = spark.createDataFrame(Seq(
       ("view", "browse"), ("click", "browse"), ("purchase", "convert"),
