@@ -57,10 +57,14 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query map on its own line FIRST; the driver tail-captures
-    // stdout, so the LAST line must be the compact total-only JSON
-    // (a single giant line gets its front — the total — truncated).
-    println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","phases":$phases,"queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    // the LAST 2000 chars of stdout, so the final line must be the
+    // compact JSON and carry everything that must survive: the giant
+    // per_query line gets its FRONT truncated (r5 lost the phases map
+    // by leading with it), so the write/read phase split rides the
+    // total line instead — it is small by construction (only the
+    // layout-write queries record a phase).
+    println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"runs_per_query":$runs,"sf":"$sfDir","phases":$phases}""")
     spark.stop()
     // a broken query must not shrink the headline total and exit 0
     if (failed > 0) sys.exit(1)
