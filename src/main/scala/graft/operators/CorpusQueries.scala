@@ -379,6 +379,58 @@ object CorpusQueries {
     }
   }
 
+  /** Curriculum quality-binning: per-language EXACT quartile thresholds
+    * of a per-doc metric (tokens), computed by the distributed
+    * histogram-refinement selection ([[Rank.discretePercentiles]] — no
+    * per-group sort, zero fact shuffles), broadcast back onto the
+    * corpus, and every document assigned its quartile bin — the
+    * bucketing step of curriculum/quality-tiered sampling. The
+    * threshold table is |groups| rows at ANY corpus size, so the
+    * assignment join is always a broadcast; the only full-data passes
+    * are the selection's narrow scans and one final group-count. The
+    * oracle recomputes the same discrete ranks ((n·p+99) div 100,
+    * 1-based ceil — values at a rank are deterministic even under ties)
+    * with a window, which is exactly the per-group sort this operator
+    * exists to avoid. */
+  val qb01QualityBins: GraftQuery = q(
+    "qb01_quality_bins",
+    "curriculum bins: exact per-language token quartiles (rank selection) + binned counts",
+    """WITH t AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, v,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM t),
+      |th AS (
+      |  SELECT lang,
+      |    MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END) AS t25,
+      |    MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS t50,
+      |    MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END) AS t75
+      |  FROM r GROUP BY lang),
+      |b AS (
+      |  SELECT t.lang,
+      |    CAST(CASE WHEN v <= t25 THEN 0 WHEN v <= t50 THEN 1
+      |              WHEN v <= t75 THEN 2 ELSE 3 END AS BIGINT) AS bin, v
+      |  FROM t JOIN th ON t.lang = th.lang)
+      |SELECT lang, bin, COUNT(*) AS n_docs,
+      |  MIN(v) AS min_tokens, MAX(v) AS max_tokens
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast(LongType).as("v"))
+    val th = Rank.discretePercentiles(docs, "lang", "v",
+      Seq("t25" -> 25, "t50" -> 50, "t75" -> 75))
+    docs.join(broadcast(th), "lang")
+      .withColumn("bin",
+        when(col("v") <= col("t25"), 0L).when(col("v") <= col("t50"), 1L)
+          .when(col("v") <= col("t75"), 2L).otherwise(3L))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("v").as("min_tokens"), max("v").as("max_tokens"))
+      .orderBy("lang", "bin")
+  }
+
   /** Domain-mixture weights: per-source token shares and the sampling
     * weight that flattens the mix toward a uniform target (capped at 3×
     * upsampling so rare domains aren't repeated into memorization) —
@@ -462,5 +514,5 @@ object CorpusQueries {
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
-    mx02TemperatureMix)
+    mx02TemperatureMix, qb01QualityBins)
 }

@@ -242,27 +242,41 @@ object DedupQueries {
   val dd08DupClusters: GraftQuery = q(
     "dd08_dup_clusters",
     "connected-component near-dup clusters over 2-band LSH candidates",
-    s"""WITH RECURSIVE tok AS (
+    // Oracle cost note: an earlier oracle materialized doc-doc edges
+    // (Σ bucket² pairs — 15M at sf0.1, one mega-bucket) and ran a
+    // recursive transitive closure over them; DuckDB timed out. This
+    // form mirrors the engine's algorithm instead: min-label
+    // propagation over the doc↔bucket INCIDENCE (≤ 2 rows per doc,
+    // never a pair set), unrolled to the same 30-round cap as the
+    // Spark loop. Labels only ever decrease, so rounds after
+    // convergence are identity — a fixed 30 rounds is EQUIVALENT to
+    // the engine's stop-early-or-30, whichever round it converges in.
+    // Every CTE carries AS MATERIALIZED: DuckDB otherwise INLINES the
+    // single-reference round CTEs into one exponentially-nested plan
+    // (observed: 0.6 s materialized vs >120 s inlined at sf0.01).
+    (s"""WITH tok AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
        |  FROM documents),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |    MIN(md5('0:' || w)) AS s0, MIN(md5('1:' || w)) AS s1,
        |    MIN(md5('2:' || w)) AS s2, MIN(md5('3:' || w)) AS s3
        |  FROM tok GROUP BY doc_id),
-       |inc AS (
+       |inc0 AS MATERIALIZED (
        |  SELECT doc_id, '1:' || md5(s0 || s1) AS bucket FROM sig
        |  UNION ALL
        |  SELECT doc_id, '2:' || md5(s2 || s3) AS bucket FROM sig),
-       |edges AS (
-       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |  FROM inc a JOIN inc b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id),
-       |reach(src, dst) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, MIN(dst) AS cluster_id
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |shared AS MATERIALIZED (SELECT bucket FROM inc0 GROUP BY bucket HAVING COUNT(*) > 1),
+       |inc AS MATERIALIZED (SELECT i.doc_id, i.bucket FROM inc0 i JOIN shared USING (bucket)),
+       |l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS lbl FROM inc)"""
+      + (1 to 30).map(k =>
+        s""",
+       |b$k AS MATERIALIZED (SELECT i.bucket, MIN(l.lbl) AS blbl
+       |  FROM inc i JOIN l${k - 1} l USING (doc_id) GROUP BY i.bucket),
+       |l$k AS MATERIALIZED (SELECT i.doc_id, MIN(b.blbl) AS lbl
+       |  FROM inc i JOIN b$k b USING (bucket) GROUP BY i.doc_id)""").mkString
+      + s"""
+       |SELECT doc_id, lbl AS cluster_id FROM l30 ORDER BY doc_id""").stripMargin) { (s, d) =>
     val inc0 = Tables.documents(s, d)
       .select(col("doc_id"), explode(array(
         concat(lit("1:"), TextFunctions.lshBand(col("text"), 0, 2)),
