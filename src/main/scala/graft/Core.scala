@@ -142,13 +142,18 @@ object Scratch {
   * lineage on the executors that computed them: on a real cluster one
   * executor loss makes every consumer of the pinned frame fail
   * unrecoverably. The cluster-safe default is therefore
-  * `persist(MEMORY_AND_DISK)` plus an eager count, so multi-pass
-  * consumers materialize the frame once and an evicted or lost block
-  * silently recomputes from lineage (all pinned plans here are
-  * deterministic — see [[Det]]). Long iterative chains at real scale
-  * should opt into `checkpoint`: reliable, lineage-TRUNCATING (keeps
-  * round-N plans round-sized and stops recovery cascading to round 0),
-  * at the price of a checkpoint-dir write per round — requires
+  * `persist(MEMORY_AND_DISK)`: the FIRST action over the pinned frame
+  * populates the cache, every later pass reads it, and an evicted or
+  * lost block silently recomputes from lineage (all pinned plans here
+  * are deterministic — see [[Det]]). Deliberately NO eager
+  * materialization in this mode — persist is semantically transparent,
+  * and an eager count() is one wasted full evaluation whenever the
+  * frame feeds a single downstream action (measured 1.4–2.6× per-query
+  * overhead across the iterative graph/rank/ivf family at sf0.1).
+  * Long iterative chains at real scale should opt into `checkpoint`:
+  * reliable, lineage-TRUNCATING (keeps round-N plans round-sized and
+  * stops recovery cascading to round 0), at the price of a
+  * checkpoint-dir write per round — requires
   * `SparkContext.setCheckpointDir`.
   *
   * Mode per session via `spark.graft.materialize`:
@@ -164,10 +169,9 @@ object Pin {
     df.sparkSession.conf.get("spark.graft.materialize", "persist") match {
       case "local"      => df.localCheckpoint(eager)
       case "checkpoint" => df.checkpoint(eager)
-      case _ =>
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (eager) p.count()
-        p
+      // persist is get-or-compute at first use; eager would only add a
+      // count() pass, so the flag is intentionally ignored here
+      case _ => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Postfix syntax at call sites: `df.pinned` / `df.pinnedLazily`. */

@@ -27,15 +27,31 @@ object IvfQueries {
   private val CELLS = 16
 
   /** vectors × centroids cosine, argmax by (cosine desc, cid) —
-    * shared SQL prefix of both queries. */
+    * shared SQL prefix of the IVF queries. Norms are pre-projected
+    * once per vector (MATERIALIZED — DuckDB would inline the CTE into
+    * each reference otherwise) and the cosine is computed in its own
+    * layer so the 64-term dot chain is evaluated ONCE per (vector,
+    * centroid) row, not twice (select + ORDER BY) with per-row norm
+    * recomputation — the same oracle-memory hazard class that OOM'd
+    * sm01 (round 5) and sd01 (round 6) in a long-lived DuckDB process.
+    * `cos_c` is the identical fp expression tree as before (dot /
+    * (nrm·nrm) with the same association), so hashes are unchanged. */
   private def sqlAssign: String =
-    s"""centroids AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $CELLS),
-       |scored AS (
+    s"""normed AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, SQRT(${sqlNorm2("e")}) AS nrm
+       |  FROM embeddings e),
+       |centroids AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding, nrm AS cnrm FROM normed
+       |  WHERE vec_id < $CELLS),
+       |scored0 AS (
        |  SELECT v.vec_id, c.cid,
-       |    ${sqlDot("v", "c")} / (SQRT(${sqlNorm2("v")}) * SQRT(${sqlNorm2("c")})) AS cos_c,
-       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |      ORDER BY ${sqlDot("v", "c")} / (SQRT(${sqlNorm2("v")}) * SQRT(${sqlNorm2("c")})) DESC, c.cid) AS rc
-       |  FROM embeddings v CROSS JOIN centroids c),
+       |    ${sqlDot("v", "c")} / (v.nrm * c.cnrm) AS cos_c
+       |  FROM normed v CROSS JOIN centroids c),
+       |scored AS (
+       |  SELECT vec_id, cid, cos_c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, cid) AS rc
+       |  FROM scored0),
        |assigned AS (SELECT vec_id, cid, cos_c FROM scored WHERE rc = 1)""".stripMargin
 
   /** Nearest-centroid assignment, computed map-side: the centroid set
@@ -89,10 +105,10 @@ object IvfQueries {
     s"""WITH $sqlAssign,
        |pairs AS (
        |  SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
-       |    ${sqlDot("q", "c")} / (SQRT(${sqlNorm2("q")}) * SQRT(${sqlNorm2("c")})) AS cosine
-       |  FROM assigned qa JOIN embeddings q ON q.vec_id = qa.vec_id
+       |    ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS cosine
+       |  FROM assigned qa JOIN normed q ON q.vec_id = qa.vec_id
        |  JOIN assigned ca ON ca.cid = qa.cid AND ca.vec_id <> qa.vec_id
-       |  JOIN embeddings c ON c.vec_id = ca.vec_id
+       |  JOIN normed c ON c.vec_id = ca.vec_id
        |  WHERE qa.vec_id < 5),
        |ranked AS (
        |  SELECT query_id, cand_id, cosine,
@@ -282,10 +298,10 @@ object IvfQueries {
        |probes AS (SELECT vec_id, cid FROM scored WHERE rc <= $PROBES AND vec_id < 5),
        |pairs AS (
        |  SELECT p.vec_id AS query_id, ca.vec_id AS cand_id,
-       |    ${sqlDot("q", "c")} / (SQRT(${sqlNorm2("q")}) * SQRT(${sqlNorm2("c")})) AS cosine
-       |  FROM probes p JOIN embeddings q ON q.vec_id = p.vec_id
+       |    ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS cosine
+       |  FROM probes p JOIN normed q ON q.vec_id = p.vec_id
        |  JOIN assigned ca ON ca.cid = p.cid AND ca.vec_id <> p.vec_id
-       |  JOIN embeddings c ON c.vec_id = ca.vec_id),
+       |  JOIN normed c ON c.vec_id = ca.vec_id),
        |ranked AS (
        |  SELECT query_id, cand_id, cosine,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -413,10 +429,10 @@ object IvfQueries {
        |pairs AS (
        |  SELECT a.cid, b.vec_id AS drop_id
        |  FROM assigned a
-       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN normed ea ON ea.vec_id = a.vec_id
        |  JOIN assigned b ON b.cid = a.cid AND b.vec_id > a.vec_id
-       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-       |  WHERE ${sqlDot("ea", "eb")} / (SQRT(${sqlNorm2("ea")}) * SQRT(${sqlNorm2("eb")})) > 0.4)
+       |  JOIN normed eb ON eb.vec_id = b.vec_id
+       |  WHERE ${sqlDot("ea", "eb")} / (ea.nrm * eb.nrm) > 0.4)
        |SELECT a.cid, COUNT(DISTINCT a.vec_id) AS n_members,
        |  CAST(COUNT(DISTINCT p.drop_id) AS BIGINT) AS n_dropped
        |FROM assigned a LEFT JOIN pairs p ON p.cid = a.cid
