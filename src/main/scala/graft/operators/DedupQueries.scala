@@ -475,6 +475,57 @@ object DedupQueries {
       |ORDER BY n_docs DESC, n_total DESC, gram LIMIT 30""".stripMargin),
     "cross-doc repeated 5-grams (substring-level duplication, map-side grams)")
 
+  /** Boilerplate SCRUB — the removal-side complement of dd11's
+    * detection: every word 5-gram instance is marked against the hot
+    * set (grams appearing in ≥ 3 distinct docs — headers, license
+    * blocks, templated spans), giving each document its boilerplate
+    * ratio and clean-gram count, the per-doc signal a C4-style
+    * pipeline filters and trims on. Scale shape: grams are a map-side
+    * transform (no self-join); the hot set is the extreme top of the
+    * gram document-frequency distribution — tiny by Zipf (74 of 24k
+    * distinct grams at sf0.01) — so the mark-back join BROADCASTS it
+    * and the gram stream is never re-shuffled; the only exchanges are
+    * the hot count's partial agg and the final per-doc agg. The ratio
+    * is one IEEE division of exact integer counts. */
+  val dd13BoilerplateScrub: GraftQuery = q(
+    "dd13_boilerplate_scrub",
+    "C4-style boilerplate scrub: per-doc hot-gram marking, ratio + clean count",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+      |  FROM toks, UNNEST(range(1, len(ts)-3)) AS t(i)
+      |  WHERE len(ts) >= 5),
+      |hot AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 3),
+      |marks AS (
+      |  SELECT g.doc_id, CASE WHEN h.gram IS NULL THEN 0 ELSE 1 END AS boiler
+      |  FROM grams g LEFT JOIN hot h ON g.gram = h.gram)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(boiler) AS BIGINT) AS n_boiler,
+      |  CAST(COUNT(*) - SUM(boiler) AS BIGINT) AS n_clean,
+      |  CAST(SUM(boiler) AS DOUBLE) / COUNT(*) AS boiler_ratio
+      |FROM marks GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts)-5), i -> array_join(slice(ts, i+1, 5), ' '))"
+      )).as("gram"))
+    val hot = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("gram").as("hgram"))
+    grams.join(broadcast(hot), col("gram") === col("hgram"), "left")
+      .select(col("doc_id"),
+        when(col("hgram").isNull, 0L).otherwise(1L).as("boiler"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("boiler")).cast(LongType).as("n_boiler"),
+        (count(lit(1)) - sum(col("boiler"))).cast(LongType).as("n_clean"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast(DoubleType) / col("n_grams").cast(DoubleType))
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dup ADMISSION — the shape a 100 TB ingest
     * actually runs: a small new shard (here docs with doc_id % 10 = 0)
     * is checked against the EXISTING corpus's LSH bands without
@@ -550,5 +601,5 @@ object DedupQueries {
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
-    dd12IncrementalAdmission)
+    dd12IncrementalAdmission, dd13BoilerplateScrub)
 }

@@ -201,6 +201,14 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("dd13: hot-gram mark-back join broadcasts the hot set; gram stream never re-shuffles") {
+    val p = plan("dd13_boilerplate_scrub")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny hot set must broadcast\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "gram stream must not shuffle for the mark join\n" + p.take(2000))
+  }
+
   test("ad01/ad02: the injected rewrite splits the pair's plans — Expand exact, HLL++ sketched") {
     // the registry face of ApproxDistinctRewrite: identical DataFrame
     // code, divergent physical plans purely via the session flag
