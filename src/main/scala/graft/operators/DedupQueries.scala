@@ -153,11 +153,16 @@ object DedupQueries {
     import VectorSql.{sqlBucket, sqlDot, sqlNorm2}
     q("dd06_embedding_neardup",
       "embedding-cosine near-dup pairs via LSH buckets",
-      s"""WITH coded AS (
-         |  SELECT vec_id, embedding, ${sqlBucket("embeddings")} AS bucket FROM embeddings),
+      // norms pre-projected once per vector (not per pair) — the
+      // oracle-memory fix applied across the cosine family this round;
+      // dot/(na·nb) is the identical fp tree, hashes unchanged
+      s"""WITH coded AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, ${sqlBucket("e")} AS bucket,
+         |    SQRT(${sqlNorm2("e")}) AS nrm
+         |  FROM embeddings e),
          |pairs AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${sqlDot("a", "b")} / (SQRT(${sqlNorm2("a")}) * SQRT(${sqlNorm2("b")})) AS cosine
+         |    ${sqlDot("a", "b")} / (a.nrm * b.nrm) AS cosine
          |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>

@@ -149,7 +149,7 @@ object SimilarityQueries {
   val sm03AnnBucketed: GraftQuery = q(
     "sm03_ann_bucketed",
     "LSH-bucketed approximate nearest neighbors",
-    s"""WITH coded AS (
+    s"""WITH coded AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, ${sqlBucket("e")} AS bucket,
        |    SQRT(${sqlNorm2("e")}) AS nrm
        |  FROM embeddings e),
