@@ -511,8 +511,75 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how target-like its token distribution is,
+    * where "target" is one source's docs and "background" is the whole
+    * corpus. Tokens are hashed into a FIXED feature space (1024
+    * buckets, the paper's hashed n-gram trick) so the per-bucket
+    * statistics table is bounded — 1024 rows whether the corpus is MBs
+    * or 100 TB — and always broadcastable. Per-bucket weight is the
+    * log-free integer odds ratio `tgt_ct·10⁶ div bg_ct` (the same
+    * cross-engine-determinism device as bm01's idf): a document's
+    * importance is Σ count_b·odds_b over its buckets, all BIGINT, so
+    * the ranking is hash-exact on any engine. Headroom: 10¹² corpus
+    * tokens × 10⁶ scale = 10¹⁸ < 2⁶³.
+    *
+    * Plan shape: one explode + two classic word-count aggregations
+    * (partial agg collapses each partition to ≤1024 rows before the
+    * shuffle), one broadcast join, one final per-doc agg. Linear in
+    * corpus size, no all-pairs, no UDFs. */
+  val ir01ImportanceWeights: GraftQuery = {
+    val NB = 1024L // hashed feature buckets
+    val SCALE = 1000000L // odds fixed-point scale
+    q("ir01_importance_weights",
+      "DSIR hashed-feature importance weights: target-vs-background integer odds",
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+         |       + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+         |       + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+         |       + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS BIGINT)
+         |      % $NB AS b
+         |  FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |odds AS MATERIALIZED (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) * $SCALE
+         |         // COUNT(*) AS BIGINT) AS odds
+         |  FROM toks GROUP BY b),
+         |per AS (
+         |  SELECT doc_id, source, b, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3)
+         |SELECT doc_id, source,
+         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(c * odds) AS BIGINT) AS ir_score
+         |FROM per JOIN odds USING (b)
+         |GROUP BY doc_id, source
+         |ORDER BY ir_score DESC, doc_id LIMIT 40""".stripMargin) { (s, d) =>
+      // same 16-bit md5 word value as tx07's fingerprint, folded mod NB
+      val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)
+        .cast(LongType) % NB).as("b")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"), bucket)
+      val odds = toks.groupBy(col("b"))
+        .agg(count(lit(1)).as("bg_ct"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tgt_ct"))
+        .select(col("b"), expr(s"tgt_ct * $SCALE div bg_ct").as("odds"))
+      toks.groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(odds), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+          sum(col("c") * col("odds")).cast(LongType).as("ir_score"))
+        .orderBy(desc("ir_score"), col("doc_id"))
+        .limit(40)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
-    mx02TemperatureMix, qb01QualityBins)
+    mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights)
 }

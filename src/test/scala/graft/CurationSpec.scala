@@ -97,4 +97,47 @@ class CurationSpec extends AnyFunSuite {
       .filter(year(col("l_shipdate")) === 1995).count()
     assert(r(0).getLong(2) == expected, "row preservation")
   }
+
+  test("ir01: driver-side exact recomputation and the odds-bound law") {
+    val rows = run("ir01_importance_weights").collect()
+    assert(rows.length == 40)
+    // scores arrive ranked, ties broken by doc_id
+    val pairs = rows.map(r => (r.getAs[Long]("ir_score"), r.getAs[Long]("doc_id")))
+    assert(pairs.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) },
+      "ranking must be (ir_score DESC, doc_id ASC)")
+    // law: 0 <= odds <= SCALE per bucket, so 0 <= score <= n_tokens * SCALE
+    rows.foreach { r =>
+      val (nt, sc) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("ir_score"))
+      assert(sc >= 0 && sc <= nt * 1000000L, s"score out of odds bounds: $sc / $nt")
+    }
+    // independent recomputation: rebuild bucket odds and one doc's score
+    // with plain JVM code (md5 + integer division), no Spark expressions
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16) % 1024L
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+    val bg = scala.collection.mutable.Map.empty[Long, Long]
+    val tg = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { r =>
+      val isT = r.getAs[String]("source") == "src0"
+      r.getAs[String]("text").split(" ", -1).foreach { t =>
+        val b = bucket(t)
+        bg(b) = bg.getOrElse(b, 0L) + 1
+        if (isT) tg(b) = tg.getOrElse(b, 0L) + 1
+      }
+    }
+    val odds = bg.map { case (b, n) => b -> tg.getOrElse(b, 0L) * 1000000L / n }
+    val byId = docs.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.take(5).foreach { r =>
+      val want = byId(r.getAs[Long]("doc_id"))
+        .split(" ", -1).map(t => odds(bucket(t))).sum
+      assert(r.getAs[Long]("ir_score") == want,
+        s"doc ${r.getAs[Long]("doc_id")}: engine ${r.getAs[Long]("ir_score")} != recomputed $want")
+    }
+  }
 }
