@@ -168,6 +168,57 @@ object EventStreams {
       }
   }
 
+  final case class UserSnapshot(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-user running totals as a [[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * — the Spark 4 `transformWithState` successor to
+    * [[runningUserTotals]]'s flatMapGroupsWithState. The new API is
+    * what a production deployment should prefer: state is declared
+    * through a handle (schema'd, evolvable, visible to the state-store
+    * reader for debugging), per-state TTL is first-class instead of a
+    * whole-operator GroupStateTimeout, and timers replace the
+    * timeout-callback contortion. Value totals fold in integer cents
+    * (per-event rounding, so the running sum is order-independent and
+    * batch-comparable bit-exactly). State per user is one 24-byte
+    * snapshot; with a TTL it is evicted by the RocksDB store once the
+    * user goes quiet — the bounded-state story at 100 TB/day. */
+  class RunningTotalsProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserSnapshot] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+    @transient private var state: ValueState[UserSnapshot] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserSnapshot]("running",
+        org.apache.spark.sql.Encoders.product[UserSnapshot], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[UserSnapshot] = {
+      val prev =
+        if (state.exists()) state.get() else UserSnapshot(key, 0L, 0L)
+      var n = prev.n_events
+      var cents = prev.total_cents
+      rows.foreach { r => n += 1; cents += Math.round(r.value * 100) }
+      val next = UserSnapshot(key, n, cents)
+      state.update(next)
+      // one snapshot per (user, microbatch) — emissions are monotone in
+      // n_events, so the latest row per user is the current total
+      Iterator.single(next)
+    }
+  }
+
+  /** `transformWithState` wiring for [[RunningTotalsProcessor]].
+    * TimeMode.None: no timers, purely data-driven state. Requires the
+    * RocksDB state store provider (the API is built for it). */
+  def runningTotalsTws(events: org.apache.spark.sql.Dataset[EventRow],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      : org.apache.spark.sql.Dataset[UserSnapshot] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream join: views joined to purchases by the same user
     * within 30 minutes after the view. Both sides watermarked so the
     * join state is bounded (Spark evicts rows once they can no longer

@@ -163,6 +163,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalCounts == batch)
   }
 
+  test("transformWithState: StatefulProcessor totals equal batch groupBy, cents bit-exact") {
+    import TestSpark.spark.implicits._
+    // transformWithState is built for the RocksDB store — pin it on
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream
+        .schema(Tables.events(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir)
+        .as[EventStreams.EventRow]
+      val q = EventStreams.runningTotalsTws(src)
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // emissions are monotone in n_events — the max row per user is
+      // the final state; per-event cent rounding makes the value total
+      // order-independent, so it must match batch BIT-exactly
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val finals = spark.table("tws_totals")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_events", "total_cents")
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val batch = Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(finals == batch)
+      assert(batch.nonEmpty)
+      // >1 microbatch ran, so at least one user emitted more than once
+      // (state carried across batches, not recomputed per batch)
+      assert(spark.table("tws_totals").count() > finals.size,
+        "expected multiple emissions per user across microbatches")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream join (view→purchase within 30min) ≡ batch join") {
     val streamed = runStream(EventStreams.viewToPurchase, "append", "ss_join")
       .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
