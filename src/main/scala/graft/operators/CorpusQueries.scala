@@ -525,10 +525,12 @@ object CorpusQueries {
     * the ranking is hash-exact on any engine. Headroom: 10¹² corpus
     * tokens × 10⁶ scale = 10¹⁸ < 2⁶³.
     *
-    * Plan shape: one explode + two classic word-count aggregations
-    * (partial agg collapses each partition to ≤1024 rows before the
-    * shuffle), one broadcast join, one final per-doc agg. Linear in
-    * corpus size, no all-pairs, no UDFs. */
+    * Plan shape: ONE token-level aggregation — per-(doc, bucket)
+    * counts, partial-agg'd map-side — which is then reused twice: the
+    * global bucket odds are a second tiny aggregation OVER those
+    * counts (docs×1024 rows, not tokens), broadcast back for the final
+    * per-doc score. The exploded token stream crosses the wire once.
+    * Linear in corpus size, no all-pairs, no UDFs. */
   val ir01ImportanceWeights: GraftQuery = {
     val NB = 1024L // hashed feature buckets
     val SCALE = 1000000L // odds fixed-point scale
@@ -543,13 +545,13 @@ object CorpusQueries {
          |      % $NB AS b
          |  FROM (SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
          |        FROM documents)),
+         |per AS MATERIALIZED (
+         |  SELECT doc_id, source, b, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3),
          |odds AS MATERIALIZED (
          |  SELECT b,
-         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) * $SCALE
-         |         // COUNT(*) AS BIGINT) AS odds
-         |  FROM toks GROUP BY b),
-         |per AS (
-         |  SELECT doc_id, source, b, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3)
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END) * $SCALE
+         |         // SUM(c) AS BIGINT) AS odds
+         |  FROM per GROUP BY b)
          |SELECT doc_id, source,
          |  CAST(SUM(c) AS BIGINT) AS n_tokens,
          |  CAST(SUM(c * odds) AS BIGINT) AS ir_score
@@ -559,17 +561,19 @@ object CorpusQueries {
       // same 16-bit md5 word value as tx07's fingerprint, folded mod NB
       val bucket = (conv(substring(md5(col("tok")), 1, 4), 16, 10)
         .cast(LongType) % NB).as("b")
-      val toks = Tables.documents(s, d)
+      import graft.Pin.PinOps
+      val per = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           explode(TextFunctions.tokens(col("text"))).as("tok"))
         .select(col("doc_id"), col("source"), bucket)
-      val odds = toks.groupBy(col("b"))
-        .agg(count(lit(1)).as("bg_ct"),
-          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tgt_ct"))
-        .select(col("b"), expr(s"tgt_ct * $SCALE div bg_ct").as("odds"))
-      toks.groupBy(col("doc_id"), col("source"), col("b"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("c"))
-        .join(broadcast(odds), Seq("b"))
+        .pinned // consumed twice: odds derivation + final scoring
+      val odds = per.groupBy(col("b"))
+        .agg(sum(col("c")).as("bg_ct"),
+          sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("tgt_ct"))
+        .select(col("b"), expr(s"tgt_ct * $SCALE div bg_ct").as("odds"))
+      per.join(broadcast(odds), Seq("b"))
         .groupBy(col("doc_id"), col("source"))
         .agg(sum(col("c")).cast(LongType).as("n_tokens"),
           sum(col("c") * col("odds")).cast(LongType).as("ir_score"))
