@@ -219,6 +219,99 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long)
+
+  /** µs-exact timestamp codecs: `Timestamp.getTime` is ms-only, and a
+    * session boundary decided at ms precision could diverge from
+    * `session_window`'s µs arithmetic on boundary-adjacent events. */
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** Event-time TIMERS via transformWithState: per-user session
+    * finalization with `session_window` semantics (session end = last
+    * event + gap). A session closes two ways: a new event arrives past
+    * the gap (emitted inline, the open-state handoff), or the user goes
+    * quiet — the registered event-time timer fires once the WATERMARK
+    * passes session end, so every session is emitted exactly once and
+    * state for quiet users is cleared, not retained forever. This is
+    * the timer path of the Spark 4 API, which GroupStateTimeout could
+    * only approximate with one whole-operator timeout; here each key
+    * re-arms its own single timer as its session extends. State is one
+    * 24-byte open session per active user — bounded by the gap. */
+  class SessionFinalizeProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    private def emit(key: Long, s: OpenSession): SessionOut =
+      SessionOut(key, fromMicros(s.start_us), fromMicros(s.last_us + gapUs), s.n)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[SessionOut] = {
+      // per-key order within the batch is not guaranteed — impose it
+      val sorted = rows.toArray.sortBy(r => (micros(r.ts), r.event_id))
+      val out = Seq.newBuilder[SessionOut]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { r =>
+        val t = micros(r.ts)
+        cur match {
+          // session_window merges on strict interval OVERLAP: an event
+          // at exactly last+gap starts a new session, so `<` not `<=`
+          case Some(s) if t < s.last_us + gapUs =>
+            cur = Some(OpenSession(s.start_us, math.max(s.last_us, t), s.n + 1))
+          case Some(s) => // gap exceeded: close the old, open a new
+            out += emit(key, s)
+            cur = Some(OpenSession(t, t, 1))
+          case None => cur = Some(OpenSession(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // one armed timer per key: re-arm at the extended session end
+        // (timers are ms — round UP so firing implies watermark ≥ end)
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(Math.floorDiv(s.last_us + gapUs + 999L, 1000L))
+      }
+      out.result().iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (open.exists()) {
+        val s = open.get()
+        // a stale timer (session extended after arming, delete raced)
+        // must not close a still-live session early
+        if (expired.getExpiryTimeInMs() * 1000L >= s.last_us + gapUs) {
+          open.clear()
+          Iterator.single(emit(key, s))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** `transformWithState` wiring for [[SessionFinalizeProcessor]]:
+    * event-time mode (timers fire off the watermark), 30-minute gap —
+    * the incremental, exactly-once form of [[userSessions]]. */
+  def finalizedSessions(events: org.apache.spark.sql.Dataset[EventRow],
+      gap: String = "30 minutes"): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    val gapUs = java.util.concurrent.TimeUnit.MINUTES.toMicros(
+      gap.split(" ")(0).toLong)
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionFinalizeProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Stream-stream join: views joined to purchases by the same user
     * within 30 minutes after the view. Both sides watermarked so the
     * join state is bounded (Spark evicts rows once they can no longer

@@ -207,6 +207,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState event-time timers: sessions finalize exactly once, session_window-exact") {
+    import TestSpark.spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream
+        .schema(Tables.events(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagedDir)
+        .as[EventStreams.EventRow]
+      val q = EventStreams.finalizedSessions(src)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("tws_sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSeq
+      assert(got.nonEmpty)
+      // exactly once: no session may emit both inline AND from a timer
+      assert(got.distinct.size == got.size, "duplicate session emission")
+      // correctness: every emission is a true session_window session
+      val batch = EventStreams.userSessions(
+        Tables.events(spark, sf), withWatermarkCol = false)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSet
+      got.foreach(s => assert(batch.contains(s), s"emitted non-session $s"))
+      // completeness (inline closes): a batch session FOLLOWED by a
+      // later same-user event is closed by that event's arrival —
+      // emission is guaranteed regardless of the final watermark
+      val evTimes = Tables.events(spark, sf)
+        .select("user_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)))
+      val followed = batch.filter { case (u, _, end, _) =>
+        evTimes.exists { case (eu, ets) => eu == u && ets.after(end) } }
+      val gotSet = got.toSet
+      followed.foreach(s =>
+        assert(gotSet.contains(s), s"followed session not emitted: $s"))
+      // the timer path fired: some emitted session has NO later event
+      // for its user, so only a watermark-driven timer could close it
+      assert(got.exists(s => !followed.contains(s)),
+        "expected at least one timer-finalized session")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream join (view→purchase within 30min) ≡ batch join") {
     val streamed = runStream(EventStreams.viewToPurchase, "append", "ss_join")
       .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
