@@ -453,7 +453,51 @@ object IvfQueries {
       .orderBy("cid")
   }
 
+  /** Topic labeling: the corpus-exploration join of the vector and
+    * text families. Documents are assigned to their k-means-trained
+    * cell (ivf03's loop, embeddings aligned to docs by id) and each
+    * cluster is labeled with its top-3 terms by raw count — rank by
+    * (count desc, term), integer-deterministic like tx13. Shapes at
+    * scale: the assignment is (id, cid) — narrow — and joins the token
+    * stream on doc_id (the standard equi-join shuffle); per-(cid,term)
+    * counts partial-aggregate map-side; the final top-3 is a tiny
+    * window over ≤ cells·vocab rows. */
+  val cl01ClusterLabels: GraftQuery = q(
+    "cl01_cluster_labels",
+    "k-means topic labeling: top-3 terms per trained cluster",
+    s"""WITH ${KmeansSql.ctes(TRAIN_ITERS)},
+       |${KmeansSql.assign(s"s$TRAIN_ITERS", "af")},
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |counts AS (
+       |  SELECT af.cid, t.term, COUNT(*) AS n
+       |  FROM toks t JOIN af ON af.vec_id = t.doc_id
+       |  GROUP BY af.cid, t.term),
+       |ranked AS (
+       |  SELECT cid, term, n,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY n DESC, term) AS BIGINT) AS term_rank
+       |  FROM counts)
+       |SELECT cid, term_rank, term, n FROM ranked
+       |WHERE term_rank <= 3 ORDER BY cid, term_rank""".stripMargin) { (s, d) =>
+    val qv = quantizedDf(s, d)
+    val assigned = assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
+      .select(col("vec_id"), col("cid"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val counts = toks
+      .join(assigned, toks("doc_id") === assigned("vec_id"))
+      .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("n").desc, col("term"))
+    counts.withColumn("term_rank", row_number().over(w).cast(LongType))
+      .filter(col("term_rank") <= 3)
+      .select(col("cid"), col("term_rank"), col("term"), col("n"))
+      .orderBy("cid", "term_rank")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
-      ivf06PersistedIndex, sd01SemDedup)
+      ivf06PersistedIndex, sd01SemDedup, cl01ClusterLabels)
 }

@@ -90,4 +90,19 @@ class IvfSpec extends AnyFunSuite {
     assert(a.map(_.getLong(0)).distinct.size == a.size, "cells are distinct")
     assert(a == run(), "two runs produce bit-identical centroids")
   }
+
+  test("cluster labels: ≤3 contiguous ranks per cell, counts non-increasing") {
+    val rows = Registry.all.find(_.name == "cl01_cluster_labels").get
+      .build(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, g) =>
+      val ranks = g.map(_._2).sorted
+      assert(ranks == (1L to ranks.size).toSeq, s"cell $cid ranks not contiguous")
+      assert(ranks.size <= 3)
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"cell $cid counts must be non-increasing in rank")
+    }
+  }
 }
