@@ -56,7 +56,7 @@ class CurationSpec extends AnyFunSuite {
     val scores = rows.map(_.getDouble(1)).toSeq
     assert(scores == scores.sorted.reverse, "bm25 non-increasing by rn")
     // every returned doc must contain at least one query term as a token
-    val ids = rows.map(_.getLong(0))
+    val ids = rows.map(_.getLong(0)).toIndexedSeq
     val terms = Seq("spark", "window", "stream")
     val nWithTerm = Tables.documents(spark, sf)
       .filter(col("doc_id").isin(ids: _*))

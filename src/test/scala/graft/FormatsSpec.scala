@@ -54,7 +54,7 @@ class FormatsSpec extends AnyFunSuite {
     assert(files.size >= 2, s"expected multiple range files, got $files")
     val ranges = files.map { f =>
       val r = spark.read.parquet(f)
-        .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head
+        .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
       (r.getDouble(0), r.getDouble(1))
     }.sortBy(_._1)
     ranges.sliding(2).foreach {
@@ -186,7 +186,7 @@ class FormatsSpec extends AnyFunSuite {
     assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 2,
       "both the non-JSON line and the type-mismatched record must be captured")
     assert(permissive.filter(col("_corrupt_record").isNull)
-      .agg(sum(col("v"))).head.getLong(0) == 30)
+      .agg(sum(col("v"))).head().getLong(0) == 30)
     permissive.unpersist()
     val failfast = spark.read.schema("id LONG, v LONG")
       .option("mode", "FAILFAST").json(dir)

@@ -485,7 +485,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(read2 == ev.count() - 200,
       s"restart must not reprocess the first batch (read $read2 rows)")
     // ...yet the recovered state store still counts EVERYTHING
-    val total = spark.table("ckpt_counts").agg(sum(col("n"))).head.getLong(0)
+    val total = spark.table("ckpt_counts").agg(sum(col("n"))).head().getLong(0)
     assert(total == ev.count())
     first.unpersist(); ev.unpersist()
   }

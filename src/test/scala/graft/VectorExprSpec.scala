@@ -142,11 +142,11 @@ class VectorExprSpec extends AnyFunSuite {
       .toDF("id", "a", "b")
     val both = df.select(
       call_function("dot_product", col("a"), col("b")).as("native"),
-      dotUdf(col("a"), col("b")).as("viaUdf")).head
+      dotUdf(col("a"), col("b")).as("viaUdf")).head()
     assert(both.getDouble(0) == both.getDouble(1))
     df.createOrReplaceTempView("udf_vs_native")
     val sqlRow = spark.sql(
-      "SELECT dot_udf(a, b) = dot_product(a, b) FROM udf_vs_native").head
+      "SELECT dot_udf(a, b) = dot_product(a, b) FROM udf_vs_native").head()
     assert(sqlRow.getBoolean(0))
   }
 }
