@@ -229,23 +229,14 @@ object TextQueries {
       |SELECT lang, trigram, COUNT(*) AS n
       |FROM grams GROUP BY lang, trigram
       |ORDER BY n DESC, lang, trigram LIMIT 40""".stripMargin) { (s, d) =>
-    // substr on a STRING column rescans for codepoint boundaries from
-    // byte 0 each call — O(len²) per document across the index sweep.
-    // For ASCII rows (octet_length == length) slicing the BINARY cast
-    // is byte-indexed O(1) per gram and 5× faster end-to-end; rows with
-    // multibyte codepoints fall back to the character-exact string path
-    // per row, so non-ASCII text can never silently diverge from the
-    // oracle's character-based substr.
+    // byte-indexed ASCII fast path with character-exact fallback —
+    // see TextFunctions.trigramsFast
     Tables.documents(s, d)
       .filter(length(col("text")) >= 3)
       .withColumn("__bin", col("text").cast(BinaryType))
-      .select(col("lang"), explode(
-        when(octet_length(col("text")) === length(col("text")),
-          transform(sequence(lit(1), octet_length(col("text")) - 2),
-            i => col("__bin").substr(i, lit(3)).cast(StringType)))
-          .otherwise(
-            transform(sequence(lit(1), length(col("text")) - 2),
-              i => col("text").substr(i, lit(3))))).as("trigram"))
+      .select(col("lang"),
+        explode(TextFunctions.trigramsFast(col("text"), col("__bin")))
+          .as("trigram"))
       .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("lang"), col("trigram"))
       .limit(40)
@@ -413,11 +404,14 @@ object TextQueries {
       |    FROM hits) WHERE rc = 1)
       |SELECT lang, pred, COUNT(*) AS n FROM pred
       |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin) { (s, d) =>
-    def trigrams(t: Column) =
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3)))
+    // byte-indexed ASCII fast path on BOTH gram sites — see
+    // TextFunctions.trigramsFast (tx09's 5× trick; the training side
+    // explodes 80% of the corpus, so it dominates this query's cost)
     val docs = Tables.documents(s, d).filter(length(col("text")) >= 3)
+      .withColumn("__bin", col("text").cast(BinaryType))
+    def trigrams = TextFunctions.trigramsFast(col("text"), col("__bin"))
     val cnt = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(col("lang"), explode(trigrams(col("text"))).as("trigram"))
+      .select(col("lang"), explode(trigrams).as("trigram"))
       .groupBy("lang", "trigram").agg(count(lit(1)).as("n"))
     val prof = graft.plans.TopKPerGroup.perGroup(
       cnt, Seq(col("lang")), struct(col("n"), col("trigram")), 20)
@@ -427,7 +421,7 @@ object TextQueries {
     // before exploding is the same relation computed map-side.
     val dg = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("lang"),
-        explode(array_distinct(trigrams(col("text")))).as("trigram"))
+        explode(array_distinct(trigrams)).as("trigram"))
     val hits = dg.join(broadcast(prof), "trigram")
       .groupBy("doc_id", "lang", "cand").agg(count(lit(1)).as("nh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("nh").desc, col("cand"))
