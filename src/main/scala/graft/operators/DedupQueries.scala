@@ -602,9 +602,136 @@ object DedupQueries {
     }
   }
 
+  /** LSH tuning harness: precision/recall of the banded MinHash
+    * candidate set (dd10's 8-hash, 2×4 scheme) against exact shingle
+    * Jaccard ground truth, at two duplicate thresholds. This is the
+    * evaluation every real pipeline runs before picking (bands, rows):
+    * recall tells you what the bander MISSES, precision what the
+    * confirm stage must filter. Ground truth is quadratic BY
+    * DEFINITION, so the harness runs on a sampled doc slice (a fixed
+    * prefix plus a 10% modulus stripe so the sample sees dup pairs at
+    * every corpus scale — the same sampling a production tuning pass
+    * uses; dd03's miniature precedent); the LSH side itself stays the
+    * linear band shape.
+    * All counts integer; ratios are single divisions of identical
+    * BIGINTs, NULL-guarded on empty denominators. */
+  val dd14LshQuality: GraftQuery = {
+    val R = 4 // rows per band
+    val B = 2 // bands
+    val LIM = 200 // ground-truth slice bound
+    val bandsSql = (0 until B).map { b =>
+      val comps = (b * R until (b + 1) * R).map(j => s"s$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($comps) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    def mSql(t: String) =
+      s"""SELECT CAST($t AS DOUBLE) AS threshold,
+         |  CAST(COUNT(CASE WHEN j >= $t THEN 1 END) AS BIGINT) AS n_true,
+         |  CAST(COUNT(CASE WHEN j >= $t AND isc THEN 1 END) AS BIGINT) AS n_hit
+         |FROM fl""".stripMargin
+    q("dd14_lsh_quality",
+      "LSH tuning harness: banding precision/recall vs exact Jaccard truth",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE (doc_id < $LIM OR doc_id % 10 = 0)
+         |    AND len(string_split(text, ' ')) >= 3),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+         |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+         |tr0 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT doc_a, doc_b,
+         |    CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS j
+         |  FROM tr0 JOIN cnt ca ON doc_a = ca.doc_id
+         |  JOIN cnt cb ON doc_b = cb.doc_id),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ${(0 until B * R).map(j => s"MIN(md5('$j:' || w)) AS s$j").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSql),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |fl AS (
+         |  SELECT t.j, (c.doc_a IS NOT NULL) AS isc
+         |  FROM truth t LEFT JOIN cand c
+         |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+         |m AS (
+         |  ${mSql("0.5")}
+         |  UNION ALL ${mSql("0.8")})
+         |SELECT threshold, n_true, n_cand, n_hit,
+         |  CASE WHEN n_true > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall,
+         |  CASE WHEN n_cand > 0
+         |    THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec
+         |FROM m CROSS JOIN nc ORDER BY threshold""".stripMargin) { (s, d) =>
+      graft.plans.VectorExpressions.register(s)
+      val docs = Tables.documents(s, d)
+        .filter((col("doc_id") < LIM || col("doc_id") % 10 === 0) &&
+          size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+        .pinned
+      val tok = docs.select(col("doc_id"), explode(col("sh")).as("w"))
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = tok.select(col("doc_id").as("doc_a"), col("w"))
+        .join(tok.select(col("doc_id").as("doc_b"), col("w").as("wb")),
+          col("w") === col("wb") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      val truth = inter
+        .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")),
+          col("doc_a") === col("da"))
+        .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")),
+          col("doc_b") === col("db"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast(DoubleType) /
+            (col("ca") + col("cb") - col("i")).cast(DoubleType)).as("j"))
+        .pinned
+      val sig = docs.select(col("doc_id"),
+        graft.plans.VectorExpressions.minhash_signature(col("sh"), B * R).as("sig"))
+      val bands = sig.select(col("doc_id"), explode(array((0 until B).map(b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((b * R until (b + 1) * R).map(j =>
+            element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band_idx").as("band_idx"),
+          col("e.bkey").as("bkey"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("band_idx").as("bi"), col("bkey").as("bk")),
+          col("band_idx") === col("bi") && col("bkey") === col("bk") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .pinned
+      val fl = truth.join(
+        cand.withColumn("isc", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .select(col("j"), coalesce(col("isc"), lit(false)).as("isc"))
+      val nc = cand.agg(count(lit(1)).cast(LongType).as("n_cand"))
+      val m = Seq(0.5, 0.8).map { t =>
+        fl.agg(
+          count(when(col("j") >= t, 1)).cast(LongType).as("n_true"),
+          count(when(col("j") >= t && col("isc"), 1)).cast(LongType).as("n_hit"))
+          .select(lit(t).as("threshold"), col("n_true"), col("n_hit"))
+      }.reduce(_ unionAll _)
+      m.crossJoin(broadcast(nc))
+        .select(col("threshold"), col("n_true"), col("n_cand"), col("n_hit"),
+          when(col("n_true") > 0,
+            col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType))
+            .as("recall"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast(DoubleType) / col("n_cand").cast(DoubleType))
+            .as("prec"))
+        .orderBy("threshold")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
-    dd12IncrementalAdmission, dd13BoilerplateScrub)
+    dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality)
 }

@@ -98,6 +98,21 @@ class CurationSpec extends AnyFunSuite {
     assert(r(0).getLong(2) == expected, "row preservation")
   }
 
+  test("dd14: precision/recall laws — bounded ratios, hits within both sets, monotone truth") {
+    val rows = run("dd14_lsh_quality").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.8))
+    rows.foreach { case (t, nTrue, nCand, nHit) =>
+      assert(nHit <= math.min(nTrue, nCand), s"t=$t: hits exceed a parent set")
+      assert(nTrue > 0, s"t=$t: degenerate harness — no ground-truth pairs in the slice")
+    }
+    // raising the threshold can only shrink the truth set; candidates are
+    // threshold-independent
+    assert(rows(1)._2 <= rows(0)._2, "truth must be monotone in threshold")
+    assert(rows(1)._3 == rows(0)._3, "candidate set must not depend on threshold")
+  }
+
   test("ir01: driver-side exact recomputation and the odds-bound law") {
     val rows = run("ir01_importance_weights").collect()
     assert(rows.length == 40)
