@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Warning-free is pinned: deprecations (and every other scalac warning)
+// fail the build instead of accumulating silently across rounds.
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-Xfatal-warnings")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -28,6 +28,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Pin's persist mode registers frames in the CacheManager and
+      // relies on the RUN boundary to release them; a full 156-query
+      // sweep in one JVM is that boundary's worst case (every iterative
+      // query's per-round frames would otherwise accumulate for the
+      // whole run). Same per-query isolation as Bench.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -35,7 +35,7 @@ object AsofJoin {
       col(key).as("__key"), col(leftTime).as("__t"), lit(1).as("__tag"),
       lit(Long.MaxValue).as("__tb"),
       lit(null).cast(payloadType).as("__payload"),
-      struct(left.columns.map(col): _*).as("__lrow"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"))
     // Right rows whose key never occurs on the left can't contribute:
     // semi-join them away before the sort (at scale the left is often
     // selective, and this shrinks the windowed sort to matching keys).
@@ -78,7 +78,7 @@ object AsofJoin {
       col(key).as("__key"), col(leftTime).as("__t"), lit(0).as("__tag"),
       lit(Long.MinValue).as("__tb"),
       lit(null).cast(payloadType).as("__payload"),
-      struct(left.columns.map(col): _*).as("__lrow"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"))
     val rightPruned = right.join(
       left.select(col(key).as("__semikey")).distinct(),
       col(key) === col("__semikey"), "left_semi")

@@ -62,7 +62,11 @@ object CorpusQueries {
     val totals = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("n_tf").desc, col("n_df").asc, col("term"))
-    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(totals))
+    // `dfreq` is the FULL vocabulary — it grows with the corpus, so it must
+    // never be the broadcast side. `tf` covers only the 30 reported docs and
+    // is bounded regardless of corpus size: broadcast THAT into the
+    // vocabulary-sized build.
+    broadcast(tf).join(dfreq, "term").crossJoin(broadcast(totals))
       .withColumn("tfidf", round(col("n_tf").cast(DoubleType) *
         log(col("n_docs").cast(DoubleType) / col("n_df").cast(DoubleType)), 6))
       .withColumn("rnk", row_number().over(w))
@@ -114,7 +118,11 @@ object CorpusQueries {
       .crossJoin(bi.agg(count(lit(1)).as("tb")))
     val u1 = unic.select(col("w").as("w1"), col("c").as("c1"))
     val u2 = unic.select(col("w").as("w2"), col("c").as("c2"))
-    big.join(broadcast(u1), "w1").join(broadcast(u2), "w2")
+    // Both the bigram table and the unigram table grow with the corpus —
+    // neither side is broadcast-safe. Plain shuffle equi-joins on the term
+    // key are the classic word-count shape this module's header promises;
+    // only the 1-row totals frame is hinted.
+    big.join(u1, "w1").join(u2, "w2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("c12"),
         round(log((col("c12").cast(DoubleType) * col("tu").cast(DoubleType) *
@@ -285,7 +293,7 @@ object CorpusQueries {
       // keepers/dominated are tiny doc_id sets, but their lineages are
       // the two expensive shuffles (full-text groupBy; band self-join).
       // Six stage counts re-traverse the funnel, so pin each set once —
-      // the checkpoint costs one execution of a frame this size anyway.
+      // the first action populates the cache and the other five read it.
       val keepers = s3.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id").pinned
       val s4 = s3.join(keepers, Seq("doc_id"), "left_semi")

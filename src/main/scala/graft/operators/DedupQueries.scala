@@ -231,8 +231,11 @@ object DedupQueries {
     * incidence (never materializing the per-bucket quadratic edge
     * set): each round folds labels doc→bucket→doc through two min
     * aggregations, covering two graph hops, and [[graft.Pin]]
-    * truncates lineage per round so no cache or plan grows with the
-    * round count. Convergence is detected from the label sum, which
+    * materializes each round's labels so later rounds read cached
+    * blocks instead of recomputing the chain (persist mode does NOT
+    * truncate lineage — the plan still grows one round per iteration;
+    * `spark.graft.materialize=checkpoint` is the opt-in that truncates
+    * when round counts get large). Convergence is detected from the label sum, which
     * strictly decreases until fixpoint — one scalar action per round,
     * no old-vs-new join. Rounds = half the component diameter; at
     * cluster scale the same loop stands (or large-star/small-star for
@@ -294,7 +297,7 @@ object DedupQueries {
     var labels = inc.select(col("doc_id")).distinct()
       .withColumn("lbl", col("doc_id")).pinned
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
@@ -486,12 +489,14 @@ object DedupQueries {
     * blocks, templated spans), giving each document its boilerplate
     * ratio and clean-gram count, the per-doc signal a C4-style
     * pipeline filters and trims on. Scale shape: grams are a map-side
-    * transform (no self-join); the hot set is the extreme top of the
-    * gram document-frequency distribution — tiny by Zipf (74 of 24k
-    * distinct grams at sf0.01) — so the mark-back join BROADCASTS it
-    * and the gram stream is never re-shuffled; the only exchanges are
-    * the hot count's partial agg and the final per-doc agg. The ratio
-    * is one IEEE division of exact integer counts. */
+    * transform (no self-join); the hot set grows WITH the corpus (its
+    * absolute size is Zipf-small at any one scale, but df>=3 grams are
+    * corpus-unbounded, so it is never hinted for broadcast) — the
+    * mark-back is a plain equi-join on the gram key, the same key the
+    * hot aggregation already shuffled on, so AQE can still pick a
+    * broadcast when the RUNTIME size is under threshold while the plan
+    * stays safe at 100x. The ratio is one IEEE division of exact
+    * integer counts. */
   val dd13BoilerplateScrub: GraftQuery = q(
     "dd13_boilerplate_scrub",
     "C4-style boilerplate scrub: per-doc hot-gram marking, ratio + clean count",
@@ -519,7 +524,7 @@ object DedupQueries {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 3)
       .select(col("gram").as("hgram"))
-    grams.join(broadcast(hot), col("gram") === col("hgram"), "left")
+    grams.join(hot, col("gram") === col("hgram"), "left")
       .select(col("doc_id"),
         when(col("hgram").isNull, 0L).otherwise(1L).as("boiler"))
       .groupBy("doc_id")
@@ -716,7 +721,7 @@ object DedupQueries {
           count(when(col("j") >= t, 1)).cast(LongType).as("n_true"),
           count(when(col("j") >= t && col("isc"), 1)).cast(LongType).as("n_hit"))
           .select(lit(t).as("threshold"), col("n_true"), col("n_hit"))
-      }.reduce(_ unionAll _)
+      }.reduce(_ union _)
       m.crossJoin(broadcast(nc))
         .select(col("threshold"), col("n_true"), col("n_cand"), col("n_hit"),
           when(col("n_true") > 0,

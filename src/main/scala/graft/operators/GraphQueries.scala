@@ -21,16 +21,35 @@ import org.apache.spark.sql.functions._
   *    whatever the partial-aggregation schedule.
   *
   * Scale shape: each round is one shuffle (groupBy dst) joined against
-  * the static edge list; ranks are pinned ([[graft.Pin]]) per round so the
-  * plan does not deepen with iteration count (dd08's pattern). The edge
-  * list with out-degrees is computed once and reused by every round. At
-  * cluster scale the edge list would be bucketed by src so the per-round
-  * join never reshuffles the big side.
+  * the static edge list; ranks are pinned ([[graft.Pin]]) per round so
+  * later rounds read materialized blocks instead of recomputing the
+  * whole chain (persist does NOT truncate lineage — the logical plan
+  * still grows by one round per iteration; opt into
+  * `spark.graft.materialize=checkpoint` when round counts are large
+  * enough for that to matter). The edge list with out-degrees is
+  * computed once and reused by every round. At cluster scale the edge
+  * list would be bucketed by src so the per-round join never
+  * reshuffles the big side.
+  *
+  * Per-round node-state joins (rank / hub / authority / frontier
+  * tables — all O(|V|)) are governed by `spark.graft.graph.join`:
+  * `shuffle` (default) leaves them as plain equi-joins — scale-safe at
+  * web-graph |V|, and AQE still converts to a runtime broadcast while
+  * the state fits the threshold; `broadcast` pins the pre-AQE hint,
+  * for bounded graphs (this corpus's supplier/customer graph) where
+  * skipping the exchange is worth it. Output is identical either way.
   */
 object GraphQueries {
   private def q(name: String, doc: String, sql: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, build, Some(sql), doc)
+
+  /** Join-mode switch for O(|V|) per-round node-state frames. */
+  private def vside(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.graph.join", "shuffle") match {
+      case "broadcast" => broadcast(df)
+      case _           => df
+    }
 
   private val SCALE = 1000000000000L // 10^12 fixed-point
   private val ITERS = 3
@@ -90,17 +109,18 @@ object GraphQueries {
         .select(col("node"), expr(s"$SCALE div n").as("r"))
         .pinned
       for (_ <- 1 to ITERS) {
-        // |V| ≪ |E|: the rank table broadcasts, so the big edge side
-        // never shuffles for the join — the only per-round shuffle is
-        // the partial+final contribution sum on dst. (At a scale where
-        // ranks outgrow broadcast, the fallback is edges bucketed by
-        // src joined to ranks co-partitioned the same way.)
+        // |V| ≪ |E|, but |V| still grows with the graph: the rank-table
+        // join mode is config-selected (vside) — shuffle by default
+        // (edges bucketed by src at cluster scale keep the big side
+        // stationary), broadcast opt-in for bounded graphs. The only
+        // per-round shuffle on the default path beyond the rank join is
+        // the partial+final contribution sum on dst.
         val contribs = edgeDeg
-          .join(broadcast(ranks), col("src") === col("node"))
+          .join(vside(ranks), col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("cb"))
           .groupBy("dst").agg(sum(col("cb")).as("s"))
         ranks = nodes.crossJoin(broadcast(params))
-          .join(broadcast(contribs), col("node") === col("dst"), "left")
+          .join(vside(contribs), col("node") === col("dst"), "left")
           .select(col("node"),
             (expr(s"($SCALE div n) * 15 div 100") +
               expr("85 * coalesce(s, 0) div 100")).as("r"))
@@ -167,12 +187,12 @@ object GraphQueries {
       var h = eb.select(col("c")).distinct().withColumn("h", lit(S))
       var a: DataFrame = null
       for (_ <- 1 to 2) {
-        val ar = eb.join(broadcast(h), Seq("c")).groupBy("sp")
+        val ar = eb.join(vside(h), Seq("c")).groupBy("sp")
           .agg(sum(col("h")).as("ar"))
         a = ar.crossJoin(broadcast(ar.agg(sum(col("ar")).as("t"))))
           .select(col("sp"), expr(s"ar * $S div t").as("a"))
           .pinned
-        val hr = eb.join(broadcast(a), Seq("sp")).groupBy("c")
+        val hr = eb.join(vside(a), Seq("sp")).groupBy("c")
           .agg(sum(col("a")).as("hr"))
         h = hr.crossJoin(broadcast(hr.agg(sum(col("hr")).as("t"))))
           .select(col("c"), expr(s"hr * $S div t").as("h"))
@@ -246,7 +266,7 @@ object GraphQueries {
       for (r <- 1 to ROUNDS) {
         val frontier = visited.filter(col("d") === (r - 1))
         val next = edges
-          .join(broadcast(frontier.select(col("node"))), col("src") === col("node"))
+          .join(vside(frontier.select(col("node"))), col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
           .join(visited.select(col("node")).withColumnRenamed("node", "vn"),
             col("node") === col("vn"), "left_anti")

@@ -113,8 +113,12 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- joins
 
-  /** Fact⋈dim⋈dim with explicit broadcast of the small sides — no
-    * shuffle of `orders` for the dimension joins at 100 TB. */
+  /** Fact⋈dim⋈dim with the small sides arriving as broadcasts — no
+    * shuffle of `orders` for the dimension joins at 100 TB. Only the
+    * FIXED-cardinality dim (nation: 25 rows at every SF) carries an
+    * explicit hint; customer grows with the corpus, so its join is left
+    * to size-based planning — broadcast while it fits the threshold,
+    * shuffle when it doesn't (AQE re-checks with runtime sizes). */
   val q05JoinBroadcast: GraftQuery = q(
     "q05_join_broadcast",
     "broadcast hash join of dims onto fact (ref: none; SURVEY §2.2)",
@@ -125,7 +129,7 @@ object RelationalQueries {
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(dsum(col("o_totalprice")).as("total_revenue"),
@@ -134,7 +138,10 @@ object RelationalQueries {
   }
 
   /** TPC-H Q5-shaped 5-way join. lineitem⋈orders is the only
-    * shuffle-sized join; region/nation/customer broadcast. */
+    * shuffle-sized join; region/nation broadcast by hint (fixed 5/25
+    * rows at every SF); customer broadcasts by size-based planning at
+    * test scale and degrades to a shuffle join when it outgrows the
+    * threshold — no hint pins a corpus-growing frame to a broadcast. */
   val q06JoinMultiway: GraftQuery = q(
     "q06_join_multiway",
     "5-way join, one shuffle join + broadcasts (ref: none; SURVEY §2.2)",
@@ -153,7 +160,7 @@ object RelationalQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
           && col("o_orderdate") < lit("1998-01-01").cast(TimestampType)),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))

@@ -201,12 +201,23 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
-  test("dd13: hot-gram mark-back join broadcasts the hot set; gram stream never re-shuffles") {
+  test("dd13: hot-gram mark-back is an equi-join on the gram key, never a hinted broadcast") {
+    // The hot set (df>=3 grams) grows WITH the corpus — round-6's weak
+    // finding was an explicit broadcast() here. The safe shape: a plain
+    // equi-join on gram (the key the hot aggregation already shuffled
+    // on); AQE may still broadcast at runtime while the set is small.
     val p = plan("dd13_boilerplate_scrub")
-    assert(p.contains("BroadcastHashJoin"),
-      "the tiny hot set must broadcast\n" + p.take(2000))
-    assert(!p.contains("SortMergeJoin"),
-      "gram stream must not shuffle for the mark join\n" + p.take(2000))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      "mark-back must stay an equi-join\n" + p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    val analyzed = SparkEntry.queries("dd13_boilerplate_scrub")(spark, sf)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      "no explicit broadcast hint on the corpus-growing hot-gram frame")
   }
 
   test("ad01/ad02: the injected rewrite splits the pair's plans — Expand exact, HLL++ sketched") {
