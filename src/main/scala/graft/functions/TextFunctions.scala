@@ -30,11 +30,14 @@ object TextFunctions {
     * path per row, so non-ASCII text can never diverge from a
     * character-based oracle. `bin` must be `text.cast(BinaryType)`
     * PRE-PROJECTED to its own column, so the cast isn't re-evaluated
-    * per gram. */
+    * per gram. Text under 3 chars yields an empty array (guarded here:
+    * `sequence(1, len-2)` with len < 3 would otherwise count DOWN and
+    * emit nonsense grams). */
   def trigramsFast(text: Column, bin: Column): Column =
-    when(octet_length(text) === length(text),
-      transform(sequence(lit(1), octet_length(text) - 2),
-        i => bin.substr(i, lit(3)).cast(StringType)))
+    when(length(text) < 3, array().cast(ArrayType(StringType)))
+      .when(octet_length(text) === length(text),
+        transform(sequence(lit(1), octet_length(text) - 2),
+          i => bin.substr(i, lit(3)).cast(StringType)))
       .otherwise(
         transform(sequence(lit(1), length(text) - 2),
           i => text.substr(i, lit(3))))

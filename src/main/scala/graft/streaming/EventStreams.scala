@@ -266,9 +266,17 @@ object EventStreams {
         val t = micros(r.ts)
         cur match {
           // session_window merges on strict interval OVERLAP: an event
-          // at exactly last+gap starts a new session, so `<` not `<=`
+          // at exactly last+gap starts a new session, so `<` not `<=`.
+          // An out-of-order event CAN land before the open session's
+          // start (legal while t ≥ watermark, and the 10-min watermark
+          // delay is shorter than the gap) — it must extend the session
+          // backwards, exactly as session_window's merge would. The
+          // disjoint-EARLIER-session case (t + gap ≤ start) is
+          // unreachable while watermark delay < gap, so min() on start
+          // is the complete fix.
           case Some(s) if t < s.last_us + gapUs =>
-            cur = Some(OpenSession(s.start_us, math.max(s.last_us, t), s.n + 1))
+            cur = Some(OpenSession(math.min(s.start_us, t),
+              math.max(s.last_us, t), s.n + 1))
           case Some(s) => // gap exceeded: close the old, open a new
             out += emit(key, s)
             cur = Some(OpenSession(t, t, 1))
@@ -304,8 +312,16 @@ object EventStreams {
       gap: String = "30 minutes"): org.apache.spark.sql.Dataset[SessionOut] = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import events.sparkSession.implicits._
-    val gapUs = java.util.concurrent.TimeUnit.MINUTES.toMicros(
-      gap.split(" ")(0).toLong)
+    // parse the duration with Spark's interval parser — "45 seconds" or
+    // "2 hours" mean what they say (a bare toLong-of-first-token would
+    // silently read them as minutes)
+    val gapUs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+      require(iv != null && iv.months == 0,
+        s"session gap must be a fixed-length interval, got '$gap'")
+      iv.days * java.util.concurrent.TimeUnit.DAYS.toMicros(1) + iv.microseconds
+    }
     events.withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .transformWithState(new SessionFinalizeProcessor(gapUs),

@@ -260,6 +260,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessions: an out-of-order event extends the open session BACKWARDS") {
+    // The 10-min watermark delay is shorter than the 30-min gap, so an
+    // event with t < open-session start is reachable (not late) — the
+    // merge must take min() on the start, exactly as session_window's
+    // interval merge would. Staged in ts order this never triggers,
+    // hence a dedicated 3-microbatch fixture:
+    //   batch 1: 12:00:00, 12:00:30   (opens [12:00:00, 12:30:30))
+    //   batch 2: 11:59:00             (≥ watermark 11:50:30, < start)
+    //   batch 3: 13:30:00             (past gap → closes inline)
+    import TestSpark.spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft-ooo-sess").toString
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def stage(mtime: Long, rows: (Long, String)*): Unit = {
+        val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+        rows.map { case (id, t) =>
+          EventStreams.EventRow(id, ts(t), 1L, "view", 1.0, "{}") }
+          .toDS().coalesce(1).write.mode("append").parquet(dir)
+        // deterministic microbatch order under maxFilesPerTrigger=1:
+        // the file source orders by modification time
+        new java.io.File(dir).listFiles()
+          .filter(f => !before(f.getName)).foreach(_.setLastModified(mtime))
+      }
+      stage(1000000L, (1L, "2024-01-01 12:00:00"), (2L, "2024-01-01 12:00:30"))
+      stage(2000000L, (3L, "2024-01-01 11:59:00"))
+      stage(3000000L, (4L, "2024-01-01 13:30:00"))
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventStreams.EventRow]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .as[EventStreams.EventRow]
+      val q = EventStreams.finalizedSessions(src)
+        .writeStream.format("memory").queryName("tws_ooo_sessions")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("tws_ooo_sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .toSeq
+      assert(got.contains(
+        (1L, ts("2024-01-01 11:59:00"), ts("2024-01-01 12:30:30"), 3L)),
+        s"merged session must start at the out-of-order event; got $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream join (view→purchase within 30min) ≡ batch join") {
     val streamed = runStream(EventStreams.viewToPurchase, "append", "ss_join")
       .select("view_id", "purchase_id").orderBy("view_id", "purchase_id")
