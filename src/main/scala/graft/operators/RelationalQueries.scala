@@ -1389,6 +1389,28 @@ object RelationalQueries {
     }
   }
 
+  /** Exact ±1-even spread of `df` over exactly `min(k, n)` non-empty
+    * partitions: bucket = contiguous global row index mod k, placed by
+    * an IDENTITY partitioner (bucket j IS partition j). The one RDD
+    * drop-down in the relational layer, and deliberate: DataFrame
+    * `repartition(k)` round-robins from a per-partition random offset
+    * (coverage only probabilistic when input partitions are small) and
+    * `repartition(k, col)` re-HASHES the bucket id (collisions leave
+    * ~1/e of partitions empty) — neither can promise a file COUNT,
+    * which is the contract a compaction pass is run for. zipWithIndex
+    * costs one extra pass over compact scan rows; linear at any scale. */
+  private def exactRoundRobin(df: DataFrame, k: Int): DataFrame = {
+    val schema = df.schema
+    val rdd = df.rdd.zipWithIndex()
+      .map { case (row, i) => ((i % k).toInt, row) }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = k
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Small-files compaction — the table-maintenance pass every file-based
     * lake needs: a fragmented table (200 tiny files — the debris of
     * per-micro-batch or per-task commits) is rewritten into 8
@@ -1403,12 +1425,17 @@ object RelationalQueries {
     * produced, and small inputs pack into too few splits to even hit a
     * target count).
     *
-    * File-count contract: round-robin repartition(k) spreads n rows
-    * ±1-evenly, and empty partitions write no file, so each generation
-    * lands exactly `LEAST(k, n)` files — the oracle derives the counts
-    * from COUNT(*) instead of pinning 200/8 literals, keeping the
-    * contract scale-independent (sparser inputs than the k=200 targets
-    * would otherwise silently break the hash). */
+    * File-count contract: each generation is written through
+    * [[exactRoundRobin]], which assigns bucket = global_row_index mod k
+    * and places buckets with an IDENTITY partitioner — so exactly
+    * `LEAST(k, n)` non-empty ±1-even partitions/files by construction,
+    * at any scale and under any scan split packing. (A plain
+    * `repartition(k)` only achieves that empirically: its round-robin
+    * starts each input partition at a Random(partitionIndex) offset,
+    * and many small input partitions can leave cyclic ranges
+    * uncovered.) The oracle derives the counts from COUNT(*) instead
+    * of pinning 200/8 literals, keeping the contract
+    * scale-independent. */
   val q49Compaction: GraftQuery = q(
     "q49_compaction",
     "small-file compaction: 200-file fragmented write → 8 even files, content-preserving",
@@ -1421,11 +1448,11 @@ object RelationalQueries {
     val small = graft.Scratch.dir("graft_q49_small_")
     val compact = graft.Scratch.dir("graft_q49_comp_")
     graft.Phases.timed("q49_compaction", "write") {
-      Tables.lineitem(s, d)
-        .filter(year(col("l_shipdate")) === 1995)
-        .repartition(200).write.mode("overwrite").parquet(small)
-      s.read.parquet(small)
-        .repartition(8).write.mode("overwrite").parquet(compact)
+      exactRoundRobin(Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995), 200)
+        .write.mode("overwrite").parquet(small)
+      exactRoundRobin(s.read.parquet(small), 8)
+        .write.mode("overwrite").parquet(compact)
     }
     val before = s.read.parquet(small)
       .select(input_file_name().as("f"))
