@@ -35,7 +35,8 @@ final case class MapReduceJob[M, R](
     merge: (R, R) => R,
     directoryFiles: Option[PathPredicate] = None,
     sortKey: Option[M => Long] = None,
-    finish: R => Unit = (_: R) => ())(implicit val enc: Encoder[M])
+    finish: R => Unit = (_: R) => ())(
+    implicit val enc: Encoder[M], val rct: scala.reflect.ClassTag[R])
   extends CorpusJob {
 
   /** Run the map phase only, as a typed Dataset (composable with the
@@ -76,12 +77,22 @@ final case class MapReduceJob[M, R](
       case None => ds
     }
     val (z, f, mg) = (zero, fold, merge)
-    // Partial fold per partition, merge on driver: partial+final
-    // aggregation — the distributed reduction the reference TODO'd.
-    val partials = sorted.mapPartitions(it => Iterator.single(it.foldLeft(z)(f)))(
-      org.apache.spark.sql.Encoders.kryo[Any].asInstanceOf[Encoder[R]])
-      .collect()
-    val result = partials.foldLeft(z)(mg)
+    // Partial fold per partition, then merge: partial+final aggregation
+    // — the distributed reduction the reference TODO'd. The merge tier
+    // is config-selected: the default collects ONE partial per
+    // partition to the driver (fine to ~10³ partitions — the partials,
+    // not the data, move), while `spark.graft.mr.mergeDepth` ≥ 2 opts
+    // into a treeAggregate whose intermediate levels merge
+    // executor-side in √P-ish groups — the shape for 10⁵-partition
+    // corpora with non-trivial reduction state, where a single driver
+    // merge pass is both a memory spike and a serial hotspot.
+    val partials = sorted.rdd
+      .mapPartitions(it => Iterator.single(it.foldLeft(z)(f)))
+    val depth = files.sparkSession.conf
+      .get("spark.graft.mr.mergeDepth", "1").toInt
+    val result =
+      if (depth <= 1) partials.collect().foldLeft(z)(mg)
+      else partials.treeAggregate(z)(mg, mg, depth)
     finish(result)
     result
   }
