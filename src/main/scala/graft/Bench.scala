@@ -65,6 +65,17 @@ object Bench {
     // layout-write queries record a phase).
     println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"runs_per_query":$runs,"sf":"$sfDir","phases":$phases}""")
+    // The stdout tail truncates the per-query line on 15x-query runs,
+    // so the COMPLETE artifact (every query + phases + total) is also
+    // written to a file — committed per round as BENCH_FULL_r{N}.json
+    // so regressions diff without log scraping.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      val full =
+        s"""{"metric":"per_query_full","unit":"sec","sf":"$sfDir","runs_per_query":$runs,"total":$total,"n_queries":${results.size},"n_failed":$failed,"queries":$qs,"phases":$phases}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // artifact write must never fail the bench
     spark.stop()
     // a broken query must not shrink the headline total and exit 0
     if (failed > 0) sys.exit(1)

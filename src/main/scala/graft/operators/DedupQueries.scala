@@ -546,6 +546,25 @@ object DedupQueries {
     * band (band-OR, dd10's parameters) and whether it is admitted
     * (zero collisions). Docs under 3 words carry no shingles and are
     * auto-admitted. */
+  /** LSH band table `(doc_id, band_idx, bkey)` under dd10/dd12's
+    * 8-hash 2×4 banding. Streaming-safe (no pin, no action): the same
+    * function builds dd12's batch band table AND the per-microbatch
+    * delta bands in [[graft.streaming.EventStreams.incrementalAdmission]],
+    * so batch and stream admission agree by construction. Caller
+    * pre-filters docs to ≥ 3 words — shorter docs carry no 3-shingles. */
+  def lshBands(docs: DataFrame, rows: Int = 4, bands: Int = 2): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"))
+    val sig = sh.select(col("doc_id"),
+      graft.plans.VectorExpressions.minhash_signature(col("sh"), bands * rows).as("sig"))
+    sig.select(col("doc_id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((b * rows until (b + 1) * rows).map(j =>
+            element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band_idx").as("band_idx"),
+        col("e.bkey").as("bkey"))
+  }
+
   val dd12IncrementalAdmission: GraftQuery = {
     val R = 4
     val B = 2
@@ -580,16 +599,9 @@ object DedupQueries {
          |FROM deltadocs dd LEFT JOIN hits ON dd.doc_id = hits.doc_id
          |ORDER BY dd.doc_id""".stripMargin) { (s, d) =>
       graft.plans.VectorExpressions.register(s)
-      val docs = Tables.documents(s, d)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
-      val sig = docs.select(col("doc_id"),
-        graft.plans.VectorExpressions.minhash_signature(col("sh"), B * R).as("sig"))
-      val bands = sig.select(col("doc_id"), explode(array((0 until B).map(b =>
-        struct(lit(b).as("band_idx"),
-          md5(concat((b * R until (b + 1) * R).map(j =>
-            element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
-        .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
+      val bands = lshBands(
+          Tables.documents(s, d).filter(size(split(col("text"), " ")) >= 3),
+          rows = R, bands = B)
         .pinned // one signature pass feeds both split branches
       val delta = bands.filter(col("doc_id") % 10 === 0)
       val corpus = bands.filter(col("doc_id") % 10 =!= 0)

@@ -93,6 +93,31 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("band")
       .drop("band")
 
+  /** Streaming delta-vs-corpus LSH admission — dd12 composed with
+    * Structured Streaming, the loop a 100 TB ingest actually runs: the
+    * corpus band table is STATIC state (bucketed by band key at
+    * cluster scale, so the lookup join never reshuffles it), each
+    * arriving delta doc's bands probe it via a stream-static LEFT
+    * OUTER join (stateless, per-microbatch), and ONE streaming
+    * aggregation folds band hits into a per-doc candidate set.
+    * `collect_set` both dedupes and drops the nulls the outer join
+    * emits for collision-free bands, so `n_cand` is exactly dd12's
+    * COUNT(DISTINCT corpus doc) — batch ≡ stream is pinned by
+    * StreamingSpec against the oracle-checked dd12 registry query.
+    * State: one candidate-id set per in-flight delta doc (bounded by
+    * the delta, never the corpus). Callers pre-filter docs to ≥ 3
+    * words, as in dd12. */
+  def incrementalAdmission(deltaDocs: DataFrame, corpusBands: DataFrame): DataFrame =
+    graft.operators.DedupQueries.lshBands(deltaDocs)
+      .join(corpusBands.select(col("doc_id").as("c_id"),
+          col("band_idx").as("bi"), col("bkey").as("bk")),
+        col("band_idx") === col("bi") && col("bkey") === col("bk"),
+        "left_outer")
+      .groupBy("doc_id")
+      .agg(collect_set(col("c_id")).as("cands"))
+      .select(col("doc_id"), size(col("cands")).cast("long").as("n_cand"),
+        (size(col("cands")) === 0).as("admitted"))
+
   /** Per-type running counts in update mode (no watermark needed). */
   def typeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -493,6 +493,38 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streaming incremental admission (dd12 composed with streaming) ≡ batch registry query") {
+    // The dedup mandate composed with streaming: static corpus band
+    // table + streaming delta shard, per-doc candidate counts must
+    // equal the oracle-checked batch dd12 row for row. The delta is
+    // staged in two files → two microbatches, so admission genuinely
+    // accumulates across batches before complete mode reports it.
+    graft.plans.VectorExpressions.register(spark)
+    val dir = Files.createTempDirectory("graft-admit").toString
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).cache()
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpusBands = graft.operators.DedupQueries
+      .lshBands(docs.filter(col("doc_id") % 10 =!= 0)).cache()
+    delta.limit(20).coalesce(1).write.mode("append").parquet(dir)
+    delta.exceptAll(delta.limit(20)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.incrementalAdmission(src, corpusBands)
+      .writeStream.format("memory").queryName("admit")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("admit").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val want = graft.operators.DedupQueries.dd12IncrementalAdmission
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == want, s"stream admission diverged: got ${got.take(5)}… want ${want.take(5)}…")
+    assert(got.nonEmpty && got.exists(_._3) , "expected at least one admitted doc")
+    corpusBands.unpersist(); docs.unpersist()
+  }
+
   test("stateful aggregation runs on the RocksDB state store (spillable production backend)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
