@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Writes a key-shifted K× replica of a testdata scale-factor dir — the
+  * empirical input for SCALING.md's growth table (run:
+  * `sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sfx10 10"`).
+  *
+  * Replication is a crossJoin against `range(K)` with every entity key
+  * shifted per copy (doc/vec/event/user ids), so DISTINCT key counts,
+  * dedup component structure, group cardinalities, and session counts
+  * all grow ~K× alongside row counts — the honest growth shape; a
+  * naive row copy without key shifts would collapse dedup and
+  * grouping into the original keyspace and make super-linear operators
+  * look flat. Text/embedding payloads repeat, which near-dup queries
+  * see as K-sized duplicate families — dd08's components grow in SIZE
+  * not count, the worst case for label propagation, which is exactly
+  * what a growth probe should stress.
+  *
+  * Only the three corpus tables the heavy bench family reads are
+  * replicated (documents, embeddings, events); `events.ts` is written
+  * back as int64 NANOSECONDS to match the driver corpus's physical
+  * type (TESTDATA.md), so [[Tables.events]] reads replicas and
+  * originals identically. */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val copies = spark.range(k.toLong).select(col("id").as("copy"))
+
+    val docs = Tables.documents(spark, src)
+    val docShift = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(copies)
+      .select((col("doc_id") + col("copy") * docShift).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(k * 2).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    val vecShift = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.crossJoin(copies)
+      .select((col("vec_id") + col("copy") * vecShift).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(k * 2).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    val ev = Tables.events(spark, src)
+    val evShift = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userShift = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.crossJoin(copies)
+      .select((col("event_id") + col("copy") * evShift).as("event_id"),
+        expr("unix_micros(ts) * 1000").as("ts"), // int64 ns, as the driver writes it
+        (col("user_id") + col("copy") * userShift).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(k * 2).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
+    println(s"wrote ${k}x replicas of documents/embeddings/events to $out")
+    spark.stop()
+  }
+}

@@ -497,7 +497,100 @@ object IvfQueries {
       .orderBy("cid", "term_rank")
   }
 
+  /** ANN recall@k harness — the evaluation every real vector index
+    * runs before shipping: probe-1 IVF top-k vs exact brute-force
+    * top-k over a FIXED query prefix, recall reported per query cell
+    * (the per-cell view shows which cells the coarse quantizer serves
+    * badly). Companion to dd14's LSH precision/recall harness on the
+    * dedup side.
+    *
+    * Scale shape: the query set is a fixed harness parameter (32
+    * vectors — scale-invariant, so the broadcast hint passes the
+    * BroadcastGuardSpec sweep), the exact side is one linear corpus
+    * scan per query batch (ground truth is query×corpus BY
+    * DEFINITION — bounded by the query prefix, never quadratic in the
+    * corpus), and the IVF side joins only the queries' own cells.
+    * Determinism: both sides rank by the same left-associated cosine
+    * chain, ties broken by cand_id; recall is one integer/integer IEEE
+    * division. */
+  val ann01Recall: GraftQuery = {
+    val NQ = 32
+    val K = 5
+    q("ann01_recall",
+      s"ANN recall@$K: probe-1 IVF vs exact brute force, per query cell",
+      s"""WITH $sqlAssign,
+         |q AS (
+         |  SELECT a.vec_id AS query_id, a.cid AS qcid FROM assigned a
+         |  WHERE a.vec_id < $NQ),
+         |exact0 AS (
+         |  SELECT qa.query_id, qa.qcid, c.vec_id AS cand_id,
+         |    ${sqlDot("qn", "c")} / (qn.nrm * c.nrm) AS cosine
+         |  FROM q qa JOIN normed qn ON qn.vec_id = qa.query_id
+         |  JOIN normed c ON c.vec_id <> qa.query_id),
+         |exact AS (
+         |  SELECT query_id, qcid, cand_id FROM (
+         |    SELECT query_id, qcid, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, cand_id) AS rn
+         |    FROM exact0) WHERE rn <= $K),
+         |ivf0 AS (
+         |  SELECT qa.query_id, ca.vec_id AS cand_id,
+         |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cosine
+         |  FROM q qa JOIN assigned ca
+         |    ON ca.cid = qa.qcid AND ca.vec_id <> qa.query_id
+         |  JOIN normed qn ON qn.vec_id = qa.query_id
+         |  JOIN normed cn ON cn.vec_id = ca.vec_id),
+         |ivf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, cand_id) AS rn
+         |    FROM ivf0) WHERE rn <= $K),
+         |hits AS (
+         |  SELECT e.qcid, e.query_id,
+         |    CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM exact e LEFT JOIN ivf i
+         |    ON e.query_id = i.query_id AND e.cand_id = i.cand_id)
+         |SELECT qcid AS cid, CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+         |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+         |FROM hits GROUP BY qcid ORDER BY cid""".stripMargin) { (s, d) =>
+      val assigned = assignedDf(s, d).pinned // one assignment pass, three readers
+      val qv = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cid").as("qcid"))
+      val cv = assigned.select(col("vec_id").as("cand_id"),
+        col("embedding").as("ce"), col("cid").as("ccid"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))
+      val exact = broadcast(qv)
+        .join(cv, col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("qcid"), col("cand_id"),
+          VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("qcid"), col("cand_id"))
+      val ivf = broadcast(qv)
+        .join(cv, col("qcid") === col("ccid") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("cand_id"), lit(1).as("hit"))
+      exact.join(ivf, Seq("query_id", "cand_id"), "left")
+        .select(col("qcid"), col("query_id"),
+          coalesce(col("hit"), lit(0)).as("hit"))
+        .groupBy(col("qcid").as("cid"))
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          sum(col("hit")).cast(LongType).as("n_hits"),
+          (sum(col("hit")).cast(DoubleType) / count(lit(1))).as("recall"))
+        .orderBy("cid")
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
-      ivf06PersistedIndex, sd01SemDedup, cl01ClusterLabels)
+      ivf06PersistedIndex, sd01SemDedup, cl01ClusterLabels, ann01Recall)
 }
