@@ -114,8 +114,17 @@ object CorpusQueries {
     val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
     val unic = uni.groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = uni.agg(count(lit(1)).as("tu"))
-      .crossJoin(bi.agg(count(lit(1)).as("tb")))
+    // Token-COUNT totals from per-doc lengths — identical values to
+    // counting the exploded streams (Σ len(t) tokens; Σ (len(t)−1)
+    // bigrams over len ≥ 2 docs), but one narrow scan instead of
+    // re-running both explodes just to count their rows. At 100× the
+    // two totals were half the query's explode work (SCALING.md growth
+    // table); the oracle still counts via UNNEST — same values, and
+    // only values hash.
+    val lens = docs.select(size(TextFunctions.tokens(col("text"))).as("n"))
+    val tot = lens.agg(
+      sum(col("n").cast(LongType)).as("tu"),
+      sum(when(col("n") >= 2, col("n").cast(LongType) - 1L).otherwise(0L)).as("tb"))
     val u1 = unic.select(col("w").as("w1"), col("c").as("c1"))
     val u2 = unic.select(col("w").as("w2"), col("c").as("c2"))
     // Both the bigram table and the unigram table grow with the corpus —
@@ -590,8 +599,84 @@ object CorpusQueries {
     }
   }
 
+  /** Corpus-trained bigram-LM fluency scoring — the CCNet/KenLM-shaped
+    * quality filter: train unigram + bigram counts on the corpus
+    * itself, score every document by its average conditional bigram
+    * probability p(w2|w1) = c(w1 w2)/c(w1), and surface both tails
+    * (the low tail is what a perplexity filter drops; the high tail is
+    * boilerplate-suspect). All integer arithmetic: each bigram instance
+    * scores (c12 · 10^6) div c1, a document averages by one more
+    * integer division — no logs, no floats, schedule-independent and
+    * hash-exact cross-engine.
+    *
+    * Scale shape: classic word-count joins — the bigram-instance
+    * stream joins the count tables on their own group keys (shuffle
+    * equi-joins, NO broadcast: both count tables are vocab-sized and
+    * grow with the corpus — the exact class the round-6 guard forbids
+    * hinting), one per-doc aggregation, and two TakeOrdered tails
+    * (k=10 heaps, never a global sort). */
+  val lm01NgramScore: GraftQuery = q(
+    "lm01_ngram_score",
+    "bigram-LM fluency score (integer p(w2|w1) avg), low/high tails",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bif AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 1),
+      |                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+      |    FROM tok)),
+      |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bif GROUP BY 1, 2),
+      |unic AS (
+      |  SELECT w, COUNT(*) AS c FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+      |sc AS (
+      |  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM((g.c12 * 1000000) // u.c) AS BIGINT) AS psum
+      |  FROM bif f JOIN big g ON f.w1 = g.w1 AND f.w2 = g.w2
+      |  JOIN unic u ON f.w1 = u.w
+      |  GROUP BY f.doc_id),
+      |ds AS (
+      |  SELECT doc_id, n_bigrams,
+      |    CAST(psum // n_bigrams AS BIGINT) AS score FROM sc),
+      |low AS (
+      |  SELECT 'low' AS tail, doc_id, n_bigrams, score FROM ds
+      |  ORDER BY score, doc_id LIMIT 10),
+      |high AS (
+      |  SELECT 'high' AS tail, doc_id, n_bigrams, score FROM ds
+      |  ORDER BY score DESC, doc_id LIMIT 10)
+      |SELECT * FROM low UNION ALL SELECT * FROM high
+      |ORDER BY tail, score, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bif = tok.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .pinned // one explode pass feeds the count build AND the scoring join
+    val big = bif.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val unic = docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ds = bif
+      .join(big, Seq("w1", "w2"))
+      .join(unic.select(col("w").as("w1"), col("c")), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(c12 * 1000000) div c")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("psum div n_bigrams").cast(LongType).as("score"))
+    val low = ds.orderBy(col("score"), col("doc_id")).limit(10)
+      .select(lit("low").as("tail"), col("doc_id"), col("n_bigrams"), col("score"))
+    val high = ds.orderBy(col("score").desc, col("doc_id")).limit(10)
+      .select(lit("high").as("tail"), col("doc_id"), col("n_bigrams"), col("score"))
+    low.unionByName(high).orderBy("tail", "score", "doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
-    mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights)
+    mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
+    lm01NgramScore)
 }

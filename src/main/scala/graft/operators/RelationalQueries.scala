@@ -1585,7 +1585,83 @@ object RelationalQueries {
       .orderBy(col("s").asc_nulls_first)
   }
 
+  /** CDC upsert → SCD2 history — the third leg of the merge family:
+    * q45 reconciles two snapshots (full-outer with provenance), q46
+    * DERIVES validity intervals from an existing history (lead()),
+    * this query APPLIES a change batch to a live dimension — the
+    * incremental step a CDC pipeline runs per ingest. A change
+    * batch (updates to existing keys + inserts of new keys) folds into
+    * a versioned dimension without rewriting unchanged history. The
+    * merge decomposes into the three standard relational pieces —
+    * changed rows close (LEFT SEMI against the delta's keys), unchanged
+    * rows carry forward (LEFT ANTI), the delta opens fresh current
+    * versions — one union, zero row rewrites outside the touched keys.
+    * At 100 TB the dimension is key-bucketed, so semi/anti/delta all
+    * co-locate on the key and the merge is shuffle-free; the delta is
+    * ingest-bounded, never corpus-bounded. The change batch here is
+    * synthesized deterministically from the table itself (balance bump
+    * on key % 10, inserts at key + 10^7 on key % 17) so both engines
+    * derive the identical delta. Output is the per-segment audit of the
+    * merged history (row classes + exact-decimal current balance), the
+    * view an ops dashboard actually reads after a merge. */
+  val cdc01Scd2Merge: GraftQuery = q(
+    "cdc01_scd2_merge",
+    "CDC upsert -> SCD2 history: close changed, carry unchanged, insert new; audit by segment",
+    s"""WITH dim AS (
+       |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+       |  FROM customer),
+       |updates AS (
+       |  SELECT k, seg, bal + 100 AS bal FROM dim WHERE k % 10 = 0
+       |  UNION ALL
+       |  SELECT k + 10000000, seg, bal FROM dim WHERE k % 17 = 0),
+       |closed AS (
+       |  SELECT d.k, d.seg, d.bal, 0 AS version, FALSE AS is_current
+       |  FROM dim d WHERE EXISTS (SELECT 1 FROM updates u WHERE u.k = d.k)),
+       |carried AS (
+       |  SELECT d.k, d.seg, d.bal, 0 AS version, TRUE AS is_current
+       |  FROM dim d WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.k = d.k)),
+       |fresh AS (
+       |  SELECT k, seg, bal, 1 AS version, TRUE AS is_current FROM updates),
+       |hist AS (
+       |  SELECT * FROM closed UNION ALL SELECT * FROM carried
+       |  UNION ALL SELECT * FROM fresh)
+       |SELECT seg, COUNT(*) AS n_rows,
+       |  CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       |  CAST(SUM(CASE WHEN NOT is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+       |  CAST(SUM(CASE WHEN is_current AND version = 1 AND k >= 10000000
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       |  CAST(SUM(CASE WHEN is_current
+       |                THEN CAST(bal AS DECIMAL(12,2)) END) AS DOUBLE) AS cur_bal
+       |FROM hist GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+    val dim = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    val updates = dim.filter(col("k") % 10 === 0)
+        .select(col("k"), col("seg"), (col("bal") + 100).as("bal"))
+      .unionByName(dim.filter(col("k") % 17 === 0)
+        .select((col("k") + 10000000L).as("k"), col("seg"), col("bal")))
+    val updKeys = updates.select(col("k").as("uk"))
+    val closed = dim.join(updKeys, col("k") === col("uk"), "left_semi")
+      .select(col("k"), col("seg"), col("bal"),
+        lit(0).as("version"), lit(false).as("is_current"))
+    val carried = dim.join(updKeys, col("k") === col("uk"), "left_anti")
+      .select(col("k"), col("seg"), col("bal"),
+        lit(0).as("version"), lit(true).as("is_current"))
+    val fresh = updates.select(col("k"), col("seg"), col("bal"),
+      lit(1).as("version"), lit(true).as("is_current"))
+    closed.unionByName(carried).unionByName(fresh)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).cast(LongType).as("n_current"),
+        sum(when(!col("is_current"), 1L).otherwise(0L)).cast(LongType).as("n_closed"),
+        sum(when(col("is_current") && col("version") === 1 &&
+          col("k") >= 10000000L, 1L).otherwise(0L)).cast(LongType).as("n_inserted"),
+        sum(when(col("is_current"), Det.dec2(col("bal"))))
+          .cast(DoubleType).as("cur_bal"))
+      .orderBy("seg")
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    cdc01Scd2Merge,
     ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
     q50SchemaMerge, q51IncrementalAgg, q52FromJson,
     cm01CountMin,
