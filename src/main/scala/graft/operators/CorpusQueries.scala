@@ -674,9 +674,101 @@ object CorpusQueries {
     low.unionByName(high).orderBy("tail", "score", "doc_id")
   }
 
+  /** One BPE training round for the DuckDB oracle: count adjacent
+    * symbol pairs weighted by word frequency, pick the global argmax
+    * (count desc, then lexicographic pair — fully deterministic), and
+    * apply the merge with leftmost non-overlapping `replace` (identical
+    * semantics in DuckDB and the JVM). Symbols ride as `|sym|`-wrapped,
+    * space-joined strings so a merge is a pure string substitution and
+    * no symbol can substring-collide with a neighbor. */
+  private def bpeRoundSql(i: Int): String = {
+    val prev = if (i == 1) "s0" else s"st${i - 1}"
+    s"""p$i AS MATERIALIZED (
+       |  SELECT p.s1 AS s1, p.s2 AS s2, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+       |    SELECT f, UNNEST(list_transform(generate_series(1, len(sy) - 1),
+       |           k -> struct_pack(s1 := sy[k], s2 := sy[k + 1]))) AS p
+       |    FROM (SELECT f, string_split(st, ' ') AS sy FROM $prev) t
+       |    WHERE len(sy) >= 2)
+       |  GROUP BY 1, 2),
+       |m$i AS MATERIALIZED (
+       |  SELECT s1, s2, replace(s1 || s2, '||', '') AS merged, cnt
+       |  FROM p$i ORDER BY cnt DESC, s1, s2 LIMIT 1),
+       |st$i AS MATERIALIZED (
+       |  SELECT f, replace(st, m$i.s1 || ' ' || m$i.s2, m$i.merged) AS st
+       |  FROM $prev CROSS JOIN m$i)""".stripMargin
+  }
+
+  /** BPE vocabulary induction — the tokenizer-training primitive: 3
+    * greedy merge rounds over the corpus, emitting the learned merge
+    * rules (the artifact a tokenizer trainer actually produces). Each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * merges the globally most frequent pair (ties broken
+    * lexicographically), and rewrites the symbol state.
+    *
+    * Scale shape — the standard BPE trainer decomposition: ONE
+    * corpus-wide pass builds the word-frequency table (a word-count
+    * shuffle), and every training round then iterates on that
+    * VOCAB-BOUNDED frame (pinned once), never on the corpus again. The
+    * per-round argmax is a 1-row TakeOrdered collect — the merge choice
+    * is inherently sequential and O(1)-sized, same bounded-collect
+    * class as the graph fixed-points (GraphQueries header). Merge
+    * application is a map-side string substitution; leftmost
+    * non-overlapping `replace` has identical semantics on the JVM and
+    * in DuckDB, so the state evolution is hash-exact cross-engine. */
+  val bpe01VocabInduction: GraftQuery = q(
+    "bpe01_vocab_induction",
+    "BPE vocabulary induction: 3 greedy pair-merge rounds, learned rules + counts",
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT f, '|' || array_to_string(string_split(w, ''), '| |') || '|' AS st
+       |  FROM wf),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INTEGER) AS round, s1, s2, merged, cnt FROM m1
+       |  UNION ALL
+       |  SELECT CAST(2 AS INTEGER), s1, s2, merged, cnt FROM m2
+       |  UNION ALL
+       |  SELECT CAST(3 AS INTEGER), s1, s2, merged, cnt FROM m3)
+       |ORDER BY round""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    var state = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast(LongType).as("f"))
+      .select(col("f"),
+        concat(lit("|"), array_join(chars, "| |"), lit("|")).as("st"))
+      .pinned // vocab-bounded; every round below iterates on this frame
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to 3) {
+      val top = state
+        .select(col("f"), split(col("st"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          k => struct(element_at(col("sy"), k).as("s1"),
+            element_at(col("sy"), k + 1).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0) // 1-row argmax: the merge decision
+      val (s1v, s2v, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = (s1v + s2v).replace("||", "")
+      rules += ((r, s1v, s2v, merged, cnt))
+      state = state.select(col("f"),
+        replace(col("st"), lit(s1v + " " + s2v), lit(merged)).as("st"))
+    }
+    rules.result().toDF("round", "s1", "s2", "merged", "cnt").orderBy("round")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
-    lm01NgramScore)
+    lm01NgramScore, bpe01VocabInduction)
 }

@@ -746,9 +746,59 @@ object DedupQueries {
     }
   }
 
+  /** Repetition budget — the data-constrained-scaling mix policy
+    * (Muennighoff et al. 2023-style epoch caps): a source may repeat a
+    * given text up to its epoch budget (src0: 3 copies, src1: 2, the
+    * long tail: 1), everything past the budget is dropped. Generalizes
+    * dd02 (keep-first == budget 1 everywhere) and differs from dd09
+    * (per-bucket best-1) in that the cap is a per-source POLICY, not a
+    * similarity ranking. Selection is deterministic: within each
+    * (digest, source) group the lowest doc_ids survive.
+    *
+    * Scale shape: one window over (digest, source) — hash-partitioned
+    * on the 16-byte digest, never the text — then one per-source
+    * aggregation. The budget table is a CASE expression (broadcast-free
+    * by construction); at 100 TB this is exactly the exact-dedup
+    * shuffle of dd01 plus a constant-width audit. */
+  val rb01RepetitionBudget: GraftQuery = q(
+    "rb01_repetition_budget",
+    "per-source repetition budget: cap exact-dup copies at the source's epoch quota",
+    """WITH d AS (
+      |  SELECT doc_id, source, md5(text) AS dg FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, dg,
+      |    ROW_NUMBER() OVER (PARTITION BY dg, source ORDER BY doc_id) AS rn,
+      |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END AS budget
+      |  FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(COUNT(DISTINCT CASE WHEN rn > budget THEN dg END) AS BIGINT) AS n_over_groups
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("dg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dg", "source").orderBy("doc_id")
+    val r = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("budget",
+        when(col("source") === "src0", 3)
+          .when(col("source") === "src1", 2).otherwise(1))
+    r.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= col("budget"), 1L).otherwise(0L))
+          .cast(LongType).as("n_kept"),
+        sum(when(col("rn") > col("budget"), 1L).otherwise(0L))
+          .cast(LongType).as("n_dropped"),
+        countDistinct(when(col("rn") > col("budget"), col("dg")))
+          .cast(LongType).as("n_over_groups"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
-    dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality)
+    dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
+    rb01RepetitionBudget)
 }

@@ -41,6 +41,31 @@ class FormatsSpec extends AnyFunSuite {
     assert(!plan.contains("status=O"))
   }
 
+  test("dynamic partition overwrite replaces only touched partitions") {
+    val src = Tables.orders(spark, sf).withColumn("status", col("o_orderstatus"))
+    val dir = Files.createTempDirectory("graft-dynover").toString + "/out"
+    Formats.write(src, "parquet", dir, partitionBy = Seq("status"))
+    val before = Formats.read(spark, "parquet", dir)
+    val nOther = before.filter(col("status") =!= "F").count()
+    val nF = before.filter(col("status") === "F").count()
+    assert(nF > 0 && nOther > 0)
+    // Rewrite ONLY the F partition, halved; dynamic mode must leave O/P alone.
+    val replacement = src.filter(col("status") === "F").limit((nF / 2).toInt)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      replacement.write.mode(SaveMode.Overwrite)
+        .partitionBy("status").parquet(dir)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    val after = Formats.read(spark, "parquet", dir)
+    assert(after.filter(col("status") === "F").count() == nF / 2)
+    assert(after.filter(col("status") =!= "F").count() == nOther,
+      "untouched partitions must survive a dynamic overwrite")
+  }
+
   test("repartitionByRange write produces globally range-clustered files (scan skipping)") {
     val src = Tables.orders(spark, sf)
     val dir = Files.createTempDirectory("graft-range").toString + "/out"
