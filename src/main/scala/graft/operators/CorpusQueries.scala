@@ -659,12 +659,17 @@ object CorpusQueries {
     val big = bif.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val unic = docs.select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val ds = bif
-      .join(big, Seq("w1", "w2"))
+    // Score each PAIR once on the vocab-bounded tables (big ⨝ unic is a
+    // vocab-sized join), then hit the corpus-scale instance stream with
+    // a single equi-join — identical psum (the score depends only on
+    // the pair), one big-stream shuffle instead of two.
+    val scored = big
       .join(unic.select(col("w").as("w1"), col("c")), Seq("w1"))
+      .select(col("w1"), col("w2"), expr("(c12 * 1000000) div c").as("psc"))
+    val ds = bif
+      .join(scored, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr("(c12 * 1000000) div c")).as("psum"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("psc")).as("psum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("psum div n_bigrams").cast(LongType).as("score"))
     val low = ds.orderBy(col("score"), col("doc_id")).limit(10)
