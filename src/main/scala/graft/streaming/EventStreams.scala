@@ -421,4 +421,51 @@ object EventStreams {
         col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
       "full_outer")
   }
+
+  /** One SCD2 merge step — [[graft.operators.RelationalQueries.cdc01Scd2Merge]]'s
+    * decomposition generalized to a versioned dimension that accretes
+    * batches: current rows touched by the change batch close
+    * (LEFT SEMI), untouched current rows and ALL closed history carry
+    * forward unmodified, and the batch opens fresh current versions
+    * (previous current version + 1; 0 for never-seen keys). Dimension
+    * schema: (k, seg, bal, version, is_current); change schema:
+    * (k, seg, bal). Only the touched keys gain rows — history is
+    * append-only under this merge, which is what makes it safe to run
+    * per ingest forever. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame): DataFrame = {
+    val cur = dim.filter(col("is_current"))
+    val keys = changes.select(col("k").as("uk")).distinct()
+    val closed = cur.join(keys, col("k") === col("uk"), "left_semi")
+      .withColumn("is_current", lit(false))
+    val carried = cur.join(keys, col("k") === col("uk"), "left_anti")
+    val history = dim.filter(!col("is_current"))
+    val prevV = cur.select(col("k").as("vk"), col("version").as("pv"))
+    val fresh = changes.join(prevV, col("k") === col("vk"), "left")
+      .select(col("k"), col("seg"), col("bal"),
+        (coalesce(col("pv"), lit(-1)) + 1).as("version"),
+        lit(true).as("is_current"))
+    history.unionByName(closed).unionByName(carried).unionByName(fresh)
+  }
+
+  /** Streaming CDC: fold each arriving change microbatch into the SCD2
+    * dimension via foreachBatch — the per-ingest loop cdc01
+    * demonstrates as one batch, run continuously. The dimension lives
+    * as a chain of parquet snapshots `dimRoot/v_<n>`: batch id n reads
+    * `v_n` and overwrites `v_{n+1}`, so a replayed microbatch (restart
+    * between sink write and offset commit) re-reads the SAME input
+    * version and deterministically rewrites the SAME output dir —
+    * exactly-once table state without a transactional format (a real
+    * deployment swaps this for MERGE INTO on a lakehouse table; the
+    * merge plan is identical). Reads of the dimension always take the
+    * highest complete version. Scale: the merge shuffles on the 8-byte
+    * key only, the change batch is ingest-bounded, and at 100 TB the
+    * dimension is key-bucketed so semi/anti/fresh co-locate. */
+  def cdcApply(changes: DataFrame, dimRoot: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val dim = spark.read.parquet(s"$dimRoot/v_$id")
+      scd2Merge(dim, batch)
+        .write.mode("overwrite").parquet(s"$dimRoot/v_${id + 1}")
+    }
 }

@@ -525,6 +525,48 @@ class StreamingSpec extends AnyFunSuite {
     corpusBands.unpersist(); docs.unpersist()
   }
 
+  test("streaming CDC (cdc01 composed with streaming): foreachBatch SCD2 merges ≡ sequential batch merges") {
+    // Two change files → two microbatches folded into the versioned
+    // dimension; the final snapshot must equal applying scd2Merge
+    // twice in batch. Change sets use disjoint key classes so the
+    // comparison is robust to file→batch assignment order.
+    val root = Files.createTempDirectory("graft-cdc").toString
+    val chDir = s"$root/changes"
+    val dimRoot = s"$root/dim"
+    val dim0 = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"),
+        lit(0).as("version"), lit(true).as("is_current"))
+    dim0.write.parquet(s"$dimRoot/v_0")
+    val chA = dim0.filter(col("k") % 10 === 0)
+      .select(col("k"), col("seg"), (col("bal") + 100).as("bal"))
+    val chB = dim0.filter(col("k") % 10 === 1)
+      .select(col("k"), col("seg"), (col("bal") + 200).as("bal"))
+      .unionByName(dim0.filter(col("k") % 10 === 2)
+        .select((col("k") + 1000000L).as("k"), col("seg"), col("bal")))
+    chA.coalesce(1).write.mode("append").parquet(chDir)
+    chB.coalesce(1).write.mode("append").parquet(chDir)
+    val src = spark.readStream.schema(chA.schema)
+      .option("maxFilesPerTrigger", "1").parquet(chDir)
+    val q = EventStreams.cdcApply(src, dimRoot)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // exactly-once trail: one snapshot per applied batch
+    assert(new java.io.File(s"$dimRoot/v_2").exists(),
+      "two microbatches must produce v_1 and v_2")
+    val got = spark.read.parquet(s"$dimRoot/v_2")
+      .orderBy("k", "version").collect().toSeq
+    val want = EventStreams.scd2Merge(
+        EventStreams.scd2Merge(dim0, chA), chB)
+      .orderBy("k", "version").collect().toSeq
+    assert(got == want, "streamed CDC dimension diverged from batch merges")
+    // the merge actually did something: closed rows + new-key inserts
+    val cur = spark.read.parquet(s"$dimRoot/v_2")
+    assert(cur.filter(!col("is_current")).count() > 0)
+    assert(cur.filter(col("k") >= 1000000L && col("version") === 0).count() > 0)
+  }
+
   test("stateful aggregation runs on the RocksDB state store (spillable production backend)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
