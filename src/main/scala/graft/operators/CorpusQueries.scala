@@ -699,8 +699,59 @@ object CorpusQueries {
        |  SELECT s1, s2, replace(s1 || s2, '||', '') AS merged, cnt
        |  FROM p$i ORDER BY cnt DESC, s1, s2 LIMIT 1),
        |st$i AS MATERIALIZED (
-       |  SELECT f, replace(st, m$i.s1 || ' ' || m$i.s2, m$i.merged) AS st
+       |  SELECT w, f, replace(st, m$i.s1 || ' ' || m$i.s2, m$i.merged) AS st
        |  FROM $prev CROSS JOIN m$i)""".stripMargin
+  }
+
+  /** Shared oracle prefix for the BPE family: word-frequency table,
+    * initial per-character symbol state (keyed by the word so the
+    * final segmentation is joinable), and 3 training rounds. */
+  private val bpeChainSql: String =
+    s"""wf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, f, '|' || array_to_string(string_split(w, ''), '| |') || '|' AS st
+       |  FROM wf),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}""".stripMargin
+
+  /** Shared BPE trainer: 3 greedy merge rounds over the pinned
+    * vocab-bounded word-frequency table. Returns the final symbol
+    * state `(w, f, st)` — the word→segmentation map a tokenizer
+    * applies — and the learned merge rules in training order. */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val docs = Tables.documents(s, d)
+    val chars = filter(split(col("w"), ""), c => length(c) > 0)
+    var state = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast(LongType).as("f"))
+      .select(col("w"), col("f"),
+        concat(lit("|"), array_join(chars, "| |"), lit("|")).as("st"))
+      .pinned // vocab-bounded; every round below iterates on this frame
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to 3) {
+      val top = state
+        .select(col("f"), split(col("st"), " ").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          k => struct(element_at(col("sy"), k).as("s1"),
+            element_at(col("sy"), k + 1).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0) // 1-row argmax: the merge decision
+      val (s1v, s2v, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = (s1v + s2v).replace("||", "")
+      rules += ((r, s1v, s2v, merged, cnt))
+      state = state.select(col("w"), col("f"),
+        replace(col("st"), lit(s1v + " " + s2v), lit(merged)).as("st"))
+    }
+    (state, rules.result())
   }
 
   /** BPE vocabulary induction — the tokenizer-training primitive: 3
@@ -723,16 +774,7 @@ object CorpusQueries {
   val bpe01VocabInduction: GraftQuery = q(
     "bpe01_vocab_induction",
     "BPE vocabulary induction: 3 greedy pair-merge rounds, learned rules + counts",
-    s"""WITH wf AS MATERIALIZED (
-       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
-       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-       |  GROUP BY w),
-       |s0 AS MATERIALIZED (
-       |  SELECT f, '|' || array_to_string(string_split(w, ''), '| |') || '|' AS st
-       |  FROM wf),
-       |${bpeRoundSql(1)},
-       |${bpeRoundSql(2)},
-       |${bpeRoundSql(3)}
+    s"""WITH $bpeChainSql
        |SELECT * FROM (
        |  SELECT CAST(1 AS INTEGER) AS round, s1, s2, merged, cnt FROM m1
        |  UNION ALL
@@ -741,39 +783,48 @@ object CorpusQueries {
        |  SELECT CAST(3 AS INTEGER), s1, s2, merged, cnt FROM m3)
        |ORDER BY round""".stripMargin) { (s, d) =>
     import s.implicits._
+    val (_, rules) = bpeTrain(s, d)
+    rules.toDF("round", "s1", "s2", "merged", "cnt").orderBy("round")
+  }
+
+  /** BPE encoding — the tokenizer APPLIED: join the corpus token
+    * stream against the trained word→segmentation map and report
+    * per-document word and symbol counts (the sequence length a
+    * downstream packer/quota sees after tokenization).
+    *
+    * Scale shape: training iterates only on the vocab-bounded state
+    * (see bpeTrain); the encode pass is ONE shuffle equi-join of the
+    * corpus token stream against the vocab-sized segmentation table
+    * on the word key — NO broadcast hint (vocabulary grows with the
+    * corpus; size-based planning + AQE may still pick broadcast while
+    * it truly fits, which is the safe default), then one per-doc
+    * aggregation. The corpus stream is touched exactly once. */
+  val bpe02Encode: GraftQuery = q(
+    "bpe02_encode",
+    "apply learned BPE merges: per-doc word/symbol counts via segmentation join",
+    s"""WITH $bpeChainSql,
+       |seg AS MATERIALIZED (
+       |  SELECT w, len(string_split(st, ' ')) AS ns FROM st3),
+       |tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |SELECT t.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(s.ns) AS BIGINT) AS n_symbols
+       |FROM tok t JOIN seg s ON t.w = s.w
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (state, _) = bpeTrain(s, d)
+    val seg = state.select(col("w"), size(split(col("st"), " ")).as("ns"))
     val docs = Tables.documents(s, d)
-    val chars = filter(split(col("w"), ""), c => length(c) > 0)
-    var state = docs
-      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).cast(LongType).as("f"))
-      .select(col("f"),
-        concat(lit("|"), array_join(chars, "| |"), lit("|")).as("st"))
-      .pinned // vocab-bounded; every round below iterates on this frame
-    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (r <- 1 to 3) {
-      val top = state
-        .select(col("f"), split(col("st"), " ").as("sy"))
-        .filter(size(col("sy")) >= 2)
-        .select(col("f"), explode(transform(
-          sequence(lit(1), size(col("sy")) - 1),
-          k => struct(element_at(col("sy"), k).as("s1"),
-            element_at(col("sy"), k + 1).as("s2")))).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(sum(col("f")).as("cnt"))
-        .orderBy(col("cnt").desc, col("s1"), col("s2"))
-        .limit(1).collect()(0) // 1-row argmax: the merge decision
-      val (s1v, s2v, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      val merged = (s1v + s2v).replace("||", "")
-      rules += ((r, s1v, s2v, merged, cnt))
-      state = state.select(col("f"),
-        replace(col("st"), lit(s1v + " " + s2v), lit(merged)).as("st"))
-    }
-    rules.result().toDF("round", "s1", "s2", "merged", "cnt").orderBy("round")
+    docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      .join(seg, Seq("w")) // vocab-scale side: equi-join, no hint
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ns")).cast(LongType).as("n_symbols"))
+      .orderBy("doc_id")
   }
 
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
-    lm01NgramScore, bpe01VocabInduction)
+    lm01NgramScore, bpe01VocabInduction, bpe02Encode)
 }
