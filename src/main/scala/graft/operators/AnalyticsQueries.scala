@@ -618,8 +618,43 @@ object AnalyticsQueries {
       .orderBy("source")
   }
 
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    * q = w / u with u uniform, and the k highest priorities form the
+    * sample — inclusion probability ∝ weight, one pass, no rejection
+    * loop. Here u is a deterministic 32-bit md5 draw and the priority
+    * is the exact integer `w·2³² div (u+1)` (w = n_chars ≤ 10⁴, so the
+    * product is < 2⁴⁶ — no overflow, no floats, hash-exact ranking).
+    *
+    * Scale shape: priorities are a map-side expression; top-k plans as
+    * TakeOrderedAndProject — a size-k heap per partition, k rows per
+    * partition to the driver merge — so the corpus is never sorted and
+    * never shuffled. The 100 TB cost is the scan itself; this is how a
+    * pipeline draws a weight-proportional eval slice from the full
+    * corpus in one pass. */
+  val wt01WeightedSample: GraftQuery = q(
+    "wt01_weighted_sample",
+    "priority sampling: weight-proportional top-k draw, integer priorities, one pass",
+    """WITH p AS (
+      |  SELECT doc_id, n_chars,
+      |    n_chars * 4294967296 //
+      |      (CAST(CONCAT('0x', SUBSTRING(md5('wt:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+      |      AS priority
+      |  FROM documents)
+      |SELECT doc_id, n_chars, priority
+      |FROM p ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        expr(
+          """n_chars * 4294967296 div
+            |  (cast(conv(substring(md5(concat('wt:', cast(doc_id as string))), 1, 8),
+            |             16, 10) as bigint) + 1)""".stripMargin).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
-    ws01Winsorize, it01Interpolate)
+    ws01Winsorize, it01Interpolate, wt01WeightedSample)
 }

@@ -822,9 +822,51 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** fastText-style linear quality-classifier INFERENCE — the shape of
+    * every learned document filter (quality, toxicity, domain) a
+    * training pipeline runs over the whole corpus. Tokens hash into a
+    * fixed 64-bucket feature space; each bucket carries a deterministic
+    * integer weight ((b·37) mod 101 − 50, i.e. a frozen model
+    * artifact); a document's score is the sum of its token weights and
+    * its label the score's sign. All-integer, so hash-exact on any
+    * engine.
+    *
+    * Scale shape: the entire inference is ONE map-side higher-order
+    * expression — `aggregate(transform(tokens, weight))` — no explode,
+    * no shuffle, no UDF; the plan is a codegen'd Project over the
+    * scan. A real model swaps the weight formula for a broadcast of
+    * its (bounded, vocab-hashed) weight table; the 100 TB cost is one
+    * streaming pass either way. */
+  val qc01ClassifierScore: GraftQuery = q(
+    "qc01_classifier_score",
+    "hashed linear classifier inference: map-only integer scoring + sign label",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(ts, tok ->
+      |      ((CAST(CONCAT('0x', SUBSTRING(md5(tok), 1, 4)) AS BIGINT) % 64) * 37) % 101 - 50))
+      |      AS BIGINT) AS score
+      |  FROM t)
+      |SELECT doc_id, n_tokens, score,
+      |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '),
+            |    tok -> ((cast(conv(substring(md5(tok), 1, 4), 16, 10) as bigint) % 64) * 37) % 101 - 50),
+            |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("score"))
+      .withColumn("label",
+        when(col("score") >= 0, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
-    lm01NgramScore, bpe01VocabInduction, bpe02Encode)
+    lm01NgramScore, bpe01VocabInduction, bpe02Encode, qc01ClassifierScore)
 }

@@ -795,10 +795,70 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** Paragraph-granularity keep-first dedup (the C4/RefinedWeb "drop
+    * repeated paragraphs" pass). The corpus has no newline structure,
+    * so the paragraph surrogate is the non-overlapping 20-word chunk
+    * (tx17's chunker with stride = width); each chunk is keyed by the
+    * md5 of its content and only the globally FIRST occurrence (lowest
+    * (doc_id, chunk_idx)) survives. Differs from dd13 (which MARKS
+    * hot grams by document frequency) in that removal here is
+    * first-occurrence-wins at chunk granularity — order matters, the
+    * semantics every C4-style pipeline actually ships.
+    *
+    * Scale shape: chunking is a map-side array transform; the only
+    * shuffle is on the 16-byte chunk digest (never the text); the
+    * first-occurrence window partitions BY that digest, so each window
+    * group is a duplicate cluster (tiny — bounded by the copy count),
+    * never a corpus-wide sort. The per-doc rollup reuses the doc_id
+    * key. Linear, no all-pairs, broadcast-free. */
+  val pd01ChunkDedup: GraftQuery = {
+    val W = 20 // words per paragraph-surrogate chunk (non-overlapping)
+    q("pd01_chunk_dedup",
+      "paragraph-level keep-first dedup over non-overlapping 20-word chunks",
+      s"""WITH ws AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, CAST(CEIL(len(w) / $W.0) AS BIGINT))) AS chunk_idx,
+         |    w
+         |  FROM ws),
+         |keyed AS (
+         |  SELECT doc_id, chunk_idx,
+         |    md5(array_to_string(w[chunk_idx * $W + 1 : chunk_idx * $W + $W], ' ')) AS ck
+         |  FROM chunks),
+         |marked AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY ck ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM keyed)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nChunks = ceil(size(col("w")) / lit(W.toDouble)).cast(LongType)
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(concat_ws(" ",
+            slice(col("w"), (col("chunk_idx") * W + 1).cast(IntegerType), lit(W))))
+            .as("ck"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ck").orderBy("doc_id", "chunk_idx")
+      keyed
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast(LongType).as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).cast(LongType).as("n_dropped"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
     dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
-    rb01RepetitionBudget)
+    rb01RepetitionBudget, pd01ChunkDedup)
 }

@@ -155,4 +155,64 @@ class CurationSpec extends AnyFunSuite {
         s"doc ${r.getAs[Long]("doc_id")}: engine ${r.getAs[Long]("ir_score")} != recomputed $want")
     }
   }
+
+  test("pd01: chunk accounting laws and keep-first conservation") {
+    val rows = run("pd01_chunk_dedup").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == docs.size, "one audit row per document")
+    // per-doc: n_chunks = ceil(words/20), kept + dropped = chunks
+    rows.foreach { r =>
+      val nWords = docs(r.getAs[Long]("doc_id")).split(" ", -1).length
+      val wantChunks = (nWords + 19) / 20
+      assert(r.getAs[Long]("n_chunks") == wantChunks)
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_chunks"))
+    }
+    // global conservation: total kept == number of DISTINCT chunk contents
+    // (keep-first keeps exactly one instance per distinct chunk)
+    val distinctChunks = docs.values.flatMap { t =>
+      t.split(" ", -1).grouped(20).map(_.mkString(" "))
+    }.toSet.size
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctChunks)
+  }
+
+  test("qc01: map-only inference — no shuffle before the ordering; sign law") {
+    val df = run("qc01_classifier_score")
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert((r.getAs[Long]("score") >= 0) == (r.getAs[Long]("label") == 1L))
+    }
+    // the inference itself must be a pure Project over the scan: the
+    // ONLY exchange in the plan is the rangepartitioning of the final
+    // deterministic ORDER BY (which a pipeline consumer would drop)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the order-by exchange, got:\n$plan")
+    assert(!plan.contains("Generate"), "no explode in classifier inference")
+  }
+
+  test("wt01: priority sampling — top-k heap plan, exact integer priorities") {
+    val df = run("wt01_weighted_sample")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as a bounded heap, not a global sort:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 50)
+    // independent JVM recomputation of each returned priority
+    def u32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8), 16)
+    }
+    rows.foreach { r =>
+      val want = r.getAs[Long]("n_chars") * 4294967296L /
+        (u32("wt:" + r.getAs[Long]("doc_id")) + 1)
+      assert(r.getAs[Long]("priority") == want)
+    }
+    // priorities non-increasing in output order
+    val ps = rows.map(_.getAs[Long]("priority")).toSeq
+    assert(ps == ps.sorted.reverse)
+  }
 }
