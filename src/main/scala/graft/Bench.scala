@@ -22,6 +22,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Machine contention context: without it a uniformly-slow run (a
+    // loaded host) is indistinguishable from a real regression in the
+    // artifact (round-7 driver run: uniform ~1.4x vs same-day builder
+    // run, unadjudicable). getSystemLoadAverage is 1-minute load.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val results = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
       .sortBy(_._1).map { case (name, fn) =>
       // warm-up pass absorbs JIT/codegen/file-footer costs, then
@@ -36,26 +44,33 @@ object Bench {
       val elapsed =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
+      // min-of-N is the contention-robust floor: medians inflate under
+      // external load, mins survive unless every run was contended
+      val floor = if (times.exists(_ < 0)) -1.0 else times.min
       // Isolation between queries: a query that persists/checkpoints
       // internally must not leave cached blocks behind to squeeze the
       // storage/execution memory of every query after it — a 128-query
       // run would otherwise slow down monotonically with position.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
-      name -> elapsed
+      (name, elapsed, floor)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadEnd = loadAvg
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     // Sub-phase timings (write-vs-read split for layout-write queries):
     // elapsed above is the whole round trip; "write" is the phase the
     // query recorded on its last timed run, "read" the remainder.
-    val phases = results.flatMap { case (k, v) =>
+    val phases = results.flatMap { case (k, v, _) =>
       graft.Phases.get(k, "write").filter(_ => v >= 0).map { w =>
         s"\"$k\":{\"write\":$w,\"read\":${math.max(0.0, v - w)}}"
       }
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
     // Per-query map on its own line FIRST; the driver tail-captures
     // the LAST 2000 chars of stdout, so the final line must be the
     // compact JSON and carry everything that must survive: the giant
@@ -64,7 +79,7 @@ object Bench {
     // total line instead — it is small by construction (only the
     // layout-write queries record a phase).
     println(s"""{"metric":"per_query","unit":"sec","sf":"$sfDir","queries":$qs}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"runs_per_query":$runs,"sf":"$sfDir","phases":$phases}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min_of_n":$totalMin,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"n_queries":${results.size},"n_failed":$failed,"runs_per_query":$runs,"sf":"$sfDir","phases":$phases}""")
     // The stdout tail truncates the per-query line on 15x-query runs,
     // so the COMPLETE artifact (every query + phases + total) is also
     // written to a file — committed per round as BENCH_FULL_r{N}.json
@@ -72,7 +87,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val full =
-        s"""{"metric":"per_query_full","unit":"sec","sf":"$sfDir","runs_per_query":$runs,"total":$total,"n_queries":${results.size},"n_failed":$failed,"queries":$qs,"phases":$phases}"""
+        s"""{"metric":"per_query_full","unit":"sec","sf":"$sfDir","runs_per_query":$runs,"total":$total,"total_min_of_n":$totalMin,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"n_queries":${results.size},"n_failed":$failed,"queries":$qs,"queries_min":$qsMin,"phases":$phases}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // artifact write must never fail the bench

@@ -38,13 +38,26 @@ object Tables {
   def orders(s: SparkSession, d: String) = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String) = t(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds — exactly what DuckDB does when it loads the same
-    * file, so both engines see identical timestamps. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so the loader is
+    * schema-adaptive (the reference's LoaderFunc seam,
+    * filesystem.go:10-12, exists for exactly this: absorbing physical
+    * representation drift at load time). The nanosAsLong conf only
+    * affects NANOS-annotated columns; under it a nanos file reads as
+    * LongType (convert, truncating to micros — matching what DuckDB
+    * does with the same file) and a micros file reads as a timestamp.
+    * Either way the column is normalized to session-zoned TIMESTAMP
+    * (every engine session pins UTC, so an NTZ→LTZ cast preserves the
+    * wall-clock DuckDB sees): downstream queries use instant functions
+    * like unix_micros that reject TIMESTAMP_NTZ. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   /** Spread a small-file scan across the cluster before row-inflating
     * work. A parquet row group is an unsplittable input unit, so a

@@ -67,17 +67,24 @@ class StreamingSpec extends AnyFunSuite {
 
   test("production ingestion: readStream over the original events parquet ≡ ev01 oracle query") {
     // the real pipeline path: no staging rewrite — stream straight off
-    // the driver-generated events.parquet (TIMESTAMP_NANOS: read as
-    // raw nanos via the legacy conf, truncate to µs exactly as
-    // Tables.events does for batch/DuckDB)
+    // the driver-generated events.parquet, schema-adaptive exactly as
+    // Tables.events is for batch/DuckDB (nanos-as-long legacy read →
+    // truncate to µs; native micros timestamp → pass through)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     // the file stream source wants a directory root: stream the sf
     // dir, glob-restricted to the events table
-    val src = spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val src = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     val q = EventStreams.tumblingHourly(src, withWatermarkCol = false)
       .writeStream.format("memory").queryName("ev01_file_source")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
