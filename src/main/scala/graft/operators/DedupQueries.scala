@@ -855,10 +855,77 @@ object DedupQueries {
     }
   }
 
+  /** Sorted-neighborhood blocking (SNM) — the classic entity-resolution
+    * alternative to LSH banding (Hernández & Stolfo's merge/purge).
+    * Documents are globally ordered by a cheap sort key (lowercased
+    * 32-char prefix); only pairs within a rank window of W are
+    * compared, so candidate generation is O(n·W) instead of all-pairs
+    * O(n²), with no hash family — it catches near-dups whose shared
+    * prefix survives in the sort key, complementing MinHash (which is
+    * prefix-blind) and SimHash.
+    *
+    * Scale shape: the global rank is a range repartition +
+    * partition-local sort + zipWithIndex (one counting pass over
+    * partition sizes, then a map adding offsets — the canonical
+    * distributed row_number; there is NO single-partition window).
+    * The neighbor join buckets rank by W: the lower-rank side emits
+    * (bucket, bucket+1), the other side its own bucket, and the
+    * equi-join on the bucket key meets each row with ≤ 2W candidates,
+    * never the corpus. Confirm is exact word-set Jaccard on candidate
+    * pairs only — same O(n·W) bound end to end. */
+  val dd15SortedNeighborhood: GraftQuery = {
+    val W = 5 // neighborhood rank window
+    q("dd15_sorted_neighborhood",
+      "sorted-neighborhood blocking: rank-window candidates + exact Jaccard confirm",
+      s"""WITH ranked AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws,
+         |    ROW_NUMBER() OVER (ORDER BY lower(substring(text, 1, 32)), doc_id) AS rn
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.ws, b.ws)) AS inter,
+         |    len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS uni
+         |  FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND $W)
+         |SELECT doc_a, doc_b, inter, CAST(inter AS DOUBLE) / uni AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        lower(substring(col("text"), 1, 32)).as("sk"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      // distributed row_number over the strict total order (sk, doc_id):
+      // range-partitioned + locally sorted, then zipWithIndex adds
+      // per-partition offsets. Rank is partition-count-invariant.
+      val sorted = base.repartitionByRange(col("sk"), col("doc_id"))
+        .sortWithinPartitions("sk", "doc_id")
+      // pinned: both sides of the self-join read the ranked frame —
+      // without the pin the range-sort + zipWithIndex runs twice
+      val ranked = s.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        },
+        sorted.schema.add("rn", LongType)).pinned
+      val a = ranked
+        .select(col("doc_id").as("doc_a"), col("ws").as("wa"), col("rn").as("ra"))
+        .withColumn("bk", explode(array(expr(s"ra div $W"), expr(s"ra div $W") + 1L)))
+      val b = ranked
+        .select(col("doc_id").as("doc_b"), col("ws").as("wb"), col("rn").as("rb"))
+        .withColumn("bk", expr(s"rb div $W"))
+      val inter = size(array_intersect(col("wa"), col("wb"))).cast(LongType)
+      val uni = size(col("wa")).cast(LongType) + size(col("wb")).cast(LongType) - inter
+      a.join(b, Seq("bk"))
+        .filter(col("rb") - col("ra") >= 1 && col("rb") - col("ra") <= W)
+        .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+          (inter.cast(DoubleType) / uni).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
     dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
-    rb01RepetitionBudget, pd01ChunkDedup)
+    dd15SortedNeighborhood, rb01RepetitionBudget, pd01ChunkDedup)
 }

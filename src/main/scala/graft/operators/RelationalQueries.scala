@@ -1128,6 +1128,68 @@ object RelationalQueries {
     }
   }
 
+  /** Guaranteed-recall heavy hitters — the production two-pass shape
+    * for "which tokens exceed φ·N of the stream" when the key space is
+    * too large to aggregate exactly up front. Pass 1 builds a Count-Min
+    * sketch (bounded DEPTH×WIDTH cells, partial+final agg) and a
+    * scalar total N; because CM only ever OVER-estimates, filtering
+    * distinct keys by estimate ≥ φ·N yields a candidate set that is a
+    * strict superset of the true heavy hitters (perfect recall, some
+    * false positives from collision mass). Pass 2 exactly counts the
+    * candidates only — a broadcast semi-join of the bounded candidate
+    * list against the token stream — and keeps those truly ≥ φ·N. The
+    * result is therefore EXACT (equals the brute-force oracle), while
+    * the engine never materializes a full-key exact aggregation wider
+    * than the candidates.
+    *
+    * All thresholds are integer-exact (c·INV_PHI ≥ N), no floats.
+    * φ = 1/64: on the synthetic corpus this passes the ~30 common
+    * vocabulary words and prunes the rare tail. */
+  val cm03HeavyHitters: GraftQuery = {
+    val DEPTH = 3
+    val WIDTH = 64
+    val INV_PHI = 64L // heavy hitter iff count * INV_PHI >= total
+    q("cm03_heavy_hitters",
+      "two-pass heavy hitters: Count-Min candidate superset + exact verify",
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+         |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term)
+         |SELECT term, c AS n_occurrences
+         |FROM cnt, tot WHERE c * $INV_PHI >= n
+         |ORDER BY term""".stripMargin) { (s, d) =>
+      def bucket(j: Int, t: Column) =
+        conv(substring(md5(concat(lit(s"$j:"), t)), 1, 8), 16, 10)
+          .cast(LongType) % WIDTH
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      // pass 1: bounded sketch cells + scalar total
+      val sketch = toks.select(explode(array((0 until DEPTH).map(j =>
+        struct(lit(j).as("row_j"), bucket(j, col("term")).as("bucket"))): _*)).as("e"))
+        .select(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+        .groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      // candidate filter: CM point estimate (min over rows) ≥ φ·N.
+      // Distinct keys probe the BROADCAST sketch (DEPTH×WIDTH rows).
+      val candidates = toks.distinct()
+        .select(col("term"), explode(array((0 until DEPTH).map(j =>
+          struct(lit(j).as("row_j"), bucket(j, col("term")).as("bucket"))): _*)).as("e"))
+        .select(col("term"), col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+        .join(broadcast(sketch), Seq("row_j", "bucket"))
+        .groupBy("term").agg(min(col("c")).as("est"))
+        .crossJoin(broadcast(total))
+        .filter(col("est") * INV_PHI >= col("n"))
+        .select(col("term"))
+      // pass 2: exact counts for the bounded candidate set only
+      toks.join(broadcast(candidates), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).cast(LongType).as("c"))
+        .crossJoin(broadcast(total))
+        .filter(col("c") * INV_PHI >= col("n"))
+        .select(col("term"), col("c").as("n_occurrences"))
+        .orderBy("term")
+    }
+  }
+
   /** Oracle-reproducible HyperLogLog. hll01 uses Spark's built-in HLL++
     * (engine-opaque registers → rows-only check); this one builds the
     * sketch from first principles with the md5 hash family, so the
@@ -1660,12 +1722,74 @@ object RelationalQueries {
       .orderBy("seg")
   }
 
+  /** Order-independent table fingerprints — the data-integrity
+    * primitive for validating a 100 TB copy/migration without moving
+    * the data twice: each side computes (n_rows, XOR of row hashes,
+    * modular sum of row hashes) per table and compares 3 numbers. XOR
+    * is commutative/associative so the result is partition- and
+    * shuffle-order-independent; the modular sum catches the XOR blind
+    * spot (a row duplicated an even number of times XORs out). Rows
+    * are canonicalized engine-portably: integers/strings as-is,
+    * doubles through DECIMAL(12,2), timestamps through DATE, joined
+    * with '|' and md5'd (15 hex chars = 60 bits, sign-safe in BIGINT;
+    * the mod-sum term is bounded by 1e6 so even 10^12 rows cannot
+    * overflow). Pure partial+final aggregation per table — one scan,
+    * no shuffle beyond the final single-row combine. */
+  /** One (tbl, n_rows, fp_xor, fp_modsum) row for [[q53TableChecksum]];
+    * public so IntegritySpec can drive it with adversarial inputs. */
+  def tableFingerprint(df: DataFrame, tbl: String, canon: Seq[Column]): DataFrame =
+    df.select(conv(substring(md5(concat_ws("|", canon: _*)), 1, 15), 16, 10)
+        .cast(LongType).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fp_xor"),
+        sum(col("h") % 1000003L).as("fp_modsum"))
+      .select(lit(tbl).as("tbl"), col("n_rows"), col("fp_xor"), col("fp_modsum"))
+
+  val q53TableChecksum: GraftQuery = {
+    val M = 1000003L // prime modulus for the sum-of-hashes term
+    def sqlFp(tbl: String, cols: String) =
+      s"""SELECT '$tbl' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  bit_xor(h) AS fp_xor, CAST(SUM(h % $M) AS BIGINT) AS fp_modsum
+         |FROM (SELECT CAST(CONCAT('0x', SUBSTRING(md5(concat_ws('|', $cols)), 1, 15)) AS BIGINT) AS h
+         |      FROM $tbl)""".stripMargin
+    val lCols = "CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), " +
+      "CAST(l_linenumber AS VARCHAR), CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR), " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), CAST(CAST(l_discount AS DECIMAL(12,2)) AS VARCHAR), " +
+      "CAST(CAST(l_tax AS DECIMAL(12,2)) AS VARCHAR), l_returnflag, l_linestatus, CAST(CAST(l_shipdate AS DATE) AS VARCHAR)"
+    val oCols = "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus, " +
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority"
+    val cCols = "CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR), " +
+      "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), c_mktsegment"
+    q("q53_table_checksum",
+      "order-independent per-table row-hash fingerprints (copy validation)",
+      s"""${sqlFp("lineitem", lCols)}
+         |UNION ALL ${sqlFp("orders", oCols)}
+         |UNION ALL ${sqlFp("customer", cCols)}
+         |ORDER BY tbl""".stripMargin) { (s, d) =>
+      def dec(c: String) = col(c).cast(DecimalType(12, 2)).cast(StringType)
+      def str(c: String) = col(c).cast(StringType)
+      def dt(c: String) = col(c).cast(DateType).cast(StringType)
+      def fp(df: DataFrame, tbl: String, canon: Seq[Column]) =
+        tableFingerprint(df, tbl, canon)
+      fp(Tables.lineitem(s, d), "lineitem", Seq(
+        str("l_orderkey"), str("l_partkey"), str("l_suppkey"), str("l_linenumber"),
+        dec("l_quantity"), dec("l_extendedprice"), dec("l_discount"), dec("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), dt("l_shipdate")))
+        .unionByName(fp(Tables.orders(s, d), "orders", Seq(
+          str("o_orderkey"), str("o_custkey"), col("o_orderstatus"),
+          dec("o_totalprice"), dt("o_orderdate"), col("o_orderpriority"))))
+        .unionByName(fp(Tables.customer(s, d), "customer", Seq(
+          str("c_custkey"), col("c_name"), str("c_nationkey"),
+          dec("c_acctbal"), col("c_mktsegment"))))
+        .orderBy("tbl")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     cdc01Scd2Merge,
     ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
-    q50SchemaMerge, q51IncrementalAgg, q52FromJson,
+    q50SchemaMerge, q51IncrementalAgg, q52FromJson, q53TableChecksum,
     cm01CountMin,
-    cm02JoinSize,
+    cm02JoinSize, cm03HeavyHitters,
     hll02OracleDistinct,
     hll03SketchRollup, hll04SetAlgebra,
     q29SupplierJoin, q30Percentiles, q31PivotApi, q32Posexplode,

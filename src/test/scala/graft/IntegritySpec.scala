@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the round-8 operators that the row-for-row DuckDB oracle
+  * can't express directly:
+  *
+  *  - q53's fingerprint must be INVARIANT to row order / partitioning
+  *    (the whole point of an order-independent checksum), SENSITIVE to
+  *    any single-value perturbation, and its modular-sum term must
+  *    catch the XOR blind spot (even-multiplicity duplicate rows).
+  *  - dd15's distributed rank (range repartition + zipWithIndex) must
+  *    be partition-count-invariant — the candidate pairs cannot depend
+  *    on how the cluster happened to split the sort.
+  *  - cm03's Count-Min candidate pass must have perfect recall: the
+  *    final result equals a brute-force exact heavy-hitter scan.
+  */
+class IntegritySpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fp(df: DataFrame): Row = {
+    import graft.operators.RelationalQueries.tableFingerprint
+    tableFingerprint(df, "t",
+      Seq(col("k").cast("string"), col("v"))).collect().head
+  }
+
+  private def kv(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("q53 fingerprint: order- and partitioning-invariant") {
+    val rows = (1L to 500L).map(k => (k, s"payload-$k"))
+    val a = fp(kv(rows))
+    val b = fp(kv(rows.reverse).repartition(7))
+    val c = fp(kv(scala.util.Random.shuffle(rows)).repartition(1))
+    assert(a == b && a == c)
+  }
+
+  test("q53 fingerprint: any single-value perturbation changes it") {
+    val rows = (1L to 100L).map(k => (k, s"payload-$k"))
+    val base = fp(kv(rows))
+    val perturbed = fp(kv(rows.updated(41, (42L, "payload-42x"))))
+    assert(base.getAs[Long]("n_rows") == perturbed.getAs[Long]("n_rows"))
+    assert(base.getAs[Long]("fp_xor") != perturbed.getAs[Long]("fp_xor"))
+  }
+
+  test("q53 fingerprint: mod-sum catches the even-duplicate XOR blind spot") {
+    val rows = (1L to 100L).map(k => (k, s"payload-$k"))
+    // duplicate one row twice more: XOR of the pair cancels out
+    val dup = rows ++ Seq(rows.head, rows.head)
+    val base = fp(kv(rows))
+    val dupFp = fp(kv(dup))
+    assert(base.getAs[Long]("fp_xor") == dupFp.getAs[Long]("fp_xor"),
+      "sanity: an even-multiplicity duplicate is invisible to XOR")
+    assert(base.getAs[Long]("fp_modsum") != dupFp.getAs[Long]("fp_modsum"),
+      "the modular sum must catch what XOR cannot")
+    assert(base.getAs[Long]("n_rows") != dupFp.getAs[Long]("n_rows"))
+  }
+
+  test("dd15: candidate pairs are shuffle-partition-count invariant") {
+    val build = SparkEntry.queries("dd15_sorted_neighborhood")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = build(spark, sf).collect().toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = build(spark, sf).collect().toSeq
+      assert(a.nonEmpty && a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("dd15: every pair is rank-adjacent and above the Jaccard floor") {
+    val rows = SparkEntry.queries("dd15_sorted_neighborhood")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+      assert(r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("cm03: equals the brute-force exact heavy-hitter scan (perfect recall)") {
+    val got = SparkEntry.queries("cm03_heavy_hitters")(spark, sf).collect().toSeq
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val n = toks.count()
+    val want = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .filter(col("c") * 64L >= n)
+      .select(col("term"), col("c").as("n_occurrences"))
+      .orderBy("term").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
