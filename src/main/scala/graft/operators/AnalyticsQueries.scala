@@ -653,8 +653,58 @@ object AnalyticsQueries {
       .limit(50)
   }
 
+  /** Time-series LOCF resampling: project every user's purchase
+    * `value` onto a regular 6-hour grid, carrying the last observation
+    * forward (the TSDB `resample ... fill(previous)` / pandas
+    * `resample().ffill()` shape — how a feature store snapshots
+    * slowly-changing per-entity state at training-example timestamps).
+    * Composes the engine's as-of join ([[AsofJoin.backward]]): the
+    * grid×user point set is the left side, purchases the right, so the
+    * whole resample is ONE shuffle on user_id + one partition-local
+    * sort — no per-point probe, no correlated subquery at runtime (the
+    * oracle spells the same semantics with one, tie-broken identically
+    * on event_id).
+    *
+    * Scale shape: the grid is span-bounded (~120 points), built once
+    * and cross-joined to the distinct-user frame as a broadcast — the
+    * output is |users|×|grid| rows, linear in users; the as-of union
+    * then shuffles points + purchases together exactly once. */
+  val it02LocfResample: GraftQuery = q(
+    "it02_locf_resample",
+    "LOCF grid resampling via as-of join (feature-store snapshotting)",
+    """WITH span AS (
+      |  SELECT date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1 FROM events),
+      |grid AS (
+      |  SELECT UNNEST(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts FROM span),
+      |pts AS (
+      |  SELECT user_id, gts
+      |  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN grid),
+      |pur AS (
+      |  SELECT user_id, ts, value, event_id FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.gts,
+      |  (SELECT pr.value FROM pur pr
+      |   WHERE pr.user_id = p.user_id AND pr.ts <= p.gts
+      |   ORDER BY pr.ts DESC, pr.event_id DESC LIMIT 1) AS locf_value
+      |FROM pts p ORDER BY user_id, gts""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val grid = ev
+      .agg(date_trunc("day", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+      .select(explode(sequence(col("t0"), col("t1"),
+        expr("interval 6 hours"))).as("gts"))
+    val pts = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(grid))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    AsofJoin.backward(pts, pur,
+      key = "user_id", leftTime = "gts", rightTime = "ts",
+      payloadCols = Seq("value"), tiebreak = "event_id")
+      .select(col("user_id"), col("gts"), col("__asof.value").as("locf_value"))
+      .orderBy("user_id", "gts")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
-    ws01Winsorize, it01Interpolate, wt01WeightedSample)
+    ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample)
 }

@@ -864,9 +864,100 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Classifier-threshold retention sweep — the calibration loop run
+    * before shipping any learned document filter: for each candidate
+    * cutoff, how many documents and tokens survive, and what corpus
+    * fraction is that? (FineWeb-Edu-style "pick the threshold that
+    * hits the retention target".) Reuses qc01's map-only integer
+    * scorer; the sweep explodes each DOC-level row (not tokens) across
+    * the bounded threshold ladder and aggregates per threshold — one
+    * corpus pass, 5× doc-row inflation, output bounded by the ladder.
+    * Fractions are single exact-integer divisions (bit-identical both
+    * engines). */
+  val qc02ThresholdSweep: GraftQuery = q(
+    "qc02_threshold_sweep",
+    "classifier cutoff calibration: docs/tokens retained per threshold",
+    """WITH s AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(string_split(text, ' '), tok ->
+      |      ((CAST(CONCAT('0x', SUBSTRING(md5(tok), 1, 4)) AS BIGINT) % 64) * 37) % 101 - 50))
+      |      AS BIGINT) AS score
+      |  FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               CAST(SUM(n_tokens) AS BIGINT) AS n_toks FROM s),
+      |th AS (SELECT UNNEST([-200, -100, 0, 100, 200]) AS threshold)
+      |SELECT th.threshold,
+      |  CAST(SUM(CASE WHEN s.score >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+      |  CAST(SUM(CASE WHEN s.score >= th.threshold THEN s.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+      |  CAST(SUM(CASE WHEN s.score >= th.threshold THEN 1 ELSE 0 END) AS DOUBLE) / ANY_VALUE(tot.n_docs) AS frac_docs,
+      |  CAST(SUM(CASE WHEN s.score >= th.threshold THEN s.n_tokens ELSE 0 END) AS DOUBLE) / ANY_VALUE(tot.n_toks) AS frac_tokens
+      |FROM s CROSS JOIN th CROSS JOIN tot
+      |GROUP BY th.threshold ORDER BY th.threshold""".stripMargin) { (s, d) =>
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '),
+            |    tok -> ((cast(conv(substring(md5(tok), 1, 4), 16, 10) as bigint) % 64) * 37) % 101 - 50),
+            |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("score"))
+    val tot = scored.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast(LongType).as("n_toks"))
+    scored
+      .select(col("n_tokens"), col("score"),
+        explode(array(Seq(-200, -100, 0, 100, 200).map(t => lit(t)): _*))
+          .as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .cast(LongType).as("n_docs_kept"),
+        sum(when(col("score") >= col("threshold"), col("n_tokens")).otherwise(0L))
+          .cast(LongType).as("n_tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_docs_kept"), col("n_tokens_kept"),
+        (col("n_docs_kept").cast(DoubleType) / col("n_docs")).as("frac_docs"),
+        (col("n_tokens_kept").cast(DoubleType) / col("n_toks")).as("frac_tokens"))
+      .orderBy("threshold")
+  }
+
+  /** Context-length padding-efficiency curve — the tuning loop for the
+    * packer (pk01): if every document is split into ⌈n/L⌉ fixed-length-L
+    * sequences, how much padding does each candidate L waste? Reported
+    * per L: sequence count, padded-token waste, and waste fraction.
+    * One corpus pass; the doc-level frame explodes across the bounded
+    * L-ladder only. */
+  val pk02PaddingCurve: GraftQuery = q(
+    "pk02_padding_curve",
+    "padding-waste curve across candidate context lengths",
+    """WITH s AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+      |ls AS (SELECT UNNEST([64, 128, 256, 512]) AS ctx_len)
+      |SELECT ls.ctx_len,
+      |  CAST(SUM(CAST(CEIL(CAST(s.n AS DOUBLE) / ls.ctx_len) AS BIGINT)) AS BIGINT) AS n_seqs,
+      |  CAST(SUM(CAST(CEIL(CAST(s.n AS DOUBLE) / ls.ctx_len) AS BIGINT) * ls.ctx_len - s.n) AS BIGINT) AS n_pad,
+      |  CAST(SUM(CAST(CEIL(CAST(s.n AS DOUBLE) / ls.ctx_len) AS BIGINT) * ls.ctx_len - s.n) AS DOUBLE) /
+      |    SUM(CAST(CEIL(CAST(s.n AS DOUBLE) / ls.ctx_len) AS BIGINT) * ls.ctx_len) AS pad_frac
+      |FROM s CROSS JOIN ls GROUP BY ls.ctx_len ORDER BY ls.ctx_len""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast(LongType).as("n"))
+      .select(col("n"),
+        explode(array(Seq(64, 128, 256, 512).map(l => lit(l)): _*)).as("ctx_len"))
+      // integer ceil-div: (n + L - 1) div L, identical to the oracle's
+      // double-ceil because n, L are positive integers
+      .select(col("ctx_len"), col("n"),
+        expr("(n + ctx_len - 1) div ctx_len").as("nseq"))
+      .groupBy("ctx_len")
+      .agg(sum(col("nseq")).cast(LongType).as("n_seqs"),
+        sum(col("nseq") * col("ctx_len") - col("n")).cast(LongType).as("n_pad"),
+        (sum(col("nseq") * col("ctx_len") - col("n")).cast(DoubleType) /
+          sum(col("nseq") * col("ctx_len"))).as("pad_frac"))
+      .orderBy("ctx_len")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
+    qc02ThresholdSweep, pk02PaddingCurve,
     lm01NgramScore, bpe01VocabInduction, bpe02Encode, qc01ClassifierScore)
 }
