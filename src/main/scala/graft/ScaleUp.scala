@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *
   * Only the three corpus tables the heavy bench family reads are
   * replicated (documents, embeddings, events); `events.ts` is written
-  * back as int64 NANOSECONDS to match the driver corpus's physical
-  * type (TESTDATA.md), so [[Tables.events]] reads replicas and
-  * originals identically. */
+  * back as int64 NANOSECONDS — the legacy physical encoding the driver
+  * corpus used before its micros regeneration — which keeps the
+  * schema-adaptive [[Tables.events]] loader's nanos branch exercised
+  * by every growth probe while originals take the micros branch. */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, GraftQuery, Tables}
+import graft.Pin.PinOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1168,7 +1169,10 @@ object RelationalQueries {
         struct(lit(j).as("row_j"), bucket(j, col("term")).as("bucket"))): _*)).as("e"))
         .select(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
         .groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
-      val total = toks.agg(count(lit(1)).as("n"))
+        .pinned // read by the candidate probe AND the total below
+      // every CM row counts each token exactly once, so the scalar
+      // total N is the cell-sum of any one row — no extra corpus scan
+      val total = sketch.filter(col("row_j") === 0).agg(sum(col("c")).as("n"))
       // candidate filter: CM point estimate (min over rows) ≥ φ·N.
       // Distinct keys probe the BROADCAST sketch (DEPTH×WIDTH rows).
       val candidates = toks.distinct()

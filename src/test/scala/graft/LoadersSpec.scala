@@ -90,4 +90,38 @@ class LoadersSpec extends AnyFunSuite {
     assert(df.select(TextFunctions.occurrences(col("t"), "the"))
       .collect()(0).getLong(0) == 3)
   }
+
+  /** The round-7 regression class: the driver corpus has shipped
+    * events.ts as TIMESTAMP(NANOS) (reads as raw long under the legacy
+    * conf) and as TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ).
+    * Tables.events must normalize every physical encoding of the same
+    * instant to the same session-zoned TIMESTAMP — and the result must
+    * feed instant functions (unix_micros) that reject NTZ. */
+  test("Tables.events normalizes ns-as-long, NTZ-micros and LTZ encodings identically") {
+    val us = 1706569200123456L // 2024-01-29T23:00:00.123456Z
+    def dir(prefix: String): String = Scratch.dir(prefix)
+    def eventsDf(tsCol: org.apache.spark.sql.Column) =
+      spark.range(1).select(
+        lit(7L).as("event_id"), tsCol.as("ts"), lit(3L).as("user_id"),
+        lit("view").as("event_type"), lit(1.5).as("value"),
+        lit("{}").as("props"))
+    // legacy: int64 nanoseconds (what ScaleUp replicas still write)
+    val dNs = dir("ev-ns")
+    eventsDf(lit(us * 1000L)).write.mode("overwrite")
+      .parquet(s"$dNs/events.parquet")
+    // current driver corpus: micros TIMESTAMP_NTZ
+    val dNtz = dir("ev-ntz")
+    eventsDf(timestamp_micros(lit(us)).cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+    // session-zoned micros (the normalized form round-tripped)
+    val dLtz = dir("ev-ltz")
+    eventsDf(timestamp_micros(lit(us))).write.mode("overwrite")
+      .parquet(s"$dLtz/events.parquet")
+    val decoded = Seq(dNs, dNtz, dLtz).map { d =>
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType == TimestampType, s"$d not normalized")
+      ev.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+    }
+    assert(decoded == Seq(us, us, us))
+  }
 }
