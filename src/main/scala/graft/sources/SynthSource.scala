@@ -8,7 +8,8 @@ import graft.GraftQuery
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -71,16 +72,20 @@ final class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 final class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = SynthSource.SCHEMA
+  private var pushedAggs: Array[AggregateFunc] = Array.empty
 
   /** Accept range predicates on `id` by narrowing [lo, hi); everything
-    * else stays a post-scan filter. Accepted filters are also RETURNED
-    * as residuals — the generator's narrowing is exact, but re-checking
-    * above the scan is free and keeps the contract conservative. */
+    * else stays a post-scan filter. The narrowing is EXACT for every
+    * accepted shape (contiguous id band over a dense generator), so
+    * accepted filters are fully consumed — returning no residual is
+    * what lets Catalyst push a following aggregation down too (it only
+    * pushes aggregates when no post-scan filter remains). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.flatMap {
       case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); Some(f)
@@ -92,13 +97,91 @@ final class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
       case f @ IsNotNull("id") => Some(f) // nothing is null here
       case _ => None
     }
-    filters // all filters re-checked above the scan
+    filters.filterNot(accepted.contains)
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Aggregate pushdown (the DSv2 feature a warehouse-grade connector
+    * ships): group-by-less COUNT(star or id) / MIN(id) / MAX(id) over
+    * a dense id band have CLOSED FORMS per partition — count = width,
+    * min = start, max = end−1 — so the pushed scan emits ONE partial
+    * row per surviving partition and generates NO data rows at all.
+    * Partial pushdown contract (supportCompletePushDown stays false):
+    * Spark's final aggregation merges the per-partition partials, so
+    * correctness is partition-count-independent. Anything else (sums
+    * of the mixed `val`, group-bys) is declined and planned normally. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isId(c.column)
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case _ => false
+      }
+    if (ok) pushedAggs = aggregation.aggregateExpressions
+    ok
+  }
+
   override def build(): Scan =
-    new SynthScan(rows, lo, math.max(lo, hi), parts, required)
+    if (pushedAggs.nonEmpty)
+      new SynthAggScan(rows, lo, math.max(lo, hi), parts, pushedAggs)
+    else new SynthScan(rows, lo, math.max(lo, hi), parts, required)
+}
+
+/** Scan serving a pushed group-by-less aggregation: same fixed-width
+  * partition grid as [[SynthScan]] (filter pruning composes), but each
+  * partition reader emits exactly one closed-form partial row. */
+final class SynthAggScan(rows: Long, lo: Long, hi: Long, parts: Int,
+    aggs: Array[AggregateFunc]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map { case (f, i) =>
+      StructField(s"agg_$i", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graft-synth-agg [$lo, $hi) pushed=[${aggs.map(_.toString).mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) Array.empty
+    else {
+      val width = math.max(1L, (rows + parts - 1) / parts)
+      (0L until rows by width).iterator
+        .map(s => SynthPartition(math.max(s, lo), math.min(s + width, hi)))
+        .filter(p => p.end > p.start).toArray[InputPartition]
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fns = aggs // serializable closure capture
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val SynthPartition(start, end) = partition
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(fns.toIndexedSeq.map {
+              case _: CountStar => end - start
+              case _: Count => end - start // id is never null
+              case _: Min => start
+              case _: Max => end - 1
+              case f => throw new IllegalStateException(s"unpushable $f")
+            })
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
 }
 
 final case class SynthPartition(start: Long, end: Long) extends InputPartition
@@ -217,5 +300,23 @@ object SynthQueries {
        |GROUP BY 1 ORDER BY grp""".stripMargin),
     "custom DataSource V2 connector: partition planning + filter/column pushdown")
 
-  val all: Seq[GraftQuery] = Seq(sy01SynthSource)
+  /** Aggregates THROUGH the connector's pushdown path: the band filter
+    * narrows the grid at planning time, then count/min/max are served
+    * as closed-form per-partition partials (no data row is ever
+    * generated — SynthSourceSpec pins the graft-synth-agg scan in the
+    * plan). The oracle recomputes the same three numbers from
+    * DuckDB's range(). */
+  val sy02AggPushdown: GraftQuery = GraftQuery(
+    "sy02_agg_pushdown",
+    (s, _) => s.read.format("graft.sources.SynthSource")
+      .option("rows", "100000").option("parts", "8").load()
+      .filter(col("id") >= 25000 && col("id") < 75000)
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id")),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+       |FROM range(25000, 75000) t(id)""".stripMargin),
+    "DSv2 aggregate pushdown: closed-form partials from the connector")
+
+  val all: Seq[GraftQuery] = Seq(sy01SynthSource, sy02AggPushdown)
 }

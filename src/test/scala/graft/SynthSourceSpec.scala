@@ -46,6 +46,32 @@ class SynthSourceSpec extends AnyFunSuite {
       (0L until 100000L).map(i => (i * 2654435761L) % 1000003L).sum)
   }
 
+  test("aggregate pushdown: count/min/max served by closed-form partials, no row generation") {
+    val df = synth()
+      .filter(col("id") >= 25000 && col("id") < 75000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 50000L)
+    assert(r.getLong(1) == 25000L)
+    assert(r.getLong(2) == 74999L)
+    // the executed scan is the aggregate scan (one partial row per
+    // partition), not the row generator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-synth-agg"), plan.take(2000))
+    assert(!plan.contains("graft-synth ["), plan.take(2000))
+  }
+
+  test("aggregate pushdown declines group-bys and val-sums (normal scan plans)") {
+    val grouped = synth(rows = 1000).groupBy("grp").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("graft-synth-agg"))
+    assert(grouped.count() == 97)
+    val summed = synth(rows = 1000).agg(sum(col("val")).as("s"))
+    assert(!summed.queryExecution.executedPlan.toString.contains("graft-synth-agg"))
+    assert(summed.head().getLong(0) ==
+      (0L until 1000L).map(i => (i * 2654435761L) % 1000003L).sum)
+  }
+
   test("generated rows match the formula") {
     val r = synth(rows = 1000, parts = 4)
       .filter(col("id") === 999).collect().head
