@@ -920,6 +920,89 @@ object CorpusQueries {
       .orderBy("threshold")
   }
 
+  /** Water-filling token-budget allocation — the data-constrained
+    * mixing computation: given per-source token capacities c_s and a
+    * total training budget B (here 60% of the corpus), allocate
+    * a_s = min(c_s, θ) where the water level θ solves Σ a_s = B —
+    * small sources are taken whole, large sources are capped at the
+    * common level (no source is over-sampled before every smaller
+    * source is exhausted). θ has a CLOSED FORM over the sorted
+    * capacities: k = the largest rank with prefix_k + (n−k)·c_(k) ≤ B,
+    * then θ = (B − prefix_k)/(n−k); the integer remainder is dealt
+    * deterministically to the lowest-ranked uncapped sources, so the
+    * whole computation is exact 64-bit arithmetic, identical in both
+    * engines. Everything past the one per-source aggregation runs on
+    * the source-bounded frame (~20 rows): window prefix sums, a 1-row
+    * scalar join — nothing corpus-sized crosses a shuffle. */
+  val mx03BudgetMix: GraftQuery = q(
+    "mx03_budget_mix",
+    "water-filling allocation of a token budget across sources",
+    """WITH src AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c
+      |  FROM documents GROUP BY source),
+      |o AS (
+      |  SELECT source, c,
+      |    ROW_NUMBER() OVER (ORDER BY c, source) AS rn,
+      |    SUM(c) OVER (ORDER BY c, source
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      |  FROM src),
+      |scal AS (
+      |  SELECT COUNT(*) AS n, (SUM(c) * 3) // 5 AS b FROM src),
+      |kk AS (
+      |  SELECT COALESCE(MAX(rn), 0) AS k FROM o, scal
+      |  WHERE prefix + (n - rn) * c <= b),
+      |base AS (
+      |  SELECT k, n, b,
+      |    COALESCE((SELECT prefix FROM o WHERE rn = k), 0) AS pk
+      |  FROM kk, scal),
+      |lvl AS (
+      |  SELECT k, n, b, pk,
+      |    CASE WHEN n > k THEN (b - pk) // (n - k) ELSE 0 END AS theta,
+      |    CASE WHEN n > k THEN (b - pk) % (n - k) ELSE 0 END AS rem
+      |  FROM base)
+      |SELECT o.source, o.c AS capacity,
+      |  CAST(CASE WHEN o.rn <= lvl.k THEN o.c
+      |       ELSE lvl.theta + (CASE WHEN o.rn - lvl.k <= lvl.rem THEN 1 ELSE 0 END)
+      |       END AS BIGINT) AS allocation,
+      |  CAST(CASE WHEN o.rn <= lvl.k THEN o.c
+      |       ELSE lvl.theta + (CASE WHEN o.rn - lvl.k <= lvl.rem THEN 1 ELSE 0 END)
+      |       END AS DOUBLE) / o.c AS epochs
+      |FROM o, lvl ORDER BY o.source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast(LongType).as("c"))
+    val w = Window.orderBy("c", "source")
+    // source-bounded frame (~20 rows): the single-partition window is
+    // deliberate and safe here, the corpus never enters it
+    val o = src
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("prefix", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .pinned
+    val scal = o.agg(count(lit(1)).cast(LongType).as("n"),
+      expr("(sum(c) * 3) div 5").as("b"))
+    val k = o.crossJoin(broadcast(scal))
+      .filter(col("prefix") + (col("n") - col("rn")) * col("c") <= col("b"))
+      .agg(coalesce(max(col("rn")), lit(0L)).as("k"))
+    val pk = o.join(broadcast(k), col("rn") === col("k"), "right")
+      .select(col("k"), coalesce(col("prefix"), lit(0L)).as("pk"))
+    val lvl = pk.crossJoin(broadcast(scal))
+      .select(col("k"), col("pk"), col("n"), col("b"),
+        when(col("n") > col("k"), expr("(b - pk) div (n - k)")).otherwise(0L)
+          .as("theta"),
+        when(col("n") > col("k"), (col("b") - col("pk")) % (col("n") - col("k")))
+          .otherwise(0L).as("rem"))
+    val alloc = when(col("rn") <= col("k"), col("c"))
+      .otherwise(col("theta") +
+        when(col("rn") - col("k") <= col("rem"), 1L).otherwise(0L))
+      .cast(LongType)
+    o.crossJoin(broadcast(lvl))
+      .select(col("source"), col("c").as("capacity"), alloc.as("allocation"),
+        (alloc.cast(DoubleType) / col("c")).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Context-length padding-efficiency curve — the tuning loop for the
     * packer (pk01): if every document is split into ⌈n/L⌉ fixed-length-L
     * sequences, how much padding does each candidate L waste? Reported
@@ -958,6 +1041,6 @@ object CorpusQueries {
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
-    qc02ThresholdSweep, pk02PaddingCurve,
+    qc02ThresholdSweep, pk02PaddingCurve, mx03BudgetMix,
     lm01NgramScore, bpe01VocabInduction, bpe02Encode, qc01ClassifierScore)
 }

@@ -7,11 +7,11 @@ import scala.jdk.CollectionConverters._
 import graft.GraftQuery
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,6 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    in SynthSourceSpec by partition count);
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers
   *    materialize only requested fields;
+  *  - **aggregate pushdown** (`SupportsPushDownAggregates`): group-by-
+  *    less COUNT/MIN/MAX served as closed-form per-partition partials,
+  *    zero data rows generated (sy02);
+  *  - **runtime filtering** (`SupportsRuntimeFiltering`): a join's
+  *    build-side key set, materialized at execution time, narrows the
+  *    band before partitions are planned — dynamic pruning INTO the
+  *    connector, the lake-format scan contract;
   *  - and the row formula is plain 64-bit arithmetic, so the DuckDB
   *    oracle reproduces the whole table from `range()` and sy01 gets a
   *    full hash check, custom connector and all.
@@ -53,6 +60,10 @@ object SynthSource {
     StructField("grp", LongType, nullable = false),
     StructField("val", LongType, nullable = false),
     StructField("label", StringType, nullable = false)))
+
+  /** Observability hook for SynthSourceSpec: counts runtime-filter
+    * deliveries (join-time dynamic pruning reaching the connector). */
+  val runtimeFilterApplications = new java.util.concurrent.atomic.AtomicLong
 
   /** Knuth multiplicative mix mod a prime — overflow-free for any id
     * a test will use, and identical in DuckDB BIGINT arithmetic. */
@@ -187,10 +198,36 @@ final class SynthAggScan(rows: Long, lo: Long, hi: Long, parts: Int,
 final case class SynthPartition(start: Long, end: Long) extends InputPartition
 
 final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch
+    with SupportsRuntimeFiltering {
+  // runtime-narrowed band: starts at the statically-pushed [lo, hi)
+  // and shrinks further when a join-time filter arrives (see below)
+  @volatile private var rLo = lo
+  @volatile private var rHi = hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description: String = s"graft-synth [$lo, $hi) in <=$parts parts"
+
+  /** Runtime filtering (dynamic pruning into the connector — what a
+    * lake-format scan does when the dimension side of a join
+    * materializes first): Spark hands the set of join keys actually
+    * present on the build side; the generator narrows its band to the
+    * keys' envelope BEFORE partitions are planned, so grid chunks that
+    * can't match never become tasks. Conservative by construction —
+    * the envelope over-approximates the IN-set, and Spark re-applies
+    * the join predicate above the scan. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) if vs.nonEmpty =>
+      val longs = vs.collect { case v: java.lang.Long => v.longValue }
+      if (longs.length == vs.length) {
+        rLo = math.max(rLo, longs.min)
+        rHi = math.min(rHi, longs.max + 1)
+        SynthSource.runtimeFilterApplications.incrementAndGet(); ()
+      }
+    case _ => ()
+  }
 
   /** Fixed-width chunks aligned on the ORIGINAL [0, rows) grid — like
     * a file source's fixed splits — each intersected with the pushed
@@ -198,11 +235,11 @@ final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
     * covering 1/parts of the id space therefore plans ONE partition
     * (pruning you can count), not `parts` slivers of a re-split band. */
   override def planInputPartitions(): Array[InputPartition] = {
-    if (hi <= lo) Array.empty
+    if (rHi <= rLo) Array.empty
     else {
       val width = math.max(1L, (rows + parts - 1) / parts)
       (0L until rows by width).iterator
-        .map(s => SynthPartition(math.max(s, lo), math.min(s + width, hi)))
+        .map(s => SynthPartition(math.max(s, rLo), math.min(s + width, rHi)))
         .filter(p => p.end > p.start).toArray[InputPartition]
     }
   }

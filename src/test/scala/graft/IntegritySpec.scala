@@ -83,6 +83,37 @@ class IntegritySpec extends AnyFunSuite {
     }
   }
 
+  test("mx03 water-filling laws on a skewed corpus: small sources whole, big capped, budget exact") {
+    // the driver corpus has near-uniform sources (k=0 path); craft a
+    // skewed one so the taken-whole branch is exercised end to end
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, ("w " * 10).trim, "en", "tiny", 10L),      // 10 tokens
+      (2L, ("w " * 100).trim, "en", "small", 100L),   // 100 tokens
+      (3L, ("w " * 1000).trim, "en", "big", 1000L),   // 1000 tokens
+      (4L, ("w " * 1000).trim, "en", "huge", 1000L),
+      (5L, ("w " * 900).trim, "en", "huge", 900L))    // huge = 1900 tokens
+    val dir = Scratch.dir("mx03-skew")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("mx03_budget_mix")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("capacity"), r.getAs[Long]("allocation"))).toMap
+    val total = out.values.map(_._1).sum
+    val budget = total * 3 / 5 // 3010 * 3 / 5 = 1806
+    assert(out.values.map(_._2).sum == budget, "allocations must exhaust the budget")
+    out.values.foreach { case (c, a) => assert(a <= c, "no source over-sampled") }
+    // water level: tiny and small fit whole; big and huge are capped at
+    // the same level (±1 for the integer remainder)
+    assert(out("tiny") == (10L, 10L))
+    assert(out("small") == (100L, 100L))
+    val capped = Seq(out("big")._2, out("huge")._2)
+    assert(math.abs(capped(0) - capped(1)) <= 1,
+      s"capped sources must sit at the common level, got $capped")
+    assert(capped.forall(_ < 1000L))
+  }
+
   test("cm03: equals the brute-force exact heavy-hitter scan (perfect recall)") {
     val got = SparkEntry.queries("cm03_heavy_hitters")(spark, sf).collect().toSeq
     val toks = Tables.documents(spark, sf)

@@ -72,6 +72,22 @@ class SynthSourceSpec extends AnyFunSuite {
       (0L until 1000L).map(i => (i * 2654435761L) % 1000003L).sum)
   }
 
+  test("runtime filtering: join-time key set reaches the connector and narrows the scan") {
+    val before = graft.sources.SynthSource.runtimeFilterApplications.get
+    // selective, broadcastable dim side -> dynamic pruning hands the
+    // materialized key set to the v2 scan before partitions are planned
+    val dim = spark.range(0, 100000).select(col("id").as("k"))
+      .filter(col("k") >= 30000 && col("k") < 30010)
+    val joined = synth().join(dim, col("id") === col("k"))
+      .select(col("id"), col("val"))
+    val rows = joined.collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (30000L until 30010L).toSeq)
+    rows.foreach(r => assert(r.getLong(1) == (r.getLong(0) * 2654435761L) % 1000003L))
+    assert(graft.sources.SynthSource.runtimeFilterApplications.get > before,
+      "the runtime IN-filter never reached SynthScan.filter — dynamic pruning did not fire")
+  }
+
   test("generated rows match the formula") {
     val r = synth(rows = 1000, parts = 4)
       .filter(col("id") === 999).collect().head
