@@ -65,7 +65,11 @@ class ContractSpec extends AnyFunSuite {
         "it01_interpolate", "dd08_dup_clusters", "dd10_production_lsh",
         "dd12_incremental_admission", "ivf03_kmeans_train",
         "ivf05_trained_search", "tx13_tfidf", "oov01_vocab_coverage",
-        "sy01_synth_source", "q33_topk_operator", "cc01_curation_pipeline")
+        "sy01_synth_source", "q33_topk_operator", "cc01_curation_pipeline",
+        // round-8 shapes: distributed rank, sketch-filtered exact
+        // verify, order-independent checksum, closed-form water level
+        "dd15_sorted_neighborhood", "cm03_heavy_hitters",
+        "q53_table_checksum", "mx03_budget_mix", "sy02_agg_pushdown")
     names.foreach { name =>
       val build = SparkEntry.queries(name)
       val a = build(spark, sf).collect().toSeq
