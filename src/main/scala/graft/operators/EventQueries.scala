@@ -363,7 +363,91 @@ object EventQueries {
     scored.orderBy(abs(col("z")).desc, col("event_type"), col("h")).limit(20)
   }
 
+  /** Watermark-calibration lateness audit — the measurement a
+    * streaming team runs BEFORE picking `withWatermark`'s delay:
+    * simulate each event's ARRIVAL time (event time + a deterministic
+    * per-event transport delay of 0–30 min — the testdata's event
+    * times carry no disorder of their own, md5-hash jitter injects the
+    * realistic kind), cut arrivals into 5-minute trigger batches, take
+    * each batch's watermark as the max EVENT time seen in all prior
+    * batches, and histogram how late each event is relative to that
+    * watermark. The bucket fractions answer "what watermark delay
+    * admits which fraction of events" — the exact trade the watermark
+    * knob sets (state size vs dropped-late data).
+    *
+    * Scale shape: batch assignment is map-side arithmetic (no global
+    * sort anywhere), one groupBy on the batch id, a running max over
+    * the BATCH frame only (span-bounded, hundreds of rows — the
+    * single-partition window never sees events), a broadcast join of
+    * the tiny watermark table back onto the stream, then one bounded
+    * histogram aggregation. All time arithmetic on exact epoch-µs
+    * longs. */
+  val ev12LatenessAudit: GraftQuery = {
+    val DELAY_MOD = 1800000000L // transport delay ∈ [0, 30 min) µs
+    val TRIGGER = 300000000L // 5-minute arrival micro-batches
+    q("ev12_lateness_audit",
+      "event-time lateness histogram vs simulated per-batch watermark",
+      s"""WITH b AS (
+         |  SELECT event_id, epoch_us(ts) AS us,
+         |    (epoch_us(ts) +
+         |     CAST(CONCAT('0x', SUBSTRING(md5('d:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % $DELAY_MOD)
+         |      // $TRIGGER AS batch
+         |  FROM events),
+         |bm AS (SELECT batch, MAX(us) AS bmax FROM b GROUP BY batch),
+         |wm AS (
+         |  SELECT batch,
+         |    MAX(bmax) OVER (ORDER BY batch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS watermark
+         |  FROM bm),
+         |l AS (
+         |  SELECT CASE WHEN wm.watermark IS NULL OR b.us >= wm.watermark THEN 0
+         |              ELSE wm.watermark - b.us END AS late_us
+         |  FROM b JOIN wm USING (batch)),
+         |h AS (
+         |  SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+         |              WHEN late_us < 60000000 THEN 'b_lt_1m'
+         |              WHEN late_us < 600000000 THEN 'c_lt_10m'
+         |              WHEN late_us < 3600000000 THEN 'd_lt_1h'
+         |              ELSE 'e_gte_1h' END AS bucket
+         |  FROM l),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n) AS frac
+         |FROM h, tot GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val delay = conv(substring(md5(concat(lit("d:"),
+        col("event_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType) % DELAY_MOD
+      val b = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arrival", col("us") + delay)
+        .withColumn("batch", expr(s"arrival div $TRIGGER"))
+        .select(col("event_id"), col("us"), col("batch"))
+      val bm = b.groupBy("batch").agg(max(col("us")).as("bmax"))
+      // batch-bounded frame: the running max runs over ~n_events/B rows
+      val wm = bm.withColumn("watermark",
+        max(col("bmax")).over(Window.orderBy("batch")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("batch"), col("watermark"))
+      val late = b.join(broadcast(wm), Seq("batch"))
+        .select(when(col("watermark").isNull || col("us") >= col("watermark"), 0L)
+          .otherwise(col("watermark") - col("us")).as("late_us"))
+      val bucket = when(col("late_us") === 0, "a_on_time")
+        .when(col("late_us") < 60000000L, "b_lt_1m")
+        .when(col("late_us") < 600000000L, "c_lt_10m")
+        .when(col("late_us") < 3600000000L, "d_lt_1h")
+        .otherwise("e_gte_1h")
+      val h = late.select(bucket.as("bucket"))
+      val tot = h.agg(count(lit(1)).cast(LongType).as("n"))
+      h.groupBy("bucket").agg(count(lit(1)).cast(LongType).as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_events"),
+          (col("n_events").cast(DoubleType) / col("n")).as("frac"))
+        .orderBy("bucket")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
-    ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore)
+    ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
+    ev12LatenessAudit)
 }

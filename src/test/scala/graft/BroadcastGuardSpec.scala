@@ -46,7 +46,11 @@ class BroadcastGuardSpec extends AnyFunSuite {
         "a real eval suite is a fixed few-MB artifact"),
     "cc01_curation_pipeline" ->
       ("same eval-benchmark stand-in as dc01 inside the funnel's " +
-        "decontamination stage"))
+        "decontamination stage"),
+    "ev12_lateness_audit" ->
+      ("watermark table = one row per 5-minute trigger batch — bounded " +
+        "by wall-clock span (a year ≈ 105k rows ≈ 2 MB), not event " +
+        "volume; testdata only grows it until every slot is occupied"))
 
   /** Broadcast-hinted subtrees of an analyzed plan, traversal order. */
   private def hintedSubtrees(plan: LogicalPlan): Seq[LogicalPlan] =
