@@ -26,9 +26,13 @@ object Bench {
     // loaded host) is indistinguishable from a real regression in the
     // artifact (round-7 driver run: uniform ~1.4x vs same-day builder
     // run, unadjudicable). getSystemLoadAverage is 1-minute load.
-    def loadAvg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // emitted as JSON null when the platform reports -1 (unsupported),
+    // so artifact consumers can tell "unavailable" from a real reading
+    def loadAvg: String = {
+      val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+      if (v < 0) "null" else v.toString
+    }
     val loadStart = loadAvg
     val results = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
       .sortBy(_._1).map { case (name, fn) =>

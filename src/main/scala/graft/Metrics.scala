@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.LongAdder
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Runtime IO/shuffle accounting for a block of Spark actions — the
@@ -31,10 +31,16 @@ object Metrics {
     * of every job it triggered on this session. */
   def measure[T](spark: SparkSession)(body: => T): (T, IoMetrics) = {
     val inB, inR, srB, swB, sp = new LongAdder
+    // only stages of jobs STARTED while attached are accumulated:
+    // a concurrent job on the shared SparkContext (another suite, a
+    // background stream) must not be attributed to the measured block
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobStart.stageIds.foreach(id => stages.add(id))
       override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
         val m = taskEnd.taskMetrics
-        if (m != null) {
+        if (m != null && stages.contains(taskEnd.stageId)) {
           inB.add(m.inputMetrics.bytesRead)
           inR.add(m.inputMetrics.recordsRead)
           srB.add(m.shuffleReadMetrics.totalBytesRead)

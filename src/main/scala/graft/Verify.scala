@@ -22,10 +22,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall time: a coarse bench cross-check riding the
+    // correctness run (single cold execution, includes the result
+    // write — not comparable to Bench's warmed medians, but enough to
+    // flag a query that silently 10×ed between rounds)
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Pin's persist mode registers frames in the CacheManager and
@@ -51,6 +59,8 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_times.json"),
+      times.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

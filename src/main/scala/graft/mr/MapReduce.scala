@@ -167,13 +167,64 @@ object ParentStacks {
   * (SURVEY.md §4).
   */
 object MapReduceRunner {
+
+  /** Jobs run CONCURRENTLY by default, like the reference's per-job
+    * goroutine pipelines (mapreduce.go:41-93): each job's action is
+    * submitted from its own thread, so a job that underutilizes the
+    * cluster (small filtered subset, driver-side merge) leaves cores
+    * for the others instead of idling them. Each submitting thread
+    * sets its own `spark.scheduler.pool`, so a FAIR-mode context
+    * (`spark.scheduler.mode=FAIR`) interleaves jobs fairly; under the
+    * default FIFO mode concurrent jobs still overlap whenever cores
+    * are free. `spark.graft.mr.concurrency` bounds the pool (≤1 →
+    * serial, the pre-round-9 behavior; results are identical either
+    * way — MapReduceSpec asserts both overlap and equality).
+    *
+    * First error cancels everything (reference mapreduce.go:215-220):
+    * all actions share one Spark job group; the first failure cancels
+    * the group, interrupting the surviving jobs' tasks. */
   def run(spark: SparkSession, corpus: DataFrame, jobs: Seq[CorpusJob])
       : Map[String, Any] = {
     val cached = corpus.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       cached.count() // materialize once, before any job reads it
-      jobs.map(j => j.name -> j.run(cached)).toMap
+      val par = spark.conf.get("spark.graft.mr.concurrency", "8")
+        .toInt.min(jobs.size)
+      if (par <= 1) jobs.map(j => j.name -> j.run(cached)).toMap
+      else runConcurrent(spark, cached, jobs, par)
     } finally { cached.unpersist(); () }
+  }
+
+  private def runConcurrent(spark: SparkSession, cached: DataFrame,
+      jobs: Seq[CorpusJob], par: Int): Map[String, Any] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    val groupId = s"graft-mr-${java.util.UUID.randomUUID()}"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = jobs.map { j =>
+        Future {
+          // per-thread local properties: shared cancel group, per-job
+          // FAIR pool. Cleared afterwards — the pool thread is reused.
+          sc.setJobGroup(groupId, s"graft mr job ${j.name}",
+            interruptOnCancel = true)
+          sc.setLocalProperty("spark.scheduler.pool", s"graft-mr-${j.name}")
+          try j.name -> j.run(cached)
+          finally {
+            sc.clearJobGroup()
+            sc.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+      }
+      try Await.result(Future.sequence(futs), Duration.Inf).toMap
+      catch {
+        case e: Throwable =>
+          sc.cancelJobGroup(groupId) // first error cancels everything
+          throw e
+      }
+    } finally pool.shutdown()
   }
 
   def runOnDirectory(spark: SparkSession, root: String, jobs: Seq[CorpusJob])

@@ -4,6 +4,7 @@ import graft.{GraftQuery, Tables}
 import graft.Pin.PinOps
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -625,17 +626,21 @@ object DedupQueries {
     * evaluation every real pipeline runs before picking (bands, rows):
     * recall tells you what the bander MISSES, precision what the
     * confirm stage must filter. Ground truth is quadratic BY
-    * DEFINITION, so the harness runs on a sampled doc slice (a fixed
-    * prefix plus a 10% modulus stripe so the sample sees dup pairs at
-    * every corpus scale — the same sampling a production tuning pass
-    * uses; dd03's miniature precedent); the LSH side itself stays the
-    * linear band shape.
+    * DEFINITION, so the harness runs on a FIXED-ABSOLUTE-SIZE doc
+    * slice: a fixed id prefix plus a modulus stripe whose modulus is
+    * derived from the corpus count (mod = max(1, n/SAMP)), so the
+    * stripe holds ~SAMP docs at EVERY corpus scale — at 100 TB the
+    * truth join still sees a few hundred docs, not a 10% stripe of the
+    * corpus (the same count-calibrated sampling a production tuning
+    * pass uses; dd03's miniature precedent). The LSH side itself stays
+    * the linear band shape.
     * All counts integer; ratios are single divisions of identical
     * BIGINTs, NULL-guarded on empty denominators. */
   val dd14LshQuality: GraftQuery = {
     val R = 4 // rows per band
     val B = 2 // bands
-    val LIM = 200 // ground-truth slice bound
+    val LIM = 200 // ground-truth fixed id prefix
+    val SAMP = 400 // target modulus-stripe size (absolute, scale-free)
     val bandsSql = (0 until B).map { b =>
       val comps = (b * R until (b + 1) * R).map(j => s"s$j").mkString(" || ")
       s"SELECT doc_id, $b AS band_idx, md5($comps) AS bkey FROM sig"
@@ -647,9 +652,12 @@ object DedupQueries {
          |FROM fl""".stripMargin
     q("dd14_lsh_quality",
       "LSH tuning harness: banding precision/recall vs exact Jaccard truth",
-      s"""WITH words AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |  WHERE (doc_id < $LIM OR doc_id % 10 = 0)
+      s"""WITH params AS (
+         |  SELECT GREATEST(1, CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / $SAMP)
+         |    AS BIGINT)) AS md FROM documents),
+         |words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents, params
+         |  WHERE (doc_id < $LIM OR doc_id % md = 0)
          |    AND len(string_split(text, ' ')) >= 3),
          |sh AS MATERIALIZED (
          |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
@@ -689,8 +697,14 @@ object DedupQueries {
          |    THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec
          |FROM m CROSS JOIN nc ORDER BY threshold""".stripMargin) { (s, d) =>
       graft.plans.VectorExpressions.register(s)
+      // scale-free sampling modulus: n/SAMP keeps the stripe ~SAMP docs
+      // no matter the corpus size (scalar-join idiom, 1-row broadcast)
+      val params = Tables.documents(s, d).agg(
+        greatest(lit(1L),
+          floor(count(lit(1)) / SAMP).cast(LongType)).as("md"))
       val docs = Tables.documents(s, d)
-        .filter((col("doc_id") < LIM || col("doc_id") % 10 === 0) &&
+        .crossJoin(broadcast(params))
+        .filter((col("doc_id") < LIM || col("doc_id") % col("md") === 0) &&
           size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
         .pinned
@@ -922,10 +936,90 @@ object DedupQueries {
     }
   }
 
+  /** Exact-substring dedup spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): the REMOVAL side of
+    * substring-level duplication. The paper builds a suffix array and
+    * removes every ≥50-token substring that appears twice anywhere in
+    * the corpus; the distributed approximation is the standard one —
+    * a sorted k-token-gram table stands in for the suffix array:
+    *
+    *  1. every doc emits its sliding K-token windows (pos, md5(gram))
+    *     — a map-side transform, one row per token, linear in corpus;
+    *  2. grams occurring ≥2 times ANYWHERE (cross-doc or within-doc,
+    *     the suffix-array repeat criterion) are the duplicated set —
+    *     one groupBy on the 32-hex gram hash, never on the text;
+    *  3. duplicated windows join back (equi-join on the SAME gram-hash
+    *     key the count already shuffled on) and merge per doc into
+    *     maximal spans (gaps-and-islands over pos: windows [p, p+K-1]
+    *     merge when overlapping-or-adjacent, i.e. pos − prev ≤ K).
+    *
+    * Output is the span table a trimming pass consumes: (doc_id,
+    * span_start, span_end, span_tokens), 1-based token positions.
+    * K=10 is this corpus's miniature of the paper's 50 (docs here are
+    * ~10²-token; dd10's production-shape precedent). 100 TB shape: the
+    * gram table is linear with a bounded-width key, both heavy stages
+    * shuffle on that key, and the island merge is a per-doc window
+    * whose partition is bounded by a single document's token count —
+    * nothing quadratic, nothing driver-side. */
+  val dd16SubstringSpans: GraftQuery = {
+    val K = 10
+    q("dd16_substring_spans",
+      "exact-substring dedup: repeated K-gram windows merged to per-doc removal spans",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $K),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    md5(array_to_string(ts[i:i+$K-1], ' ')) AS g
+         |  FROM toks, UNNEST(range(1, len(ts) - $K + 2)) AS t(i)),
+         |rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+         |fl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      <= $K THEN 0 ELSE 1 END AS ns
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM fl)
+         |SELECT doc_id, MIN(pos) AS span_start,
+         |  MAX(pos) + $K - 1 AS span_end,
+         |  MAX(pos) + $K - MIN(pos) AS span_tokens
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= K)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(ts) - $K + 1),
+             |  i -> struct(cast(i as bigint) as pos,
+             |    md5(array_join(slice(ts, i, $K), ' ')) as g))""".stripMargin))
+          .as("e"))
+        .select(col("doc_id"), col("e.pos").as("pos"), col("e.g").as("g"))
+        .pinned // both the count and the join-back read the gram table
+      val rep = grams.groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("g")
+      val hits = grams.join(rep, Seq("g")).select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val fl = hits.withColumn("ns",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= K, 0L).otherwise(1L))
+      val isl = fl.withColumn("island",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + K - 1).as("span_end"),
+          (max(col("pos")) + K - min(col("pos"))).as("span_tokens"))
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+        .orderBy("doc_id", "span_start")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
     dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
-    dd15SortedNeighborhood, rb01RepetitionBudget, pd01ChunkDedup)
+    dd15SortedNeighborhood, dd16SubstringSpans, rb01RepetitionBudget,
+    pd01ChunkDedup)
 }

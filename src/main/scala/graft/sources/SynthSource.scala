@@ -99,12 +99,19 @@ final class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
     * pushes aggregates when no post-scan filter remains). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.flatMap {
+      // saturating bounds arithmetic: v = Long.MaxValue must not wrap
+      // v+1 to Long.MinValue (an empty scan — a WRONG result, since
+      // accepted filters are fully consumed with no residual re-check)
       case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); Some(f)
-      case f @ GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); Some(f)
+      case f @ GreaterThan("id", v: Long) =>
+        if (v != Long.MaxValue) lo = math.max(lo, v + 1) else lo = hi; Some(f)
       case f @ LessThan("id", v: Long) => hi = math.min(hi, v); Some(f)
-      case f @ LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); Some(f)
+      case f @ LessThanOrEqual("id", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1); Some(f)
       case f @ EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); Some(f)
+        lo = math.max(lo, v)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+        Some(f)
       case f @ IsNotNull("id") => Some(f) // nothing is null here
       case _ => None
     }
@@ -206,7 +213,15 @@ final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
   @volatile private var rHi = hi
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description: String = s"graft-synth [$lo, $hi) in <=$parts parts"
+  // executed-plan text reflects what was ACTUALLY scanned: when a
+  // runtime filter narrowed the band after planning, the narrowed
+  // range is appended (prefix kept stable — specs match on it)
+  override def description: String = {
+    val base = s"graft-synth [$lo, $hi) in <=$parts parts"
+    if (rLo != lo || rHi != hi)
+      s"$base runtime-narrowed to [$rLo, $rHi)"
+    else base
+  }
 
   /** Runtime filtering (dynamic pruning into the connector — what a
     * lake-format scan does when the dimension side of a join

@@ -303,4 +303,59 @@ class MapReduceSpec extends AnyFunSuite {
     // multiset and that chunks exist
     assert(res.toSet == (1 to 100).toSet)
   }
+
+  test("concurrent multi-job: jobs overlap AND match serial results (mapreduce.go:41-93)") {
+    // 4 jobs over a ONE-file corpus, each with a 500ms mapper stall:
+    // every job is a single sleeping task, so serial submission is
+    // bounded below by 4 × 500ms = 2.0s while concurrent submission
+    // runs the 4 stalls at once on local[4] (~500ms) — an
+    // underutilizing job is exactly the shape concurrency rescues.
+    val corpus = Corpus.fromRecords(spark, Seq("f0.txt" -> "7".getBytes))
+    def job(n: Int) = MapReduceJob[Int, Int](
+      name = s"slow$n",
+      filter = PathGlob("*.txt"),
+      mapper = (_, _, c) => {
+        Thread.sleep(500); Iterator.single(new String(c, "UTF-8").toInt + n)
+      },
+      zero = 0, fold = _ + _, merge = _ + _)
+    val jobs = (0 until 4).map(job)
+    val expect = (0 until 4).map(n => s"slow$n" -> (7 + n)).toMap
+
+    spark.conf.set("spark.graft.mr.concurrency", "1")
+    val serial =
+      try MapReduceRunner.run(spark, corpus, jobs)
+      finally spark.conf.unset("spark.graft.mr.concurrency")
+    assert(serial == expect)
+
+    val t0 = System.nanoTime()
+    val conc = MapReduceRunner.run(spark, corpus, jobs) // default: concurrent
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(conc == expect)
+    assert(conc == serial)
+    // serial lower bound is 2000ms by construction; require genuine
+    // overlap with slack for scheduler jitter
+    assert(elapsedMs < 1500,
+      s"concurrent run took ${elapsedMs}ms — jobs did not overlap")
+  }
+
+  test("concurrent multi-job: first error cancels the run and surfaces job+path (errors.go:5-33)") {
+    val corpus = Corpus.fromRecords(spark,
+      (0 until 4).map(i => s"f$i.txt" -> s"$i".getBytes))
+    val boom = MapReduceJob[Int, Int](
+      name = "boom", filter = PathGlob("*.txt"),
+      mapper = (p, _, _) =>
+        if (p == "f2.txt") throw new IllegalStateException("kaput")
+        else Iterator.single(1),
+      zero = 0, fold = _ + _, merge = _ + _)
+    val slow = MapReduceJob[Int, Int](
+      name = "slow", filter = PathGlob("*.txt"),
+      mapper = (_, _, _) => { Thread.sleep(200); Iterator.single(1) },
+      zero = 0, fold = _ + _, merge = _ + _)
+    val e = intercept[Exception] {
+      MapReduceRunner.run(spark, corpus, Seq(slow, boom))
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("boom") && chain.contains("f2.txt"))
+  }
 }
