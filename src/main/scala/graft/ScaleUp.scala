@@ -66,7 +66,33 @@ object ScaleUp {
       .repartition(k * 2).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
 
-    println(s"wrote ${k}x replicas of documents/embeddings/events to $out")
+    // relational fact tables for the WRITE-HEAVY probe family (q47/zo01
+    // read orders; q49 reads lineitem): order/cust keys shift per copy
+    // so key cardinalities — and zo01's z-value distribution over
+    // key%256 — grow with rows. lineitem keeps l_orderkey aligned with
+    // the shifted orders copy so the join family stays consistent.
+    val ord = Tables.orders(spark, src)
+    val ordShift = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val custShift = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    ord.crossJoin(copies)
+      .select((col("o_orderkey") + col("copy") * ordShift).as("o_orderkey"),
+        (col("o_custkey") + col("copy") * custShift).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(k * 2).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+
+    val li = Tables.lineitem(spark, src)
+    li.crossJoin(copies)
+      .select((col("l_orderkey") + col("copy") * ordShift).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .repartition(k * 2).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+
+    println(s"wrote ${k}x replicas of documents/embeddings/events/orders/lineitem to $out")
     spark.stop()
   }
 }
