@@ -305,4 +305,28 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("hll03/hll04: register build crosses the wire once; rollup merges registers without rescan") {
+    import org.apache.spark.sql.functions.{col, max}
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val regs = graft.operators.Hll.registers(
+      ev, col("event_type"), col("user_id").cast("string"))
+    val p1 = regs.queryExecution.executedPlan.toString
+    // the fact stream is reduced map-side to (gkey, bucket, partial max)
+    // and crosses the wire through exactly ONE exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1,
+      "register build must shuffle exactly once\n" + p1.take(3000))
+    assert(p1.contains("partial_max"),
+      "expected map-side partial max before the exchange\n" + p1.take(3000))
+    // hll03's rollup (registers → coarser grain by register-wise max):
+    // ONE additional exchange carrying only register rows (≤ groups×64),
+    // and the events scan still appears exactly once — re-aggregation
+    // without rescan is the whole point of storing sketches
+    val merged = regs.groupBy("bucket").agg(max(col("mj")).as("mj"))
+    val p2 = merged.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p2).size == 2,
+      "rollup must add exactly one register-sized exchange\n" + p2.take(3000))
+    assert("Scan parquet|FileScan parquet|BatchScan".r.findAllIn(p2).size == 1,
+      "rollup must not rescan the fact table\n" + p2.take(3000))
+  }
 }
