@@ -600,7 +600,122 @@ object IvfQueries {
     }
   }
 
+  /** Product quantization + ADC search (Jégou et al. 2011) — the
+    * memory-cheapening axis IVF doesn't cover: each vector's 64 dims
+    * split into M=4 subspaces of 16; every subspace has its own
+    * K=8-codeword codebook (seeded deterministically from the first K
+    * vectors' subvectors — the c0-init convention ivf01 established)
+    * and a vector is stored as just M codes (4 bytes vs 256). A query
+    * never touches the raw corpus: it precomputes an M×K table of
+    * exact subspace distances to every codeword (24 int64 cells here)
+    * and scores each candidate with M table lookups — Asymmetric
+    * Distance Computation.
+    *
+    * Scale shape: the codebook collapses to ONE broadcast row of
+    * sorted (k, subvector) structs; encoding is a per-row
+    * transform+array_min (map-side, zero corpus shuffle — ivf01's
+    * idiom); the query-side distance tables are a 3-row broadcast; ADC
+    * scoring is per-row lookup arithmetic; and top-5-per-query runs
+    * through the k-bounded TopKPerGroup operator, never a full-group
+    * window sort. At 100 TB the code table is the only thing scanned
+    * at serving time — 4 bytes/vector — and composes with ivf's cell
+    * partitioning (scan one cell's codes, rerank its top-k on raw
+    * vectors). All distances are exact int64 on the ×1000-quantized
+    * grid, so codes, tables, and ADC sums hash-match DuckDB. */
+  val pq01AdcSearch: GraftQuery = {
+    val M = 4 // subspaces
+    val K = 8 // codewords per subspace
+    val SUB = Dim / M // dims per subspace
+    // Σ (v.q[i] − c.q[i])² over subspace m, unrolled — int64-exact
+    def sqlSubDist(v: String, c: String, m: Int): String =
+      (m * SUB + 1 to (m + 1) * SUB).map(i =>
+        s"($v.q[$i] - $c.q[$i]) * ($v.q[$i] - $c.q[$i])")
+        .mkString("(", " + ", ")")
+    val codesCtes = (0 until M).map { m =>
+      s"""codes$m AS MATERIALIZED (
+         |  SELECT vec_id, k AS code$m FROM (
+         |    SELECT v.vec_id, c.k,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlSubDist("v", "c", m)} ASC, c.k) AS r
+         |    FROM qv v CROSS JOIN cb c) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val codesJoin = (1 until M)
+      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
+    val qdJoins = (1 until M).map(m =>
+      s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
+      .mkString("\n  ")
+    q("pq01_pq_adc_search",
+      "product quantization: M=4xK=8 codebooks, 4-byte codes, ADC top-5 per query",
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |cb AS MATERIALIZED (SELECT vec_id AS k, q FROM qv WHERE vec_id < $K),
+         |$codesCtes,
+         |codes AS MATERIALIZED (
+         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
+         |  FROM codes0 $codesJoin),
+         |qd AS MATERIALIZED (
+         |  SELECT v.vec_id AS query_id, c.k,
+         |    ${(0 until M).map(m => s"${sqlSubDist("v", "c", m)} AS t$m").mkString(", ")}
+         |  FROM qv v CROSS JOIN cb c WHERE v.vec_id < 3),
+         |adc0 AS (
+         |  SELECT q0.query_id, x.vec_id AS cand_id,
+         |    ${(0 until M).map(m => s"q$m.t$m").mkString(" + ")} AS adc
+         |  FROM codes x
+         |  JOIN qd q0 ON q0.k = x.code0
+         |  $qdJoins
+         |  WHERE x.vec_id <> q0.query_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, adc,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc, cand_id) AS BIGINT) AS rn
+         |  FROM adc0)
+         |SELECT query_id, cand_id, adc, rn FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val qv = quantizedDf(s, d).select(col("vec_id"), col("q"))
+      // codebook: one broadcast row of k-sorted (k, subvector source)
+      val cbArr = qv.filter(col("vec_id") < K)
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").cast(IntegerType).as("k"), col("q").as("cq"))))
+          .as("cbs"))
+      def subDist(vq: Column, cq: Column, m: Int): Column =
+        aggregate(
+          zip_with(slice(vq, m * SUB + 1, SUB), slice(cq, m * SUB + 1, SUB),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      // encode: per-row argmin per subspace (struct-min: dist asc, k asc)
+      val coded = qv.crossJoin(broadcast(cbArr)).select(
+        col("vec_id") +:
+          (0 until M).map(m => array_min(transform(col("cbs"), c =>
+            struct(subDist(col("q"), c.getField("cq"), m).as("dist"),
+              c.getField("k").as("k"))))
+            .getField("k").as(s"code$m")): _*)
+      // query-side ADC tables: K distances per subspace, k-ordered
+      // (cbs is k-sorted, transform preserves order → index = k+1)
+      val qd = qv.filter(col("vec_id") < 3).crossJoin(broadcast(cbArr)).select(
+        col("vec_id").as("query_id") +:
+          (0 until M).map(m => transform(col("cbs"),
+            c => subDist(col("q"), c.getField("cq"), m)).as(s"dt$m")): _*)
+      val scored = coded.crossJoin(broadcast(qd))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          (0 until M).map(m =>
+            element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
+            .as("adc"))
+      val top = graft.plans.TopKPerGroup.perGroup(scored,
+        Seq(col("query_id")), struct(col("adc"), col("cand_id")),
+        k = 5, desc = false)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("cand_id"))
+      top.withColumn("rn", row_number().over(w).cast(LongType))
+        .select(col("query_id"), col("cand_id"), col("adc"), col("rn"))
+        .orderBy("query_id", "rn")
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
-      ivf06PersistedIndex, sd01SemDedup, cl01ClusterLabels, ann01Recall)
+      ivf06PersistedIndex, sd01SemDedup, cl01ClusterLabels, ann01Recall,
+      pq01AdcSearch)
 }
