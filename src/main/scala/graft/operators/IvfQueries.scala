@@ -3,7 +3,7 @@ package graft.operators
 import graft.{GraftQuery, Tables}
 import graft.Pin.PinOps
 import graft.plans.VectorExpressions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

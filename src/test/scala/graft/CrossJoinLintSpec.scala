@@ -36,7 +36,12 @@ class CrossJoinLintSpec extends AnyFunSuite {
     "mx03_budget_mix" ->
       ("water-filling policy math over the per-source frame (~20 rows, " +
         "source-cardinality-bounded); the k/theta scalars come from a " +
-        "right-join against a 1-row frame the estimator can't bound"))
+        "right-join against a 1-row frame the estimator can't bound"),
+    "pq01_pq_adc_search" ->
+      ("ADC scoring joins the code table against the QUERY-side distance " +
+        "tables — 3 rows by the vec_id < 3 prefix filter (sm01's bounded-" +
+        "query-side precedent), a value bound the structural estimator " +
+        "can't see; output is |codes| x 3, linear in the corpus"))
 
   /** Conservative upper bound on a plan's row count, or None. */
   private def est(p: LogicalPlan): Option[Long] = p match {

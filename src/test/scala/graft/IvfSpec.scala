@@ -105,4 +105,19 @@ class IvfSpec extends AnyFunSuite {
         s"cell $cid counts must be non-increasing in rank")
     }
   }
+
+  test("pq01: ADC top-k runs through the k-bounded TopK operator, rank window over its output") {
+    val df = SparkEntry.queries("pq01_pq_adc_search")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("TopK".r.findAllIn(p).size >= 2,
+      "expected partial+final TopK pair (never a full-corpus window sort)\n" +
+        p.take(3000))
+    assert(p.contains("Window") && p.indexOf("Window") < p.indexOf("TopK"),
+      "the rank window must consume the TopK output (<=5 rows/query)\n" +
+        p.take(3000))
+    // shape sanity on the result itself (values are oracle-checked)
+    val rows = df.collect()
+    assert(rows.length == 15, "3 queries x top-5")
+    assert(rows.forall(_.getLong(2) >= 0L), "ADC distances are non-negative")
+  }
 }
