@@ -39,7 +39,11 @@ object ExplainDump {
     "cm03_heavy_hitters" ->
       "Two-pass heavy hitters: the Count-Min sketch (bounded DEPTH×WIDTH cells) and the scalar total are the only broadcast sides; the exact verify pass is a broadcast semi-join of the bounded candidate list against the token stream — the full key space is never exactly aggregated, yet the result is exact.",
     "q53_table_checksum" ->
-      "Table fingerprints are pure partial+final aggregation per table — one scan each, one single-row combine, no join, no wide shuffle: the cheapest possible audit of a 100 TB copy."
+      "Table fingerprints are pure partial+final aggregation per table — one scan each, one single-row combine, no join, no wide shuffle: the cheapest possible audit of a 100 TB copy.",
+    "dd16_substring_spans" ->
+      "Exact-substring dedup: the k-gram table (one row per token position, 32-hex key) is pinned once and feeds BOTH the repeat-count aggregation and the join-back on the SAME gram key; span assembly is a per-doc window whose partition is one document's hit positions — nothing quadratic, no driver-side state.",
+    "pq01_pq_adc_search" ->
+      "Product quantization serving: the codebook and the 3-row query distance tables are the only broadcast sides; encoding is a map-side transform/array_min per row (no corpus shuffle), ADC scoring is per-row lookups, and top-5-per-query runs through the k-bounded TopK operator — the corpus-scale exchange carries one candidate per partition per query."
   )
 
   def main(args: Array[String]): Unit = {
