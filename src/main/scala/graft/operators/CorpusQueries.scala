@@ -1037,10 +1037,66 @@ object CorpusQueries {
       .orderBy("ctx_len")
   }
 
+  /** Seeded reproducible shuffle + source-interleaved training order —
+    * the step that turns a curated corpus into the SEQUENCE a training
+    * run reads. Requirements a real pipeline has: (a) the order looks
+    * random (no source/topic runs), (b) it is exactly reproducible
+    * from a seed (restarts, audits), (c) every source is spread evenly
+    * across the whole stream (a window of the stream has the same mix
+    * as the corpus — the interleave property curriculum mixing needs).
+    *
+    * Construction: hk = md5(seed‖doc_id) is the shuffle key; each doc
+    * gets a per-source shuffled rank rs, and the stream orders by
+    * (rs, hk) — round r of the stream holds the r-th pick of every
+    * source, so sources interleave ~uniformly at every prefix.
+    *
+    * Scale shape: per-source rank WITHOUT a per-source window (a
+    * window partitioned by ~20 sources would funnel the corpus through
+    * 20 tasks): one [[Rank.globalRowNumber]] over (source, hk) gives a
+    * global rank in which each source's block is contiguous, and
+    * subtracting the per-source offset (a running sum over the
+    * source-cardinality-bounded count table, broadcast back) converts
+    * it to the per-source rank — two range-shuffle passes + one
+    * broadcast join, nothing keyed on a low-cardinality partition. */
+  val sh01SeededShuffle: GraftQuery = q(
+    "sh01_seeded_shuffle",
+    "seeded reproducible corpus shuffle with per-source interleave (training order)",
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    md5('sh:' || CAST(doc_id AS VARCHAR)) AS hk
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, hk,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id)
+      |      AS BIGINT) AS rs
+      |  FROM h)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rs, hk, doc_id) AS BIGINT) AS seq,
+      |  doc_id, source, rs
+      |FROM r ORDER BY seq""".stripMargin) { (s, d) =>
+    val h = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      md5(concat(lit("sh:"), col("doc_id").cast(StringType))).as("hk"))
+    val g = Rank.globalRowNumber(
+      h, Seq(col("source"), col("hk"), col("doc_id")), "grank").pinned
+    // per-source offsets: counts over ~|sources| rows; the running-sum
+    // window is source-bounded (the mx03 idiom), the join broadcasts
+    val wOff = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = g.groupBy("source").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("source"), col("off"))
+    val rs = g.join(broadcast(off), Seq("source"))
+      .select(col("doc_id"), col("source"), col("hk"),
+        (col("grank") - col("off")).as("rs"))
+    Rank.globalRowNumber(rs, Seq(col("rs"), col("hk"), col("doc_id")), "seq")
+      .select(col("seq"), col("doc_id"), col("source"), col("rs"))
+      .orderBy("seq")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
     qc02ThresholdSweep, pk02PaddingCurve, mx03BudgetMix,
-    lm01NgramScore, bpe01VocabInduction, bpe02Encode, qc01ClassifierScore)
+    lm01NgramScore, bpe01VocabInduction, bpe02Encode, qc01ClassifierScore,
+    sh01SeededShuffle)
 }

@@ -907,18 +907,13 @@ object DedupQueries {
         col("doc_id"),
         lower(substring(col("text"), 1, 32)).as("sk"),
         array_distinct(split(col("text"), " ")).as("ws"))
-      // distributed row_number over the strict total order (sk, doc_id):
-      // range-partitioned + locally sorted, then zipWithIndex adds
-      // per-partition offsets. Rank is partition-count-invariant.
-      val sorted = base.repartitionByRange(col("sk"), col("doc_id"))
-        .sortWithinPartitions("sk", "doc_id")
-      // pinned: both sides of the self-join read the ranked frame —
-      // without the pin the range-sort + zipWithIndex runs twice
-      val ranked = s.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-        },
-        sorted.schema.add("rn", LongType)).pinned
+      // distributed row_number over the strict total order (sk, doc_id)
+      // — Rank.globalRowNumber's range-partition + local-sort +
+      // zipWithIndex; partition-count-invariant. Pinned: both sides of
+      // the self-join read the ranked frame — without the pin the
+      // range-sort + zipWithIndex runs twice.
+      val ranked = Rank.globalRowNumber(
+        base, Seq(col("sk"), col("doc_id")), "rn").pinned
       val a = ranked
         .select(col("doc_id").as("doc_a"), col("ws").as("wa"), col("rn").as("ra"))
         .withColumn("bk", explode(array(expr(s"ra div $W"), expr(s"ra div $W") + 1L)))

@@ -54,6 +54,26 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Distributed 1-based global `row_number` over the strict total
+    * order given by `sortCols`: range-partition on the keys,
+    * partition-local sort, then `zipWithIndex` adds contiguous
+    * per-partition offsets. The rank is partition-count-invariant and
+    * there is NO single-partition window anywhere — at 100 TB this is
+    * two narrow passes (sample-based range boundaries + the sorted
+    * write), the same machinery dd15's sorted-neighborhood rank uses.
+    * `sortCols` must be a strict total order (include a tiebreaker
+    * id) or ranks are nondeterministic within ties. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      out: String = "rn"): DataFrame = {
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    df.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      sorted.schema.add(out, org.apache.spark.sql.types.LongType))
+  }
+
   /** One row per group: `groupCol` plus one column per `(alias, pct)`
     * — the group's value at discrete rank `(n·pct+99) div 100`
     * (1-based ceil semantics, integer arithmetic, so any engine picks

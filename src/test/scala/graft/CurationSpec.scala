@@ -221,4 +221,31 @@ class CurationSpec extends AnyFunSuite {
     val ps = rows.map(_.getAs[Long]("priority")).toSeq
     assert(ps == ps.sorted.reverse)
   }
+
+  test("sh01: seeded shuffle is a permutation, reproducible, and source-interleaved") {
+    val rows = run("sh01_seeded_shuffle").collect()
+    val n = rows.length
+    // a permutation: seq is exactly 1..n
+    assert(rows.map(_.getAs[Long]("seq")).sorted.toSeq == (1L to n).toSeq)
+    // reproducible: a second build yields the identical order
+    assert(run("sh01_seeded_shuffle").collect().toSeq == rows.toSeq)
+    // interleave law: the stream is organized in rounds (rs) — round r
+    // holds AT MOST one doc per source (every source's r-th pick), and
+    // rounds are non-interleaved in seq order, so any prefix that ends
+    // on a round boundary has a per-source mix within one doc of even
+    // (until a source is exhausted)
+    rows.groupBy(_.getAs[Long]("rs")).foreach { case (r, g) =>
+      val srcs = g.map(_.getAs[String]("source")).toSeq
+      assert(srcs.distinct.size == srcs.size,
+        s"round $r repeats a source: $srcs")
+    }
+    val bySeq = rows.sortBy(_.getAs[Long]("seq")).map(_.getAs[Long]("rs"))
+    assert(bySeq.zip(bySeq.tail).forall { case (a, b) => a <= b },
+      "rounds must be contiguous in stream order")
+    // not source-sorted (the shuffle actually shuffles): the stream's
+    // source column must not be globally grouped
+    val srcStream = rows.sortBy(_.getAs[Long]("seq")).map(_.getAs[String]("source"))
+    assert(srcStream.sliding(2).count(p => p(0) != p(1)) > srcStream.distinct.size,
+      "sources must interleave, not form contiguous blocks")
+  }
 }
