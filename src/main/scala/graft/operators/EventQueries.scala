@@ -446,8 +446,84 @@ object EventQueries {
     }
   }
 
+  /** CEP sequential-pattern extraction (the MATCH_RECOGNIZE /
+    * Flink-CEP class Spark lacks): per user, the EARLIEST-completing
+    * instance of view → click → purchase whose total span fits in 24
+    * hours (the window that separates ~the fastest decile of journeys
+    * on this corpus — a 1h window matches nothing, an unbounded one
+    * is just ev04). Unlike ev04 (first-timestamp funnel counts) and ev05
+    * (two-step interval join), this extracts an ordered THREE-step
+    * instance under a window constraint — the shape that degenerates
+    * to a triple self-join in SQL but runs as one LINEAR scan per user
+    * in a real CEP engine.
+    *
+    * Engine shape: one shuffle keys events by user; each user's
+    * ordered stream folds through a codegen'd higher-order `aggregate`
+    * whose accumulator is the 4-field NFA state — `lv` (latest view),
+    * `lvc` (latest view known to precede some click — the only
+    * prefix-summary the window check needs, because feasibility at a
+    * purchase only improves with a LATER qualifying view), and the
+    * first completed (v, p). Per-event work is O(1); no joins, no
+    * quadratic pair set; the per-user array is session-bounded (the
+    * ev02/ev10 assumption). The oracle spells the identical semantics
+    * as the naive triple join + earliest-purchase pick; equal-ts edge
+    * ordering follows the sorted (t, type) sequence — alphabetical
+    * type order at ties, mirrored exactly in the oracle's strict/
+    * non-strict comparisons. All integer µs. */
+  val ev13CepPattern: GraftQuery = {
+    val T = 86400000000L // 24 hours in µs
+    q("ev13_cep_pattern",
+      "CEP: earliest view→click→purchase within 24h — linear NFA fold per user",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+         |p AS (SELECT user_id, t AS p_t FROM e WHERE event_type = 'purchase'),
+         |feas AS (
+         |  SELECT p.user_id, p.p_t, MAX(v.t) AS v_t
+         |  FROM p
+         |  JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click'
+         |    AND c.t <= p.p_t
+         |  JOIN e v ON v.user_id = p.user_id AND v.event_type = 'view'
+         |    AND v.t < c.t AND v.t >= p.p_t - $T
+         |  GROUP BY 1, 2),
+         |firstm AS (
+         |  SELECT user_id, v_t, p_t,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p_t) AS r
+         |  FROM feas)
+         |SELECT user_id, v_t AS view_us, p_t AS purchase_us,
+         |  CAST(p_t - v_t AS BIGINT) AS span_us
+         |FROM firstm WHERE r = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("t"), col("event_type"))))
+          .as("es"))
+      val nfa = expr(
+        s"""aggregate(es,
+           |  named_struct('lv', CAST(-1 AS BIGINT), 'lvc', CAST(-1 AS BIGINT),
+           |               'v', CAST(-1 AS BIGINT), 'p', CAST(-1 AS BIGINT)),
+           |  (a, x) -> CASE
+           |    WHEN a.p >= 0 THEN a
+           |    WHEN x.event_type = 'view' THEN
+           |      named_struct('lv', x.t, 'lvc', a.lvc, 'v', a.v, 'p', a.p)
+           |    WHEN x.event_type = 'click' THEN
+           |      named_struct('lv', a.lv, 'lvc', greatest(a.lvc, a.lv),
+           |                   'v', a.v, 'p', a.p)
+           |    WHEN x.event_type = 'purchase' AND a.lvc >= 0
+           |         AND a.lvc >= x.t - $T THEN
+           |      named_struct('lv', a.lv, 'lvc', a.lvc, 'v', a.lvc, 'p', x.t)
+           |    ELSE a END)""".stripMargin)
+      seq.select(col("user_id"), nfa.as("m"))
+        .filter(col("m.p") >= 0)
+        .select(col("user_id"), col("m.v").as("view_us"),
+          col("m.p").as("purchase_us"),
+          (col("m.p") - col("m.v")).cast(LongType).as("span_us"))
+        .orderBy("user_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
     ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
-    ev12LatenessAudit)
+    ev12LatenessAudit, ev13CepPattern)
 }
