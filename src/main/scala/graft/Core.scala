@@ -229,5 +229,7 @@ object Registry {
       graft.operators.GraphQueries.all ++
       graft.operators.ZOrder.all ++
       graft.operators.HierarchyQueries.all ++
+      graft.operators.SpectralQueries.all ++
+      graft.operators.SetSimJoin.all ++
       graft.sources.SynthQueries.all
 }

@@ -43,7 +43,11 @@ object ExplainDump {
     "dd16_substring_spans" ->
       "Exact-substring dedup: the k-gram table (one row per token position, 32-hex key) is pinned once and feeds BOTH the repeat-count aggregation and the join-back on the SAME gram key; span assembly is a per-doc window whose partition is one document's hit positions — nothing quadratic, no driver-side state.",
     "pq01_pq_adc_search" ->
-      "Product quantization serving: the codebook and the 3-row query distance tables are the only broadcast sides; encoding is a map-side transform/array_min per row (no corpus shuffle), ADC scoring is per-row lookups, and top-5-per-query runs through the k-bounded TopK operator — the corpus-scale exchange carries one candidate per partition per query."
+      "Product quantization serving: the codebook and the 3-row query distance tables are the only broadcast sides; encoding is a map-side transform/array_min per row (no corpus shuffle), ADC scoring is per-row lookups, and top-5-per-query runs through the k-bounded TopK operator — the corpus-scale exchange carries one candidate per partition per query.",
+    "pc01_power_iteration" ->
+      "Distributed PCA split: the plan below is only the returned 64-row local relation — the corpus-touching work ran eagerly at build time as ONE typed-Aggregator aggregation (partial ObjectHashAggregate per task folding rows into the constant 4096-long Gram buffer, one final merge), one scan, no join, no corpus shuffle; the eigensolve runs on the collected d×d matrix (the bounded collect MLlib's RowMatrix PCA also performs). SpectralSpec asserts the aggregation is partitioning-invariant — the distributed-merge law the plan can't show.",
+    "ss01_setsim_join" ->
+      "Prefix-filtered set-similarity join: every join in the plan is an equi-join (SortMergeJoin on the prefix-shingle rank for candidates, on doc_id/shingle for verification) — no CartesianProduct, no BroadcastNestedLoopJoin; the shingle frequency rank runs over the vocabulary-bounded distinct-shingle table, and the corpus-sized shingle frame is an InMemoryRelation pinned once and reused by all three consumers."
   )
 
   def main(args: Array[String]): Unit = {

@@ -1092,11 +1092,50 @@ object CorpusQueries {
       .orderBy("seq")
   }
 
+  /** Equi-depth length bucketing — the batching-planner's view of the
+    * corpus: documents split into 10 equal-population buckets by token
+    * length, reporting each bucket's population and length range. The
+    * decile assignment is pure integer rank arithmetic
+    * (bucket = (rank−1)·10 div n + 1 — identical in both engines,
+    * no float quantile interpolation), so bucket edges are exact.
+    * Scale shape: the global rank comes from
+    * [[Rank.globalRowNumber]]'s range-shuffle + zipWithIndex (no
+    * single-partition window anywhere), the corpus count rides as a
+    * broadcast scalar, and the final aggregation has 10 groups. */
+  val lb01LengthBuckets: GraftQuery = q(
+    "lb01_length_buckets",
+    "equi-depth token-length decile buckets (batch-planner histogram)",
+    """WITH s AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |t AS (SELECT COUNT(*) AS total FROM s),
+      |r AS (
+      |  SELECT doc_id, n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n, doc_id) AS BIGINT) AS rk
+      |  FROM s)
+      |SELECT ((rk - 1) * 10) // total + 1 AS bucket,
+      |  COUNT(*) AS n_docs, MIN(n) AS min_len, MAX(n) AS max_len,
+      |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_len
+      |FROM r, t GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n"))
+    val total = base.agg(count(lit(1)).as("total"))
+    Rank.globalRowNumber(base, Seq(col("n"), col("doc_id")), "rk")
+      .crossJoin(broadcast(total))
+      .select(expr("((rk - 1) * 10) div total + 1").as("bucket"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n").as("min_len"),
+        max("n").as("max_len"),
+        (sum("n").cast(DoubleType) / count(lit(1))).as("avg_len"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
     qc02ThresholdSweep, pk02PaddingCurve, mx03BudgetMix,
     lm01NgramScore, bpe01VocabInduction, bpe02Encode, qc01ClassifierScore,
-    sh01SeededShuffle)
+    sh01SeededShuffle, lb01LengthBuckets)
 }

@@ -522,8 +522,58 @@ object EventQueries {
     }
   }
 
+  /** Half-life time-decay engagement score — the recency weighting a
+    * freshness-aware curation or ranking pass applies: each event
+    * contributes value·2^(−days_old), so a day of age halves an
+    * event's weight. Determinism: the weight denominator is an EXACT
+    * power of two built by integer shift (never a transcendental —
+    * libm `exp` is not bit-portable across engines), the per-event
+    * product/divide chain is fixed-order exactly-rounded IEEE, and the
+    * result is quantized to integer 1e-4 units before the cross-row
+    * SUM — so the aggregation is order-independent and the top-20
+    * ranking keys on an exact integer. One corpus scan, map-side
+    * combinable, group key = user_id: the standard decayed-counter
+    * shape that needs no per-event state at serving time. days_old is
+    * clamped at 60 (2^60 shifts stay in Long; older events round to
+    * weight 0 anyway). */
+  val ev14DecayScore: GraftQuery = q(
+    "ev14_decay_score",
+    "half-life time-decay engagement score (top-20 users, exact-integer ranking)",
+    """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+      |e AS (
+      |  SELECT user_id,
+      |    LEAST(date_diff('day', CAST(ts AS DATE), (SELECT d0 FROM mx)), 60) AS dd,
+      |    value
+      |  FROM events),
+      |q AS (
+      |  SELECT user_id,
+      |    CAST(ROUND(value * 10000 /
+      |      CAST((CAST(1 AS BIGINT) << dd) AS DOUBLE)) AS BIGINT) AS qd
+      |  FROM e)
+      |SELECT user_id, CAST(SUM(qd) AS BIGINT) AS score_q,
+      |  CAST(SUM(qd) AS DOUBLE) / 10000.0 AS decay_score
+      |FROM q GROUP BY user_id
+      |ORDER BY score_q DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    // anchor date stays IN the plan (broadcast scalar), not a collect
+    val mx = ev.agg(max(to_date(col("ts"))).as("d0"))
+    val dd = least(datediff(col("d0"), to_date(col("ts"))), lit(60))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("value"), dd.as("dd"))
+      .select(col("user_id"),
+        round(col("value") * 10000 /
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(dd AS INT))").cast(DoubleType))
+          .cast(LongType).as("qd"))
+      .groupBy("user_id")
+      .agg(sum("qd").as("score_q"))
+      .select(col("user_id"), col("score_q"),
+        (col("score_q").cast(DoubleType) / 10000.0).as("decay_score"))
+      .orderBy(col("score_q").desc, col("user_id"))
+      .limit(20)
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
     ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
-    ev12LatenessAudit, ev13CepPattern)
+    ev12LatenessAudit, ev13CepPattern, ev14DecayScore)
 }

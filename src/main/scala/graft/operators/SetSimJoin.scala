@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact set-similarity self-join with PREFIX FILTERING (the
+  * PPJoin/AllPairs family — Xiao et al., WWW 2008; Bayardo et al.,
+  * WWW 2007): all document pairs whose 3-gram-shingle-set Jaccard ≥ τ,
+  * found WITHOUT the all-pairs shingle join, and EXACT — unlike the
+  * MinHash route (dd10), which trades a small false-negative rate for
+  * fixed-size signatures, prefix filtering prunes with a guarantee.
+  *
+  * Prefix-filtering principle: order the shingle universe by ascending
+  * global frequency (rare first) and sort every document's shingle set
+  * in that order. For a qualifying pair, jac ≥ τ implies
+  * overlap ≥ ⌈τ·max(|x|,|y|)⌉ (since |y| ≥ τ·|x| whenever jac ≥ τ),
+  * and two sorted sets whose prefixes of length |·| − ⌈τ·|·|⌉ + 1 are
+  * disjoint can overlap by at most max(⌈τ·|x|⌉, ⌈τ·|y|⌉) − 1 — so
+  * every qualifying pair collides on at least one PREFIX shingle.
+  * Each document therefore exposes only its p = |x| − ⌈τ·|x|⌉ + 1
+  * rarest shingles as join keys; exact verification runs on the
+  * surviving candidates only.
+  *
+  * Scale story: the join key is a prefix SHINGLE — candidate volume is
+  * Σ_s prefix-df(s)², driven by rare shingles (common ones sort to the
+  * back of every set and never enter a prefix), not corpus². The
+  * global frequency table is shingle-vocabulary-bounded; its rank
+  * window runs over that vocabulary, never the corpus. Verification
+  * joins the candidate list back to the shingle table twice — plain
+  * equi-joins on doc_id. The oracle is the brute-force all-pairs join,
+  * so the driver check proves the pruned plan EXACT. The τ test is
+  * integer (inter·5 ≥ 3·union — τ = 3/5 exact), so threshold-edge
+  * pairs are engine-identical.
+  */
+object SetSimJoin {
+
+  private def q(name: String, doc: String, sql: String)(
+      build: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, build, Some(sql), doc)
+
+  /** τ = 3/5: pairs with shingle-Jaccard ≥ 0.6, exact via prefix
+    * filtering. Docs under 3 words carry no 3-shingles and drop out
+    * (dd10's convention). */
+  val ss01SetSimJoin: GraftQuery = q(
+    "ss01_setsim_join",
+    "exact Jaccard>=0.6 shingle-set self-join via prefix filtering (PPJoin family)",
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+      |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, inter,
+      |  sa.sz + sb.sz - inter AS union_sz,
+      |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+      |FROM p
+      |JOIN sz sa ON sa.doc_id = a_id
+      |JOIN sz sb ON sb.doc_id = b_id
+      |WHERE inter * 5 >= 3 * (sa.sz + sb.sz - inter)
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    setsimJoin(Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("tok")),
+      tNum = 3, tDen = 5)
+  }
+
+  /** Prefix-filtered exact Jaccard ≥ tNum/tDen self-join over an
+    * element table (doc_id, tok) — tok multiplicities must already be
+    * deduplicated per doc. Factored from ss01 so specs can drive it
+    * with crafted sets (threshold edges, containment pairs). */
+  def setsimJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    // elements read 3× (prefix build, two verify joins) — pin once
+    val tok = elements.pinned
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // global shingle order, rare-first: rank window over the shingle
+    // VOCABULARY (bounded), never the corpus
+    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val ord = tf.withColumn("srank",
+      row_number().over(Window.orderBy(col("tf"), col("tok"))).cast(LongType))
+      .select("tok", "srank")
+    // per-doc rare-first position + safe prefix length
+    // p = sz − ⌈τ·sz⌉ + 1, integer ceil = (tNum·sz + tDen − 1) div tDen
+    val wDoc = Window.partitionBy("doc_id").orderBy("srank")
+    val pref = tok.join(ord, Seq("tok"))
+      .withColumn("pos", row_number().over(wDoc).cast(LongType))
+      .join(sz, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("srank"))
+    // candidates: prefix-shingle collision, deduped
+    val cand = pref.as("pa").join(pref.as("pb"),
+        col("pa.srank") === col("pb.srank") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
+      .distinct()
+    // exact verification on candidates only: two equi-joins back to
+    // the shingle table give the true intersection size
+    val inter = cand
+      .join(tok.as("ta"), col("ta.doc_id") === col("a_id"))
+      .join(tok.as("tb"),
+        col("tb.doc_id") === col("b_id") && col("tb.tok") === col("ta.tok"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
+      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
+      .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * tDen >= col("union_sz") * tNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("union_sz"),
+        (col("inter").cast(DoubleType) / col("union_sz").cast(DoubleType))
+          .as("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(ss01SetSimJoin)
+}
