@@ -47,7 +47,15 @@ object ExplainDump {
     "pc01_power_iteration" ->
       "Distributed PCA split: the plan below is only the returned 64-row local relation — the corpus-touching work ran eagerly at build time as ONE typed-Aggregator aggregation (partial ObjectHashAggregate per task folding rows into the constant 4096-long Gram buffer, one final merge), one scan, no join, no corpus shuffle; the eigensolve runs on the collected d×d matrix (the bounded collect MLlib's RowMatrix PCA also performs). SpectralSpec asserts the aggregation is partitioning-invariant — the distributed-merge law the plan can't show.",
     "ss01_setsim_join" ->
-      "Prefix-filtered set-similarity join: every join in the plan is an equi-join (SortMergeJoin on the prefix-shingle rank for candidates, on doc_id/shingle for verification) — no CartesianProduct, no BroadcastNestedLoopJoin; the shingle frequency rank runs over the vocabulary-bounded distinct-shingle table, and the corpus-sized shingle frame is an InMemoryRelation pinned once and reused by all three consumers."
+      "Prefix-filtered set-similarity join: every join in the plan is an equi-join (SortMergeJoin on the prefix-shingle rank for candidates, on doc_id/shingle for verification) — no CartesianProduct, no BroadcastNestedLoopJoin; the shingle frequency rank runs over the vocabulary-bounded distinct-shingle table, and the corpus-sized shingle frame is an InMemoryRelation pinned once and reused by all three consumers.",
+    "aj04_asof_nearest" ->
+      "Nearest as-of join: BOTH directional scans (latest-prior carry and earliest-next probe) appear as last()/first() inside a SINGLE Window operator over one Exchange + one Sort — nearest costs exactly one directional as-of; the semi-join prunes right rows whose key never occurs on the left before the sort.",
+    "gr04_triangles" ->
+      "Triangle counting: oriented edges (a<b) make the wedge step an equi-join on the middle vertex and the closure a LeftSemi probe on (a,c) — every join in the plan is keyed, the pinned edge list is scanned from cache by all three consumers, and nothing enumerates wedge x edge.",
+    "mb01_market_basket" ->
+      "Association rules: the pair generator is an equi-join on the basket key of the distinct item frame (output bounded by per-basket item counts, not corpus size); the |parts|-bounded margins join WITHOUT a broadcast hint (size-based planning broadcasts while they fit, degrading to shuffle at scale instead of OOM) and only the provably-1-row basket count is hint-broadcast.",
+    "rr01_rrf_fusion" ->
+      "RRF hybrid retrieval: each leg ends in TakeOrderedAndProject (k-bounded heaps, no global sort) after a map-side scoring pass; the fusion full-outer join runs on two <=50-row frames — constant work regardless of corpus scale; the vector leg's 1-row query side is limit(1)-bounded and broadcast."
   )
 
   def main(args: Array[String]): Unit = {

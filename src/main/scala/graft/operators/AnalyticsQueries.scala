@@ -703,8 +703,111 @@ object AnalyticsQueries {
       .orderBy("user_id", "gts")
   }
 
+  /** Exact k-per-group uniform sampling — the distributed equivalent of
+    * per-stratum reservoir sampling, without reservoir state: assign
+    * every row a uniform priority (md5 of a seeded key — a pure
+    * function, so the sample is reproducible across engines, runs, and
+    * retries) and keep the k SMALLEST priorities per group. Selecting
+    * bottom-k-by-uniform-priority is distributionally identical to a
+    * k-row reservoir pass, but it parallelizes trivially: here it runs
+    * through the custom [[graft.plans.TopKPerGroup]] operator
+    * (ascending mode), so each map task forwards at most k rows per
+    * source and nothing is ever fully sorted. At 100 TB: one map pass
+    * + a k-bounded shuffle of k·n_sources rows — the window idiom
+    * would sort every row of every stratum. */
+  val rs01ReservoirSample: GraftQuery = q(
+    "rs01_reservoir_sample",
+    "exact k-per-stratum uniform sample: bottom-k seeded-hash priority via the TopK operator",
+    """SELECT source, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY md5('rs:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      |FROM documents
+      |QUALIFY rn <= 10
+      |ORDER BY source, rn""".stripMargin) { (s, d) =>
+    val pri = md5(concat(lit("rs:"), col("doc_id").cast(StringType)))
+    val sampled = graft.plans.TopKPerGroup.perGroup(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), pri.as("pri")),
+      Seq(col("source")),
+      struct(col("pri"), col("doc_id")),
+      k = 10, desc = false)
+    // rank within the k-bounded result (≤ k rows per source)
+    sampled
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id")))
+        .cast(LongType))
+      .select("source", "doc_id", "rn")
+      .orderBy("source", "rn")
+  }
+
+  /** Market-basket association rules (support / lift) — the
+    * co-occurrence miner over order baskets. The pair generator is a
+    * self-equi-join on the basket key of the DISTINCT (basket, item)
+    * frame, so its output is bounded by Σ choose(basket_size, 2) —
+    * basket sizes are small and bounded by the domain (≤13 items
+    * here; a real pipeline caps outlier baskets first), never by
+    * corpus size, so the join scales linearly with baskets. Item
+    * frequencies live in an items-cardinality frame (≤ |parts| rows →
+    * broadcast), basket count is one broadcast row; lift is then one
+    * exact-integer-product divide per pair. Top-20 by support plans as
+    * TakeOrderedAndProject (k-bounded heaps). */
+  val mb01MarketBasket: GraftQuery = q(
+    "mb01_market_basket",
+    "association rules over order baskets: bounded pair self-join, broadcast margins, lift",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+      |freq AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3)
+      |SELECT part_a, part_b, n_pair,
+      |  CAST(n_pair AS DOUBLE) / CAST(n.n_baskets AS DOUBLE) AS support,
+      |  CAST(n_pair * n.n_baskets AS DOUBLE)
+      |    / CAST(fa.n_item * fb.n_item AS DOUBLE) AS lift
+      |FROM pairs
+      |CROSS JOIN n
+      |JOIN freq fa ON fa.l_partkey = part_a
+      |JOIN freq fb ON fb.l_partkey = part_b
+      |ORDER BY n_pair DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val nBaskets = items.agg(
+      countDistinct(col("l_orderkey")).as("n_baskets"))
+    val freq = items.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_item"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b"))
+    val pairs = a.join(b,
+        col("l_orderkey") === col("ok2") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    // NOTE: the freq margins are |parts|-bounded, which still GROWS
+    // with the corpus — so no broadcast hint (the engine-wide guard:
+    // size-based planning/AQE broadcasts them while they fit, and
+    // degrades to a shuffle join at real scale instead of an OOM).
+    // Only the provably-1-row basket count is hint-broadcast.
+    pairs
+      .crossJoin(broadcast(nBaskets))
+      .join(freq.select(col("l_partkey").as("part_a"),
+        col("n_item").as("na")), "part_a")
+      .join(freq.select(col("l_partkey").as("part_b"),
+        col("n_item").as("nb")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        (col("n_pair").cast(DoubleType) / col("n_baskets").cast(DoubleType))
+          .as("support"),
+        ((col("n_pair") * col("n_baskets")).cast(DoubleType)
+          / (col("na") * col("nb")).cast(DoubleType)).as("lift"))
+      .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
-    ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample)
+    ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample,
+    rs01ReservoirSample, mb01MarketBasket)
 }

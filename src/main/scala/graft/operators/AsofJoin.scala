@@ -231,6 +231,104 @@ object AsofJoin {
       .orderBy("band")
   }
 
+  /** Nearest as-of: each left row gains the payload of the CLOSEST
+    * right row in time, either direction, ties to the prior side
+    * (pandas `merge_asof(direction='nearest')`). Both directional
+    * scans share ONE shuffle and ONE partition-local sort: the two
+    * window frames ([unbounded, current] for the latest-prior carry,
+    * [current, unbounded] for the earliest-next probe) have identical
+    * partitioning AND ordering, so Spark plans them into a single
+    * WindowExec over a single sort — nearest costs exactly what one
+    * directional as-of costs. Equal-time right rows sort before the
+    * left row, so they land in the prior leg at distance 0 (which
+    * always wins), keeping the inclusive-≤ contract. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      payloadCols: Seq[String], tiebreak: String): DataFrame = {
+    val payloadNames = (Seq(rightTime, tiebreak) ++ payloadCols).distinct
+    val payloadType = StructType(payloadNames.map(n => right.schema(n)))
+    val lrowType = StructType(left.schema.fields)
+    val l = left.select(
+      col(key).as("__key"), col(leftTime).as("__t"), lit(1).as("__tag"),
+      lit(Long.MaxValue).as("__tb"),
+      lit(null).cast(payloadType).as("__payload"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"))
+    val rightPruned = right.join(
+      left.select(col(key).as("__semikey")).distinct(),
+      col(key) === col("__semikey"), "left_semi")
+    val r = rightPruned.select(
+      col(key).as("__key"), col(rightTime).as("__t"), lit(0).as("__tag"),
+      col(tiebreak).cast(LongType).as("__tb"),
+      struct(payloadNames.map(col): _*).as("__payload"),
+      lit(null).cast(lrowType).as("__lrow"))
+    val wPrev = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__tag"), col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def micros(c: Column): Column = unix_micros(c.cast(TimestampType))
+    val db = micros(col("__t")) - micros(col(s"__prev.$rightTime"))
+    val df = micros(col(s"__next.$rightTime")) - micros(col("__t"))
+    l.unionByName(r)
+      .withColumn("__prev", last(col("__payload"), ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(col("__payload"), ignoreNulls = true).over(wNext))
+      .filter(col("__tag") === 1)
+      .withColumn("__asof",
+        when(col("__next").isNull, col("__prev"))
+          .when(col("__prev").isNull, col("__next"))
+          .when(db <= df, col("__prev"))
+          .otherwise(col("__next")))
+      .withColumn("__dir",
+        when(col("__asof").isNull, lit(null).cast(StringType))
+          .when(micros(col(s"__asof.$rightTime")) <= micros(col("__t")), "prior")
+          .otherwise("next"))
+      .select(col("__lrow.*"), col("__asof"), col("__dir"))
+  }
+
+  /** Nearest-in-time enrichment: each event takes the user's closest
+    * order on either side of the event instant — the sensor-alignment
+    * / feature-join shape where "latest prior" alone would leave early
+    * rows unmatched. */
+  val aj04AsofNearest: GraftQuery = q(
+    "aj04_asof_nearest",
+    "as-of nearest join: closest order either direction, ties to prior, one sort",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT o.o_orderkey FROM orders o WHERE o.o_custkey = e.user_id
+      |   ORDER BY ABS(epoch_us(o.o_orderdate) - epoch_us(e.ts)),
+      |     CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+      |     CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END
+      |   LIMIT 1) AS near_orderkey,
+      |  (SELECT o.o_totalprice FROM orders o WHERE o.o_custkey = e.user_id
+      |   ORDER BY ABS(epoch_us(o.o_orderdate) - epoch_us(e.ts)),
+      |     CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+      |     CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END
+      |   LIMIT 1) AS near_totalprice,
+      |  (SELECT CASE WHEN o.o_orderdate <= e.ts THEN 'prior' ELSE 'next' END
+      |   FROM orders o WHERE o.o_custkey = e.user_id
+      |   ORDER BY ABS(epoch_us(o.o_orderdate) - epoch_us(e.ts)),
+      |     CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END,
+      |     CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END
+      |   LIMIT 1) AS direction
+      |FROM events e WHERE e.event_id < 500
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d).filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    val ev = events.withColumn("o_custkey", col("user_id"))
+    nearest(ev, orders,
+      key = "o_custkey", leftTime = "ts", rightTime = "o_orderdate",
+      payloadCols = Seq("o_totalprice"), tiebreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("__asof.o_orderkey").as("near_orderkey"),
+        col("__asof.o_totalprice").as("near_totalprice"),
+        col("__dir").as("direction"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(aj01EventOrders, aj02AsofTolerance, aj03AsofForward, rj01RangeBand)
+    Seq(aj01EventOrders, aj02AsofTolerance, aj03AsofForward, aj04AsofNearest,
+      rj01RangeBand)
 }

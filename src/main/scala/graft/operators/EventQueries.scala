@@ -572,8 +572,64 @@ object EventQueries {
       .limit(20)
   }
 
+  /** CUSUM changepoint detection over daily volumes — "on which day
+    * did this event type's level shift?" The CUSUM statistic is the
+    * running sum of deviations from the series mean; its extremum
+    * marks the most likely changepoint (Page 1954; the batch face of
+    * drift monitoring on an ingest pipeline). All arithmetic is EXACT
+    * integers: the deviation is scaled by the day count
+    * (n_i·k − total ≡ k·(n_i − mean)), so the running sum never
+    * touches floating point and the oracle hash-matches regardless of
+    * either engine's window-aggregation association (a double CUSUM
+    * would diverge in the last bits under DuckDB's segment-tree window
+    * sums). Shape: one day-grain aggregation (the corpus collapses to
+    * |types|·|days| rows), a broadcast-size per-type stats join, one
+    * partition-local window — nothing scales with raw event count
+    * after the first aggregate. */
+  val cp01Changepoint: GraftQuery = q(
+    "cp01_changepoint",
+    "CUSUM level-shift detection per event type: integer-exact running deviation extremum",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, SUM(n) AS total, COUNT(*) AS k
+      |  FROM daily GROUP BY 1),
+      |c AS (
+      |  SELECT d.event_type, d.day, st.k,
+      |    SUM(d.n * st.k - st.total) OVER (PARTITION BY d.event_type
+      |      ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      |  FROM daily d JOIN st ON d.event_type = st.event_type),
+      |r AS (
+      |  SELECT event_type, day, cusum, k,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ABS(cusum) DESC, day) AS rn
+      |  FROM c)
+      |SELECT event_type, CAST(day AS VARCHAR) AS cp_day,
+      |  CAST(cusum AS BIGINT) AS cusum_at_cp, CAST(k AS BIGINT) AS n_days
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val st = daily.groupBy("event_type")
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("k"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    daily.join(st, "event_type")
+      .withColumn("cusum", sum(col("n") * col("k") - col("total")).over(wc))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        col("cusum").cast(LongType).as("cusum_at_cp"),
+        col("k").cast(LongType).as("n_days"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
     ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
-    ev12LatenessAudit, ev13CepPattern, ev14DecayScore)
+    ev12LatenessAudit, ev13CepPattern, ev14DecayScore, cp01Changepoint)
 }

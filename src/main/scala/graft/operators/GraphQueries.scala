@@ -280,5 +280,64 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs)
+  /** TRIANGLE COUNTING over the part co-purchase graph (parts are
+    * adjacent when they co-occur in ≥2 order baskets — the same
+    * bounded pair generator as mb01). The classic two-join algorithm
+    * on ORIENTED edges: every edge is stored once as (a,b) with a<b,
+    * so each triangle {a<b<c} is counted exactly once by joining
+    * e1=(a,b) ⋈ e2=(b,c) on the middle vertex and closing with a semi
+    * probe for (a,c). Orientation is what makes this scale: the join
+    * fan-out per vertex is its OUT-degree under the ordering, and the
+    * production refinement (orient by total degree, then id) caps
+    * out-degree at O(√|E|) — noted rather than applied, since id
+    * ordering is already deterministic and the co-purchase graph's
+    * degrees are domain-bounded. Both joins are equi-joins on vertex
+    * keys (shuffle or broadcast by size); nothing is ever all-pairs.
+    * Output: per-vertex triangle participation, top-20 — the local
+    * clustering signal used for community/spam detection. */
+  val gr04Triangles: GraftQuery = q(
+    "gr04_triangles",
+    "triangle counting on oriented co-purchase edges: two equi-joins, no enumeration blowup",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |tri AS (
+      |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+      |pv AS (
+      |  SELECT v, COUNT(*) AS n_tri FROM (
+      |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |  GROUP BY v)
+      |SELECT v AS part, n_tri,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_tri DESC, v) AS BIGINT) AS rn
+      |FROM pv QUALIFY rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val ia = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val ib = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
+    val e = ia.join(ib, col("l_orderkey") === col("ok2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("a", "b").pinned // reused three times (e1, e2, closing probe)
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    val pv = tri.select(col("a").as("v"))
+      .unionAll(tri.select(col("b").as("v")))
+      .unionAll(tri.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    pv.orderBy(col("n_tri").desc, col("v")).limit(20)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_tri").desc, col("v"))).cast("long"))
+      .select(col("v").as("part"), col("n_tri"), col("rn"))
+      .orderBy("rn")
+  }
+
+  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs, gr04Triangles)
 }

@@ -1788,7 +1788,94 @@ object RelationalQueries {
     }
   }
 
+  /** Snapshot DIFF — classify every primary key across two table
+    * versions as added / removed / changed / unchanged. This is the
+    * audit face of CDC: given yesterday's snapshot and today's, what
+    * moved? The two versions here are derived deterministically from
+    * the same base table (drop keys ≡0 mod 97 from v1 — "added later";
+    * drop ≡0 mod 89 from v2 — "deleted"; bump the price on ≡0 mod 101
+    * — "changed"), so the oracle reproduces them exactly. The diff
+    * itself is ONE full-outer sort-merge equi-join on the PK plus a
+    * map-side classification — the canonical table-diff shape. At
+    * 100 TB both snapshots would be bucketed by PK (q48's layout), so
+    * the diff runs with zero runtime Exchange; value comparison is on
+    * exact decimals (no fp-equality trap). */
+  val df01SnapshotDiff: GraftQuery = q(
+    "df01_snapshot_diff",
+    "snapshot diff: full-outer PK join classifying added/removed/changed rows",
+    s"""WITH v1 AS (
+       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+       |  FROM orders WHERE o_orderkey % 97 <> 0),
+       |v2 AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_totalprice AS DECIMAL(12,2))
+       |      + CASE WHEN o_orderkey % 101 = 0 THEN CAST(1.00 AS DECIMAL(12,2))
+       |             ELSE CAST(0.00 AS DECIMAL(12,2)) END AS price
+       |  FROM orders WHERE o_orderkey % 89 <> 0),
+       |d AS (
+       |  SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS pk,
+       |    CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+       |         WHEN v2.o_orderkey IS NULL THEN 'removed'
+       |         WHEN v1.price <> v2.price THEN 'changed'
+       |         ELSE 'unchanged' END AS change_type
+       |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+       |SELECT change_type, COUNT(*) AS n_rows,
+       |  CAST(SUM(pk) AS BIGINT) AS key_sum
+       |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+    val v1 = base.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("pk1"), Det.dec2(col("o_totalprice")).as("p1"))
+    val bump = when(col("o_orderkey") % 101 === 0,
+      lit(BigDecimal("1.00")).cast(DecimalType(12, 2)))
+      .otherwise(lit(BigDecimal("0.00")).cast(DecimalType(12, 2)))
+    val v2 = base.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey").as("pk2"),
+        (Det.dec2(col("o_totalprice")) + bump).as("p2"))
+    v1.join(v2, col("pk1") === col("pk2"), "full_outer")
+      .select(coalesce(col("pk1"), col("pk2")).as("pk"),
+        when(col("pk1").isNull, "added")
+          .when(col("pk2").isNull, "removed")
+          .when(col("p1") =!= col("p2"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pk")).cast(LongType).as("key_sum"))
+      .orderBy("change_type")
+  }
+
+  /** ORC round trip — the second columnar format a warehouse must
+    * read AND write (parquet is q47). The write is recorded as a bench
+    * phase; the read-back proves type fidelity (decimal-exact money
+    * sums after the format hop) by aggregating to the same totals the
+    * oracle computes from the parquet original. ORC's stripe layout
+    * gives the same predicate-pushdown/column-pruning story as
+    * parquet, so the read plan is a pruned columnar scan either way. */
+  val q54OrcRoundtrip: GraftQuery = q(
+    "q54_orc_roundtrip",
+    "ORC write + read-back: cross-format type fidelity vs the parquet oracle",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       |  ${Det.sqlDsum("l_extendedprice")} AS sum_price,
+       |  ${Det.sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val out = graft.Scratch.dir("graft_q54_")
+    graft.Phases.timed("q54_orc_roundtrip", "write") {
+      graft.sources.Formats.write(
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus",
+          "l_extendedprice", "l_quantity"),
+        "orc", out)
+    }
+    graft.sources.Formats.read(s, "orc", out)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    df01SnapshotDiff, q54OrcRoundtrip,
     cdc01Scd2Merge,
     ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
     q50SchemaMerge, q51IncrementalAgg, q52FromJson, q53TableChecksum,

@@ -290,7 +290,96 @@ object SimilarityQueries {
     }
   }
 
+  /** Hybrid retrieval via RECIPROCAL-RANK FUSION — the standard way a
+    * RAG/search pipeline combines a lexical ranker and a vector ranker
+    * whose raw scores are incomparable: each leg contributes
+    * 1/(60+rank) and the fused list re-ranks by the sum (Cormack et
+    * al., RRF). Ranks are the interface, so any scorer plugs into
+    * either leg (bm01 is the full lexical model; the leg here ranks by
+    * query-term frequency to keep the oracle compact).
+    *
+    * Scale shape: each leg is a map pass over its corpus ending in a
+    * k-bounded global top-k (TakeOrderedAndProject — no full sort);
+    * the fusion then full-outer-joins two ≤k-row frames — constant
+    * size regardless of corpus scale. The vector leg's query side is
+    * one broadcast row (the sanctioned scalar-join idiom).
+    * Determinism: lexical ranks order by exact integers; vector ranks
+    * by the bit-stable native cosine (see sm01); the RRF terms are
+    * single IEEE divides of exact integers summed in fixed lex-then-
+    * vec order, so both engines agree bit-for-bit. */
+  val rr01RrfFusion: GraftQuery = {
+    val terms = Seq("spark", "window", "stream")
+    val sqlTfSum = terms.map(t =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t'))").mkString(" + ")
+    q("rr01_rrf_fusion",
+      "hybrid retrieval: lexical + vector top-k legs fused by reciprocal-rank fusion",
+      s"""WITH lex0 AS (
+         |  SELECT doc_id, $sqlTfSum AS tfsum FROM documents),
+         |lex AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY tfsum DESC, doc_id) AS BIGINT) AS lex_rn
+         |  FROM lex0 WHERE tfsum > 0 QUALIFY lex_rn <= 50),
+         |qv AS (
+         |  SELECT e.embedding AS qe, SQRT(${sqlNorm2("e")}) AS qnorm
+         |  FROM embeddings e WHERE e.vec_id = 0),
+         |cv AS (
+         |  SELECT e.vec_id AS doc_id, e.embedding AS ce, SQRT(${sqlNorm2("e")}) AS cnorm
+         |  FROM embeddings e WHERE e.vec_id <> 0),
+         |vec0 AS (
+         |  SELECT cv.doc_id,
+         |    ${sqlDotCols("qv", "qe", "cv", "ce")} / (qnorm * cnorm) AS cosine
+         |  FROM cv CROSS JOIN qv),
+         |vec AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS vec_rn
+         |  FROM vec0 QUALIFY vec_rn <= 50),
+         |fused AS (
+         |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(l.lex_rn, 0) AS lex_rn, COALESCE(v.vec_rn, 0) AS vec_rn,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rn), CAST(0 AS DOUBLE))
+         |      + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rn), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, lex_rn, vec_rn, rrf,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+         |FROM fused QUALIFY rn <= 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val tfsum = terms.map(t => size(filter(toks, w => w === t))).reduce(_ + _)
+      val lexW = Window.orderBy(col("tfsum").desc, col("doc_id"))
+      val lex = Tables.documents(s, d)
+        .select(col("doc_id"), tfsum.as("tfsum"))
+        .filter(col("tfsum") > 0)
+        .orderBy(col("tfsum").desc, col("doc_id")).limit(50)
+        .withColumn("lex_rn", row_number().over(lexW).cast(LongType))
+        .select("doc_id", "lex_rn")
+      val e = Tables.embeddings(s, d)
+      // limit(1) after the unique-key filter makes the 1-row bound
+      // PROVABLE to the cross-join lint (a bare filter is structurally
+      // unbounded), without changing semantics — vec_id is unique
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")).limit(1)
+      val cv = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+      val vecW = Window.orderBy(col("cosine").desc, col("doc_id"))
+      val vec = cv.crossJoin(broadcast(qv))
+        .select(col("doc_id"), cosineExpr("qe", "ce").as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(50)
+        .withColumn("vec_rn", row_number().over(vecW).cast(LongType))
+        .select("doc_id", "vec_rn")
+      def leg(rn: Column): Column =
+        coalesce(lit(1.0) / (lit(60L) + rn), lit(0.0))
+      val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+          coalesce(col("vec_rn"), lit(0L)).as("vec_rn"),
+          (leg(col("lex_rn")) + leg(col("vec_rn"))).as("rrf"))
+      val outW = Window.orderBy(col("rrf").desc, col("doc_id"))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .withColumn("rn", row_number().over(outW).cast(LongType))
+        .orderBy("rn")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,
-    sm05Int8Quantize, sm06QuantizedTopK, rp01RandomProjection)
+    sm05Int8Quantize, sm06QuantizedTopK, rp01RandomProjection, rr01RrfFusion)
 }

@@ -675,9 +675,59 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Structured-PII redaction — the regex-entity pass (emails, SSN-like
+    * ids) every web-scrape pipeline runs before training, distinct
+    * from tx08's denylist scrub: entities are PATTERNS, not a term
+    * list. The corpus is synthetic word soup with no real PII, so the
+    * query first INJECTS deterministic fake entities derived from
+    * doc_id (the nu01 pattern: decorate, then prove the transform
+    * undoes it), then counts per-type hits and fingerprints the
+    * redacted text. Patterns stay in the portable regex subset
+    * (character classes + bounded repeats) that Java regex and RE2
+    * evaluate identically. Map-only: per-row regex work inside
+    * whole-stage codegen, zero shuffles before the final ORDER BY —
+    * at 100 TB this is a pure scan-transform pass. */
+  val pr01PiiRedact: GraftQuery = q(
+    "pr01_pii_redact",
+    "structured-PII redaction: injected fake entities, per-type counts, redacted fingerprint",
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.com id '
+      |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+      |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+      |      || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.com')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+      |  md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.com', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')) AS redacted_fp
+      |FROM dirty ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailPat = "[a-z0-9]+@[a-z]+\\.com"
+    val ssnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast(StringType), lit("@mail.com id "),
+      lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 100).cast(StringType), 2, "0"), lit("-"),
+      lpad(((col("doc_id") * 7) % 10000).cast(StringType), 4, "0"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), dirty.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+          .cast(LongType).as("n_email"),
+        size(regexp_extract_all(col("t"), lit(ssnPat), lit(0)))
+          .cast(LongType).as("n_ssn"),
+        md5(regexp_replace(
+          regexp_replace(col("t"), emailPat, "<EMAIL>"),
+          ssnPat, "<SSN>")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
     tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
-    fz01FuzzyJoin, oov01VocabCoverage, bm01Bm25, nu01NfcNormalize)
+    fz01FuzzyJoin, oov01VocabCoverage, bm01Bm25, nu01NfcNormalize,
+    pr01PiiRedact)
 }

@@ -329,4 +329,32 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet|FileScan parquet|BatchScan".r.findAllIn(p2).size == 1,
       "rollup must not rescan the fact table\n" + p2.take(3000))
   }
+
+  test("aj04: nearest as-of computes both directional scans in ONE window over one sort") {
+    // The prev-carry ([unbounded,current] last) and next-probe
+    // ([current,unbounded] first) share partitioning AND ordering, so
+    // they must collapse into a single WindowExec — nearest costs one
+    // shuffle + one sort, same as a single-direction as-of.
+    val p = plan("aj04_asof_nearest")
+    assert("\\bWindow \\[".r.findAllIn(p).size == 1,
+      "both frames must plan into one WindowExec\n" + p.take(3000))
+    assert(p.contains("last(") && p.contains("first("),
+      "single WindowExec must carry both last() and first()\n" + p.take(3000))
+  }
+
+  test("mb01: margin joins broadcast; only the bounded pair self-join shuffles") {
+    // item frequencies (≤ |parts| rows) and the 1-row basket count must
+    // never shuffle the pair frame — they join as broadcasts.
+    val p = plan("mb01_market_basket")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "freq margins must broadcast-join the pair frame\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("gr04: triangle closing probe plans as a semi join, never materializing wedge x edge") {
+    val p = plan("gr04_triangles")
+    assert(p.contains("LeftSemi"),
+      "triangle closure must be a semi probe\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
