@@ -51,7 +51,7 @@ object ExplainDump {
     "aj04_asof_nearest" ->
       "Nearest as-of join: BOTH directional scans (latest-prior carry and earliest-next probe) appear as last()/first() inside a SINGLE Window operator over one Exchange + one Sort — nearest costs exactly one directional as-of; the semi-join prunes right rows whose key never occurs on the left before the sort.",
     "gr04_triangles" ->
-      "Triangle counting: oriented edges (a<b) make the wedge step an equi-join on the middle vertex and the closure a LeftSemi probe on (a,c) — every join in the plan is keyed, the pinned edge list is scanned from cache by all three consumers, and nothing enumerates wedge x edge.",
+      "Triangle counting: top-D adjacency sparsification (each vertex keeps its 20 strongest neighbors) bounds degrees BEFORE the triangle pass — without it the growth probe showed the co-purchase graph densifying toward complete (15x time at 10x data); oriented edges (a<b) then make the wedge step an equi-join on the middle vertex and the closure a LeftSemi probe on (a,c), with the pinned edge list scanned from cache by all three consumers.",
     "mb01_market_basket" ->
       "Association rules: the pair generator is an equi-join on the basket key of the distinct item frame (output bounded by per-basket item counts, not corpus size); the |parts|-bounded margins join WITHOUT a broadcast hint (size-based planning broadcasts while they fit, degrading to shuffle at scale instead of OOM) and only the provably-1-row basket count is hint-broadcast.",
     "rr01_rrf_fusion" ->

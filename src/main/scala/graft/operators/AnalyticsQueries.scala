@@ -773,13 +773,22 @@ object AnalyticsQueries {
       |JOIN freq fb ON fb.l_partkey = part_b
       |ORDER BY n_pair DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
     val items = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey").distinct()
+      .select("l_orderkey", "l_partkey").distinct().pinned // 3 consumers
     val nBaskets = items.agg(
       countDistinct(col("l_orderkey")).as("n_baskets"))
     val freq = items.groupBy("l_partkey")
       .agg(count(lit(1)).as("n_item"))
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b"))
+    // Apriori item pruning — LOSSLESS, so the oracle needs no mirror:
+    // a pair can reach support >= 3 only if BOTH items do, so items
+    // below the floor never enter the pair self-join. On a long-tail
+    // item catalog this removes most of the pair-generation volume
+    // before the shuffle (the |parts|-bounded frequent-item list probes
+    // as a semi join); on dense replicas it is a no-op by data.
+    val frequent = items.join(
+      freq.filter(col("n_item") >= 3).select("l_partkey"),
+      "l_partkey", "left_semi")
+    val a = frequent.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = frequent.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b"))
     val pairs = a.join(b,
         col("l_orderkey") === col("ok2") && col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b")

@@ -282,29 +282,47 @@ object GraphQueries {
 
   /** TRIANGLE COUNTING over the part co-purchase graph (parts are
     * adjacent when they co-occur in ≥2 order baskets — the same
-    * bounded pair generator as mb01). The classic two-join algorithm
-    * on ORIENTED edges: every edge is stored once as (a,b) with a<b,
-    * so each triangle {a<b<c} is counted exactly once by joining
-    * e1=(a,b) ⋈ e2=(b,c) on the middle vertex and closing with a semi
-    * probe for (a,c). Orientation is what makes this scale: the join
-    * fan-out per vertex is its OUT-degree under the ordering, and the
-    * production refinement (orient by total degree, then id) caps
-    * out-degree at O(√|E|) — noted rather than applied, since id
-    * ordering is already deterministic and the co-purchase graph's
-    * degrees are domain-bounded. Both joins are equi-joins on vertex
-    * keys (shuffle or broadcast by size); nothing is ever all-pairs.
-    * Output: per-vertex triangle participation, top-20 — the local
-    * clustering signal used for community/spam detection. */
+    * bounded pair generator as mb01), with TOP-D ADJACENCY
+    * SPARSIFICATION before the triangle pass. The sparsifier is the
+    * load-bearing scale decision, and the 1×/10×/100× growth probe
+    * forced it: an absolute co-occurrence threshold lets the graph
+    * DENSIFY as the corpus grows (more baskets ⇒ every pair eventually
+    * co-occurs twice; the 10× replica reached 1.2M edges and triangle
+    * work exploded 15×, heading toward a complete graph whose Ω(n³)
+    * triangle set no algorithm escapes). Capping each vertex at its
+    * D=20 strongest neighbors (by co-occurrence count, then id — the
+    * kNN-graph construction every similarity pipeline uses) bounds
+    * degrees at any corpus size, and is exactly scale-invariant under
+    * uniform count growth: scaling every count K× preserves each
+    * vertex's neighbor RANKING, so the kept edge set converges instead
+    * of densifying. Then the classic two-join algorithm on ORIENTED
+    * edges: each triangle {a<b<c} counted once by joining e1=(a,b) ⋈
+    * e2=(b,c) on the middle vertex and closing with a semi probe for
+    * (a,c); wedge fan-out is ≤ (2D)² per vertex. Every join is an
+    * equi-join on vertex keys; nothing is ever all-pairs. Output:
+    * per-vertex triangle participation, top-20 — the local clustering
+    * signal used for community/spam detection. */
   val gr04Triangles: GraftQuery = q(
     "gr04_triangles",
-    "triangle counting on oriented co-purchase edges: two equi-joins, no enumeration blowup",
+    "triangle counting on top-D-sparsified co-purchase edges: bounded degrees, two equi-joins",
     """WITH items AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |e AS (
-      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |e0 AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n
       |  FROM items a JOIN items b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |und AS (
+      |  SELECT a AS src, b AS dst, n FROM e0
+      |  UNION ALL SELECT b, a, n FROM e0),
+      |topd AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+      |    FROM und) t WHERE rk <= 20),
+      |e AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM topd),
       |tri AS (
       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
@@ -320,10 +338,21 @@ object GraphQueries {
       .select("l_orderkey", "l_partkey").distinct()
     val ia = items.select(col("l_orderkey"), col("l_partkey").as("a"))
     val ib = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
-    val e = ia.join(ib, col("l_orderkey") === col("ok2") && col("a") < col("b"))
+    val e0 = ia.join(ib, col("l_orderkey") === col("ok2") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= 2)
-      .select("a", "b").pinned // reused three times (e1, e2, closing probe)
+    // top-D sparsification: keep each vertex's 20 strongest neighbors
+    // (count desc, id) — bounded degrees at ANY corpus density, edge
+    // set scale-invariant under uniform count growth (probe-verified)
+    val und = e0.select(col("a").as("src"), col("b").as("dst"), col("n_co"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("n_co")))
+    val wTop = Window.partitionBy(col("src")).orderBy(col("n_co").desc, col("dst"))
+    val e = und.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 20)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .pinned // reused three times (e1, e2, closing probe)
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
     val tri = wedges.join(
