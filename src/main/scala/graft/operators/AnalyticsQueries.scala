@@ -814,9 +814,69 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** POINT-IN-TIME-CORRECT feature assembly — the feature-store join
+    * that prevents label leakage: for every training example (an
+    * event), compute each user's order history features AS OF the
+    * event instant (orders after the event must not leak in, orders at
+    * exactly the event time count — the as-of family's inclusive-≤
+    * contract). A naive per-example correlated lookup is O(examples ×
+    * history); this runs as ONE union-tag-sort pass per user — the
+    * same single-shuffle shape as [[AsofJoin]], but carrying RUNNING
+    * AGGREGATES (count, exact-decimal spend, max order time) instead
+    * of a latest-payload carry, so every example reads its whole
+    * prefix history at once. Determinism: the running sums are exact
+    * decimals/integers, so both engines' window-accumulation
+    * strategies (sequential vs segment tree) produce identical values;
+    * the oracle is the independent correlated-subquery formulation —
+    * two different algorithms agreeing bit-for-bit. */
+  val pit01PointInTime: GraftQuery = q(
+    "pit01_point_in_time",
+    "point-in-time training features: one sorted pass per user, no label leakage",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS n_orders_before,
+      |  CAST(COALESCE((SELECT SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts), 0) AS DOUBLE) AS spend_before,
+      |  (SELECT (epoch_us(e.ts) - epoch_us(MAX(o.o_orderdate))) // 86400000000 FROM orders o
+      |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS days_since_last
+      |FROM events e WHERE e.event_id < 500
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d).filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    // orders whose user never appears in the sample can't contribute
+    val ordPruned = orders.join(
+      events.select(col("user_id").as("__k")).distinct(),
+      col("o_custkey") === col("__k"), "left_semi")
+    val l = events.select(col("user_id").as("__key"),
+      col("ts").cast(TimestampType).as("__t"), lit(1).as("__tag"),
+      col("event_id"), lit(null).cast(DecimalType(12, 2)).as("__price"))
+    val r = ordPruned.select(col("o_custkey").as("__key"),
+      col("o_orderdate").cast(TimestampType).as("__t"), lit(0).as("__tag"),
+      lit(null).cast(LongType).as("event_id"),
+      Det.dec2(col("o_totalprice")).as("__price"))
+    // order rows sort before event rows at equal time → inclusive ≤
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__n", sum(when(col("__tag") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("__spend", sum(col("__price")).over(w))
+      .withColumn("__last", max(when(col("__tag") === 0, col("__t"))).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("event_id"), col("__key").as("user_id"),
+        col("__n").as("n_orders_before"),
+        coalesce(col("__spend"), lit(BigDecimal("0.00")).cast(DecimalType(12, 2)))
+          .cast(DoubleType).as("spend_before"),
+        expr("(unix_micros(__t) - unix_micros(__last)) div 86400000000")
+          .as("days_since_last"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
     ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample,
-    rs01ReservoirSample, mb01MarketBasket)
+    rs01ReservoirSample, mb01MarketBasket, pit01PointInTime)
 }

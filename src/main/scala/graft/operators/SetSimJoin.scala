@@ -122,5 +122,117 @@ object SetSimJoin {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(ss01SetSimJoin)
+  /** CONTAINMENT self-join — the asymmetric cousin of ss01: pairs
+    * (A, B) with |A∩B| / |A| ≥ τ, i.e. documents whose shingle set is
+    * mostly INSIDE another document's (quote / excerpt / superset
+    * detection — the dedup mode where a page embeds a whole smaller
+    * page, which symmetric Jaccard misses because the union is
+    * dominated by the big side). Prefix filtering adapts: containment
+    * ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, so A's rare-first prefix of length
+    * |A| − ⌈τ·|A|⌉ + 1 must hit B's FULL set (no prefix bound exists
+    * on the container's side — that asymmetry is the difference from
+    * ss01). Candidates are therefore prefix(A) ⋈ full(B) on the
+    * shingle rank — still rare-shingle-driven (common shingles never
+    * enter a prefix), then exact verification on candidates only. The
+    * oracle is the brute-force all-pairs join, proving the pruned
+    * plan exact. τ = 9/10, tested as inter·10 ≥ |A|·9 in exact
+    * integers. */
+  val ss02ContainmentJoin: GraftQuery = q(
+    "ss02_containment_join",
+    "exact containment>=0.9 join over identical-set representatives (quote/excerpt detection)",
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+      |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      |fp AS (
+      |  SELECT doc_id, md5(string_agg(tok, chr(1) ORDER BY tok)) AS f
+      |  FROM sh GROUP BY doc_id),
+      |grp AS (SELECT f, MIN(doc_id) AS rep, COUNT(*) AS n_copies FROM fp GROUP BY f),
+      |rsh AS (SELECT g.rep AS doc_id, s.tok FROM sh s JOIN grp g ON s.doc_id = g.rep),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, inter, sa.sz AS a_sz,
+      |  CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment,
+      |  ga.n_copies AS a_copies, gb.n_copies AS b_copies
+      |FROM p
+      |JOIN sz sa ON sa.doc_id = a_id
+      |JOIN grp ga ON ga.rep = a_id
+      |JOIN grp gb ON gb.rep = b_id
+      |WHERE inter * 10 >= sa.sz * 9
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+      .pinned // fingerprint pass + representative slice
+    // IDENTICAL-SET COLLAPSING before the expensive pass: group docs
+    // by an order-canonical set fingerprint, keep one representative
+    // per group, carry the copy count. This is the curation-funnel
+    // sequencing (exact dedup BEFORE near-dup) applied inside the
+    // operator: on a twin-heavy corpus the true doc-level containment
+    // output is Θ(copies²) — the growth probe's 10× replica alone has
+    // 451,600 identical-twin pairs — while the representative-level
+    // output stays the size of the DISTINCT-set structure.
+    val fp = tok.groupBy("doc_id")
+      .agg(md5(concat_ws("\u0001", sort_array(collect_list(col("tok")))))
+        .as("f"))
+    val grp = fp.groupBy("f")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+    val repTok = tok.join(
+      grp.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    containmentJoin(repTok, tNum = 9, tDen = 10)
+      .join(grp.select(col("rep").as("a_id"), col("n_copies").as("a_copies")),
+        Seq("a_id"))
+      .join(grp.select(col("rep").as("b_id"), col("n_copies").as("b_copies")),
+        Seq("b_id"))
+      .select("a_id", "b_id", "inter", "a_sz", "containment",
+        "a_copies", "b_copies")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Prefix-filtered exact containment ≥ tNum/tDen join over an
+    * element table (doc_id, tok), asymmetric: output (a_id, b_id)
+    * means a's set is ≥τ contained in b's. Factored like
+    * [[setsimJoin]] so specs can drive threshold edges and crafted
+    * subset pairs. */
+  def containmentJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val tok = elements.pinned // prefix build + candidate probe + 2 verify joins
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val ord = tf.withColumn("srank",
+      row_number().over(Window.orderBy(col("tf"), col("tok"))).cast(LongType))
+      .select("tok", "srank")
+    val ranked = tok.join(ord, Seq("tok")).pinned // prefix side + probe side
+    val wDoc = Window.partitionBy("doc_id").orderBy("srank")
+    val pref = ranked
+      .withColumn("pos", row_number().over(wDoc).cast(LongType))
+      .join(sz, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id").as("a_id"), col("srank"))
+    // asymmetric candidates: A's prefix against B's FULL ranked set
+    val cand = pref.join(
+        ranked.select(col("doc_id").as("b_id"), col("srank")), Seq("srank"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val inter = cand
+      .join(tok.as("ta"), col("ta.doc_id") === col("a_id"))
+      .join(tok.as("tb"),
+        col("tb.doc_id") === col("b_id") && col("tb.tok") === col("ta.tok"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+      .filter(col("inter") * tDen >= col("a_sz") * tNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("a_sz"),
+        (col("inter").cast(DoubleType) / col("a_sz").cast(DoubleType))
+          .as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(ss01SetSimJoin, ss02ContainmentJoin)
 }

@@ -724,10 +724,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** FEATURE HASHING (the "hashing trick", Weinberger et al. 2009) —
+    * fixed-dimension text vectorization with NO vocabulary pass: each
+    * token hashes to one of K=64 buckets with a hash-derived ±1 sign
+    * (the sign makes collision noise zero-mean), and a document's
+    * vector is the signed count per bucket. This is the featurizer a
+    * pipeline uses when a vocabulary table is unaffordable or must be
+    * training-free — dimensionality is fixed up front, new tokens
+    * never resize anything, and the transform is stateless so train
+    * and serving paths cannot skew. Shape: explode to token instances
+    * (the only inflation), map-side bucket/sign arithmetic, one
+    * partial+final aggregation on (doc, bucket) — the shuffle carries
+    * at most 64 partials per doc per task regardless of document
+    * length. The md5-derived hash family is the corpus-wide
+    * convention both engines can evaluate, so values hash-match. */
+  val fh01FeatureHashing: GraftQuery = q(
+    "fh01_feature_hashing",
+    "hashing-trick vectorization: 64 signed buckets, vocabulary-free, map+one agg",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id < 50),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(CONCAT('0x', SUBSTRING(md5('fh:' || w), 1, 8)) AS BIGINT) % 64 AS bucket,
+      |    CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5('fh:' || w), 9, 1)) AS BIGINT) % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM toks)
+      |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS value
+      |FROM h GROUP BY doc_id, bucket
+      |HAVING SUM(sgn) <> 0
+      |ORDER BY doc_id, bucket""".stripMargin) { (s, d) =>
+    val hash = md5(concat(lit("fh:"), col("w")))
+    val bucket = conv(substring(hash, 1, 8), 16, 10).cast(LongType) % 64
+    val sgn = when(conv(substring(hash, 9, 1), 16, 10).cast(LongType) % 2 === 0, 1)
+      .otherwise(-1)
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), bucket.as("bucket"), sgn.as("sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sgn")).cast(LongType).as("value"))
+      .filter(col("value") =!= 0)
+      .orderBy("doc_id", "bucket")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
     tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
     fz01FuzzyJoin, oov01VocabCoverage, bm01Bm25, nu01NfcNormalize,
-    pr01PiiRedact)
+    pr01PiiRedact, fh01FeatureHashing)
 }

@@ -89,4 +89,53 @@ class SetSimSpec extends AnyFunSuite {
       4L -> ((1 to 18).map(i => s"t$i") ++ Seq("y1", "y2"))))
     assert(run(tok, 9, 10) == brute(tok, 9, 10))
   }
+
+  /** brute-force containment: all pairs (a≠b), |A∩B|·tDen ≥ |A|·tNum */
+  private def bruteCont(tok: DataFrame, tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] = {
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    tok.select(col("doc_id").as("a_id"), col("tok"))
+      .join(tok.select(col("doc_id").as("b_id"), col("tok").as("tb")),
+        col("tok") === col("tb") && col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+      .filter(col("inter") * tDen >= col("a_sz") * tNum)
+      .select("a_id", "b_id", "inter", "a_sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  private def runCont(tok: DataFrame, tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    SetSimJoin.containmentJoin(tok, tNum, tDen)
+      .select("a_id", "b_id", "inter", "a_sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("containment join: strict subsets, asymmetry, threshold edges match brute force") {
+    // τ = 9/10. Doc 1 ⊂ doc 2 (containment 1.0 forward, 10/20 = 0.5
+    // reverse — asymmetry must hold). Doc 3 has 9 of its 10 elements
+    // in doc 2 → exactly 0.9, must be KEPT. Doc 4 has 8/10 → dropped.
+    val tok = toTok(Seq(
+      1L -> (1 to 10).map(i => s"e$i"),
+      2L -> (1 to 20).map(i => s"e$i"),
+      3L -> ((1 to 9).map(i => s"e$i") :+ "z3"),
+      4L -> ((1 to 8).map(i => s"e$i") ++ Seq("z4a", "z4b"))))
+    val got = runCont(tok, 9, 10)
+    val want = bruteCont(tok, 9, 10)
+    assert(got == want, s"got=$got want=$want")
+    assert(want.contains((1L, 2L, 10L, 10L)), "strict subset kept, containment 1.0")
+    assert(!want.exists(p => p._1 == 2L && p._2 == 1L),
+      "reverse direction (0.5) must NOT qualify — containment is asymmetric")
+    assert(want.contains((3L, 2L, 9L, 10L)), "exact-threshold 0.9 pair kept")
+    assert(!want.exists(_._1 == 4L), "0.8 pair dropped")
+  }
+
+  test("ss02 containment on the real corpus equals brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.functions.TextFunctions
+    val tok = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+    assert(runCont(tok, 9, 10) == bruteCont(tok, 9, 10))
+  }
 }
