@@ -92,7 +92,16 @@ object ScaleUp {
       .repartition(k * 2).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
 
-    println(s"wrote ${k}x replicas of documents/embeddings/events/orders/lineitem to $out")
+    // customer rides the same custShift as orders so FK joins (q55's
+    // NOT IN probe, q48's bucketed join family) stay consistent per copy
+    val cust = Tables.customer(spark, src)
+    cust.crossJoin(copies)
+      .select((col("c_custkey") + col("copy") * custShift).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(k * 2).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+
+    println(s"wrote ${k}x replicas of documents/embeddings/events/orders/lineitem/customer to $out")
     spark.stop()
   }
 }

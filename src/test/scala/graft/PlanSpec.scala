@@ -357,4 +357,19 @@ class PlanSpec extends AnyFunSuite {
       "triangle closure must be a semi probe\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q55: nullable NOT IN plans null-aware (UNKNOWN honored); null-free variants stay hash anti joins") {
+    // Spark 3.1+ plans single-column NOT IN as a null-aware
+    // BroadcastHashJoin — "LeftAnti, BuildRight, true", the trailing
+    // flag being isNullAwareAntiJoin — rather than the legacy
+    // BroadcastNestedLoopJoin. The flag is what honors UNKNOWN; the
+    // NOT EXISTS variant must stay a plain (false) anti join.
+    val p = plan("q55_null_aware_anti")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      "nullable NOT IN must plan a null-aware anti join\n" + p.take(3000))
+    assert(p.contains("LeftAnti, BuildRight, false"),
+      "NOT EXISTS must stay a plain hash anti join\n" + p.take(3000))
+    assert("LeftAnti".r.findAllIn(p).size >= 3,
+      "all three variants plan anti joins\n" + p.take(3000))
+  }
 }
