@@ -231,5 +231,6 @@ object Registry {
       graft.operators.HierarchyQueries.all ++
       graft.operators.SpectralQueries.all ++
       graft.operators.SetSimJoin.all ++
+      graft.operators.ManifestSkipping.all ++
       graft.sources.SynthQueries.all
 }
