@@ -55,7 +55,13 @@ object ExplainDump {
     "mb01_market_basket" ->
       "Association rules: the pair generator is an equi-join on the basket key of the distinct item frame (output bounded by per-basket item counts, not corpus size); the |parts|-bounded margins join WITHOUT a broadcast hint (size-based planning broadcasts while they fit, degrading to shuffle at scale instead of OOM) and only the provably-1-row basket count is hint-broadcast.",
     "rr01_rrf_fusion" ->
-      "RRF hybrid retrieval: each leg ends in TakeOrderedAndProject (k-bounded heaps, no global sort) after a map-side scoring pass; the fusion full-outer join runs on two <=50-row frames — constant work regardless of corpus scale; the vector leg's 1-row query side is limit(1)-bounded and broadcast."
+      "RRF hybrid retrieval: each leg ends in TakeOrderedAndProject (k-bounded heaps, no global sort) after a map-side scoring pass; the fusion full-outer join runs on two <=50-row frames — constant work regardless of corpus scale; the vector leg's 1-row query side is limit(1)-bounded and broadcast.",
+    "ng01_native_ngrams" ->
+      "The native ngram_explode Generator runs inside Generate over the scan (streaming one (pos, gram) row at a time — no per-document gram array is materialized, unlike the transform+explode composition); downstream is partial-aggregated HashAggregate on gram and a corpus-wide top-10 via TakeOrderedAndProject.",
+    "dc02_semantic_decontam" ->
+      "Semantic decontamination in the IVF serving shape: the fixed-size eval side is broadcast (BroadcastHashJoin on cid), candidates meet only within a coarse-quantizer cell, and cosine (native codegen'd dot_product/l2_norm) is evaluated on candidates only — never corpus x eval.",
+    "dr01_distribution_drift" ->
+      "Snapshot drift: bin id and epoch hash are map-side scalar expressions feeding ONE partial-aggregated groupBy on (source, bin); every operator after the first aggregate runs on a sources x bins frame (~tens of rows at any corpus size)."
   )
 
   def main(args: Array[String]): Unit = {

@@ -874,9 +874,68 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  /** Distribution-drift audit between two corpus snapshots — the
+    * check a training pipeline runs before admitting a new crawl:
+    * per source, compare the doc-length histogram of snapshot A
+    * against snapshot B and report total-variation distance. The
+    * epoch split is md5-parity of doc_id (the st02 deterministic-hash
+    * idiom) — a plain `doc_id % 2` would alias with the generator's
+    * round-robin source assignment and leave every source entirely in
+    * one epoch. TVD is computed EXACTLY in
+    * integers — Σ|ca·nb − cb·na| over bins, divided once at the end
+    * by 2·na·nb — so both engines hash identically (no per-bin float
+    * ratios, the ws01/ev09 discrete-exactness discipline). Scale
+    * shape: one map pass (bin id is map-side arithmetic) into a
+    * partial-aggregated groupBy on (source, bin); everything after
+    * lives on a sources×bins frame (~tens of rows at any corpus
+    * size), so the drift math itself is free. */
+  val dr01DistributionDrift: GraftQuery = q(
+    "dr01_distribution_drift",
+    "per-source snapshot drift: exact-integer total-variation distance over length bins",
+    """WITH b AS (
+      |  SELECT source, LEAST(n_chars // 100, 5) AS bin,
+      |    CAST(CONCAT('0x', SUBSTRING(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 AS isa
+      |  FROM documents),
+      |binned AS (
+      |  SELECT source, bin,
+      |    CAST(COUNT(*) FILTER (isa) AS BIGINT) AS ca,
+      |    CAST(COUNT(*) FILTER (NOT isa) AS BIGINT) AS cb
+      |  FROM b GROUP BY source, bin),
+      |tot AS (
+      |  SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM binned GROUP BY source)
+      |SELECT b.source, t.na, t.nb,
+      |  CAST(SUM(ABS(b.ca * t.nb - b.cb * t.na)) AS BIGINT) AS drift_num,
+      |  CAST(SUM(ABS(b.ca * t.nb - b.cb * t.na)) AS DOUBLE)
+      |    / CAST(2 * t.na * t.nb AS DOUBLE) AS tvd
+      |FROM binned b JOIN tot t USING (source)
+      |GROUP BY b.source, t.na, t.nb ORDER BY b.source""".stripMargin) { (s, d) =>
+    val epoch = conv(substring(md5(concat(lit("epoch:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType) % 2
+    val b = Tables.documents(s, d).select(
+      col("source"),
+      least(expr("n_chars div 100"), lit(5L)).as("bin"),
+      (epoch === 0).as("isa"))
+    val binned = b.groupBy(col("source"), col("bin")).agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val tot = binned.groupBy(col("source")).agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    binned.join(tot, Seq("source"))
+      .groupBy(col("source"), col("na"), col("nb"))
+      .agg(sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .as("drift_num"))
+      .select(col("source"), col("na"), col("nb"), col("drift_num"),
+        (col("drift_num").cast(DoubleType) /
+          (lit(2L) * col("na") * col("nb")).cast(DoubleType)).as("tvd"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
     ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample,
-    rs01ReservoirSample, mb01MarketBasket, pit01PointInTime)
+    rs01ReservoirSample, mb01MarketBasket, pit01PointInTime,
+    dr01DistributionDrift)
 }

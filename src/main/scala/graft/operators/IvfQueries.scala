@@ -463,6 +463,44 @@ object IvfQueries {
       .orderBy("cid")
   }
 
+  /** Semantic decontamination — the embedding-space companion to
+    * dc01's n-gram overlap check: flag corpus vectors whose cosine to
+    * ANY held-out eval vector (vec_id % 50 = 0 plays the benchmark)
+    * exceeds τ. The scale shape is the IVF serving shape, not a
+    * corpus×eval cross join: both sides carry their coarse-quantizer
+    * cell id and candidates meet only on `cid` — the eval suite is a
+    * fixed-size benchmark (KBs at any corpus scale), so its assigned
+    * frame broadcasts and the corpus side stays one linear pass.
+    * Output is the audit a curation run files: which documents are
+    * semantically too close to the eval set, and to how many members.
+    */
+  val dc02SemanticDecontam: GraftQuery = q(
+    "dc02_semantic_decontam",
+    "semantic eval-set decontamination: within-cell cosine vs broadcast eval vectors",
+    s"""WITH $sqlAssign,
+       |ev AS (
+       |  SELECT a.cid, n.embedding, n.nrm FROM assigned a
+       |  JOIN normed n ON n.vec_id = a.vec_id WHERE a.vec_id % 50 = 0),
+       |cs AS (
+       |  SELECT a.vec_id, a.cid, n.embedding, n.nrm FROM assigned a
+       |  JOIN normed n ON n.vec_id = a.vec_id WHERE a.vec_id % 50 <> 0)
+       |SELECT cs.vec_id, cs.cid, COUNT(*) AS n_eval_hits
+       |FROM cs JOIN ev ON ev.cid = cs.cid
+       |  AND ${sqlDot("cs", "ev")} / (cs.nrm * ev.nrm) > 0.3
+       |GROUP BY cs.vec_id, cs.cid ORDER BY cs.vec_id""".stripMargin) { (s, d) =>
+    val assigned = assignedDf(s, d)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val ev = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("cid").as("ecid"), col("embedding").as("ee"))
+    val cs = assigned.filter(col("vec_id") % 50 =!= 0)
+    cs.join(broadcast(ev),
+        col("cid") === col("ecid") &&
+          VectorExpressions.cosine_similarity(col("embedding"), col("ee")) > 0.3)
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy("vec_id")
+  }
+
   /** Topic labeling: the corpus-exploration join of the vector and
     * text families. Documents are assigned to their k-means-trained
     * cell (ivf03's loop, embeddings aligned to docs by id) and each
@@ -716,6 +754,6 @@ object IvfQueries {
 
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
-      ivf06PersistedIndex, sd01SemDedup, cl01ClusterLabels, ann01Recall,
-      pq01AdcSearch)
+      ivf06PersistedIndex, sd01SemDedup, dc02SemanticDecontam,
+      cl01ClusterLabels, ann01Recall, pq01AdcSearch)
 }

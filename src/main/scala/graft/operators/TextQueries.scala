@@ -768,10 +768,98 @@ object TextQueries {
       .orderBy("doc_id", "bucket")
   }
 
+  /** Tokenizer-fertility audit per language — the report a tokenizer
+    * team reads before training: how many subword pre-tokens the
+    * corpus yields per whitespace word, and how many UTF-8 bytes each
+    * pre-token carries. The stand-in subword rule splits words into
+    * maximal vowel/consonant cluster runs (`[aeiou]+|[^aeiou ]+`) —
+    * a deterministic proxy for a BPE segmentation whose fertility
+    * genuinely varies across languages, unlike tx06's word-level
+    * regex which reproduces whitespace tokens 1:1 on this corpus.
+    * High fertility on a language means the tokenizer fragments it
+    * (more sequence length per character of content). Ratios are
+    * single divides of exact integer sums (the tx01 discipline), so
+    * both engines hash identically. Scale shape: one map pass (both
+    * token counts are per-row scalar expressions, codegen'd — no
+    * explode), one partial-aggregated groupBy on the
+    * ~constant-cardinality lang key. */
+  val tx18Fertility: GraftQuery = q(
+    "tx18_fertility",
+    "tokenizer fertility per language: subword pre-tokens per word, bytes per pre-token",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))) AS BIGINT) AS bpe_tokens,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+      |  CAST(SUM(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))) AS DOUBLE)
+      |    / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS fertility,
+      |  CAST(SUM(strlen(text)) AS DOUBLE)
+      |    / CAST(SUM(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))) AS DOUBLE)
+      |    AS bytes_per_token
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val bpe = size(regexp_extract_all(col("text"),
+      lit("[aeiou]+|[^aeiou ]+"), lit(0))).cast(LongType)
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("ws"),
+        bpe.as("bpe"),
+        octet_length(col("text")).cast(LongType).as("nb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("nb")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        col("n_bytes"),
+        (col("bpe_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType))
+          .as("fertility"),
+        (col("n_bytes").cast(DoubleType) / col("bpe_tokens").cast(DoubleType))
+          .as("bytes_per_token"))
+      .orderBy("lang")
+  }
+
+  /** Corpus 4-gram mining through the native [[graft.plans.NGramExplode]]
+    * Generator (the custom-UDTF Catalyst surface): each document
+    * streams its overlapping 4-gram windows as (pos, gram) rows out of
+    * a lazy iterator — no per-document gram ARRAY is ever
+    * materialized, unlike the `explode(transform(sequence(...)))`
+    * composition dc01/dd11 use (see NGramExplode's scaladoc for the
+    * memory argument). Downstream is the standard shape: partial-
+    * aggregated groupBy on gram, then a corpus-wide top-10 through
+    * TakeOrderedAndProject (per-partition partial top-k, 10-row driver
+    * merge — never a global sort). */
+  val ng01NativeNgrams: GraftQuery = q(
+    "ng01_native_ngrams",
+    "top-10 corpus 4-grams via the native ngram_explode Generator (custom UDTF)",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (
+      |  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 3),
+      |    i -> {'pos': CAST(i - 1 AS BIGINT),
+      |          'gram': array_to_string(t[i:i+3], ' ')})) AS win
+      |  FROM tok),
+      |g AS (SELECT doc_id, win.pos AS pos, win.gram AS gram FROM w),
+      |c AS (
+      |  SELECT gram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df,
+      |    MIN(pos) AS min_pos
+      |  FROM g GROUP BY gram)
+      |SELECT gram, n, df, min_pos FROM c
+      |ORDER BY n DESC, gram LIMIT 10""".stripMargin) { (s, d) =>
+    graft.plans.VectorExpressions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.ngram_explode(
+          TextFunctions.tokens(col("text")), 4))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"),
+        min(col("pos")).cast(LongType).as("min_pos"))
+      .orderBy(col("n").desc, col("gram")).limit(10)
+      .select(col("gram"), col("n"), col("df"), col("min_pos"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     tx01TokenStats, tx02QualityScore, tx03LangId, tx04Fingerprint, tx05TermDf,
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
     tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
-    fz01FuzzyJoin, oov01VocabCoverage, bm01Bm25, nu01NfcNormalize,
-    pr01PiiRedact, fh01FeatureHashing)
+    tx18Fertility, ng01NativeNgrams, fz01FuzzyJoin, oov01VocabCoverage,
+    bm01Bm25, nu01NfcNormalize, pr01PiiRedact, fh01FeatureHashing)
 }

@@ -160,6 +160,18 @@ object VectorExpressions {
     call_function("minhash_signature", items,
       org.apache.spark.sql.functions.lit(k))
 
+  /** Generator column: `ngram_explode(tokens, n)` → rows (pos, gram).
+    * Usable anywhere posexplode is (select list, LATERAL VIEW). */
+  def ngram_explode(items: Column, n: Int): Column =
+    call_function("ngram_explode", items,
+      org.apache.spark.sql.functions.lit(n))
+
+  private def ngramN(exprs: Seq[Expression]): Int = exprs(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"ngram_explode n must be an integer literal, got $other")
+  }
+
   private def minhashK(exprs: Seq[Expression]): Int = exprs(1) match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -175,6 +187,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => MinHashSignature(exprs.head, minhashK(exprs)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_explode",
+      exprs => NGramExplode(exprs.head, ngramN(exprs)), "built-in")
   }
 }
 
@@ -201,6 +216,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
             s"minhash_signature k must be an integer literal, got $other")
+        })))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("ngram_explode"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[NGramExplode].getName, "ngram_explode"),
+        (exprs: Seq[Expression]) => NGramExplode(exprs.head, exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"ngram_explode n must be an integer literal, got $other")
         })))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
