@@ -61,7 +61,13 @@ object ExplainDump {
     "dc02_semantic_decontam" ->
       "Semantic decontamination in the IVF serving shape: the fixed-size eval side is broadcast (BroadcastHashJoin on cid), candidates meet only within a coarse-quantizer cell, and cosine (native codegen'd dot_product/l2_norm) is evaluated on candidates only — never corpus x eval.",
     "dr01_distribution_drift" ->
-      "Snapshot drift: bin id and epoch hash are map-side scalar expressions feeding ONE partial-aggregated groupBy on (source, bin); every operator after the first aggregate runs on a sources x bins frame (~tens of rows at any corpus size)."
+      "Snapshot drift: bin id and epoch hash are map-side scalar expressions feeding ONE partial-aggregated groupBy on (source, bin); every operator after the first aggregate runs on a sources x bins frame (~tens of rows at any corpus size).",
+    "pa01_skyline" ->
+      "Pareto frontier: lineitem collapses to its <=50-point quantity domain in one partial-aggregated pass; the dominance test is an anti-join of that bounded frame against its broadcast self — fact rows are never pairwise compared.",
+    "iv01_incremental_join" ->
+      "Join IVM: every incremental leg is a broadcast-delta shape (BroadcastHashJoin on the upsert keys for delete/reinsert, broadcast fact-delta join) — the standing snapshot is never reshuffled; the full-recompute branch exists only to feed the EXCEPT ALL audit.",
+    "ev15_attribution" ->
+      "Last-touch attribution: ONE window pass partitioned by user_id (cardinality grows with the corpus — the sort parallelizes), struct-max picks the latest touch without a per-purchase join; the report aggregates to |channels| rows."
   )
 
   def main(args: Array[String]): Unit = {

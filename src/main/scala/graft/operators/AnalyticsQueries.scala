@@ -932,10 +932,130 @@ object AnalyticsQueries {
       .orderBy("source")
   }
 
+  /** Pareto frontier (skyline): the (quantity, price) points no other
+    * point dominates — better quantity at no-worse price. The corpus-
+    * wide work is ONE partial-aggregated groupBy collapsing lineitem
+    * to its value domain (≤50 distinct quantities — min is exact on
+    * doubles, no accumulation drift); dominance is then an anti-join
+    * of that bounded frame against its broadcast self, never a pass
+    * over fact rows. At 100 TB the aggregate output is still ≤ the
+    * quantity domain, so the skyline step is scale-invariant — the
+    * standard trick for skylines over low-dimensional discrete axes. */
+  val pa01Skyline: GraftQuery = q(
+    "pa01_skyline",
+    "Pareto frontier: undominated (quantity, best-price) points via bounded anti-join",
+    """WITH m AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    MIN(l_extendedprice) AS best_price,
+      |    COUNT(*) AS n_rows
+      |  FROM lineitem GROUP BY 1)
+      |SELECT a.qty, a.best_price, a.n_rows FROM m a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM m b
+      |  WHERE b.qty > a.qty AND b.best_price <= a.best_price)
+      |ORDER BY a.qty""".stripMargin) { (s, d) =>
+    val m = Tables.lineitem(s, d)
+      .groupBy(col("l_quantity").cast(LongType).as("qty"))
+      .agg(min(col("l_extendedprice")).as("best_price"),
+        count(lit(1)).as("n_rows"))
+    val dom = m.select(col("qty").as("bq"), col("best_price").as("bp"))
+    m.join(broadcast(dom),
+        col("bq") > col("qty") && col("bp") <= col("best_price"), "left_anti")
+      .orderBy("qty")
+  }
+
+  /** Incremental view maintenance for a JOIN — the q51 discipline
+    * (incremental ≡ recompute, audited in the result) applied to the
+    * enrichment join a feature pipeline keeps materialized. Standing
+    * state: J_old = R0 ⋈ S0 (orders × customer). A new order batch ΔR
+    * and a customer upsert batch ΔS arrive; the incremental update is
+    *   J_inc = (J_old ∖ rows keyed by ΔS) ∪ (R0 ⋈ ΔS) ∪ (ΔR ⋈ S1)
+    * — delete-then-reinsert for updated dimension keys, plus the new
+    * fact rows against the post-upsert dimension. The report joins
+    * per-segment counts from the incremental result, the full
+    * recompute, and their EXCEPT ALL mismatch (provably 0 rows).
+    * Scale: both deltas are small by construction (real IVM's |Δ| ≪
+    * |base|), so every incremental leg is a broadcast-delta join or a
+    * broadcast-keyed anti-join — the standing snapshot is never
+    * reshuffled; the full recompute exists only for the audit. */
+  val iv01IncrementalJoin: GraftQuery = q(
+    "iv01_incremental_join",
+    "incremental join maintenance: delete/reinsert for dim upserts + fact delta, audited vs recompute",
+    """WITH r0 AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+      |dr AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+      |ds AS (
+      |  SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM customer
+      |  WHERE c_custkey % 10 = 0),
+      |s1 AS (
+      |  SELECT c.c_custkey,
+      |    COALESCE(d.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+      |  FROM customer c LEFT JOIN ds d ON d.c_custkey = c.c_custkey),
+      |j_old AS (
+      |  SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+      |  FROM r0 JOIN customer ON c_custkey = o_custkey),
+      |j_inc AS (
+      |  SELECT * FROM j_old
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM ds)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, d.c_mktsegment, o_totalprice
+      |  FROM r0 JOIN ds d ON d.c_custkey = o_custkey
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, s1.c_mktsegment, o_totalprice
+      |  FROM dr JOIN s1 ON s1.c_custkey = o_custkey),
+      |j_full AS (
+      |  SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+      |  FROM orders JOIN s1 ON s1.c_custkey = o_custkey),
+      |mism AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_mismatch FROM (
+      |    SELECT * FROM j_inc EXCEPT ALL SELECT * FROM j_full
+      |    UNION ALL
+      |    SELECT * FROM j_full EXCEPT ALL SELECT * FROM j_inc) x
+      |  GROUP BY c_mktsegment),
+      |ia AS (SELECT c_mktsegment, COUNT(*) AS n_inc FROM j_inc GROUP BY 1),
+      |fa AS (SELECT c_mktsegment, COUNT(*) AS n_full FROM j_full GROUP BY 1)
+      |SELECT ia.c_mktsegment, ia.n_inc, fa.n_full,
+      |  COALESCE(m.n_mismatch, 0) AS n_mismatch
+      |FROM ia JOIN fa USING (c_mktsegment)
+      |LEFT JOIN mism m USING (c_mktsegment)
+      |ORDER BY ia.c_mktsegment""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val r0 = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val dr = orders.filter(col("o_orderkey") % 5 === 0)
+    val ds = customer.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment"))
+    val s1 = customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(ds.select(col("c_custkey"), col("c_mktsegment").as("upd")),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("upd"), col("c_mktsegment")).as("c_mktsegment"))
+    def enrich(facts: DataFrame, dim: DataFrame): DataFrame =
+      facts.join(dim, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+          col("o_totalprice"))
+    val jOld = enrich(r0, customer.select(col("c_custkey"), col("c_mktsegment")))
+    val jInc = jOld
+      .join(broadcast(ds.select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .unionAll(enrich(r0, broadcast(ds)))
+      .unionAll(enrich(dr, s1))
+    val jFull = enrich(orders, s1)
+    val mism = jInc.exceptAll(jFull).unionAll(jFull.exceptAll(jInc))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_mismatch"))
+    val ia = jInc.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_inc"))
+    val fa = jFull.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_full"))
+    ia.join(fa, Seq("c_mktsegment"))
+      .join(mism, Seq("c_mktsegment"), "left")
+      .na.fill(0L, Seq("n_mismatch"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
     ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample,
     rs01ReservoirSample, mb01MarketBasket, pit01PointInTime,
-    dr01DistributionDrift)
+    dr01DistributionDrift, pa01Skyline, iv01IncrementalJoin)
 }

@@ -628,8 +628,74 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Last-touch attribution — the marketing-analytics classic: each
+    * purchase is credited to the SAME user's most recent click/view in
+    * the preceding 24 hours (or 'none'). The per-purchase touch is one
+    * ordered window pass per user — `max(struct(ts, event_id, type))`
+    * over preceding rows picks the latest touch lexicographically
+    * (exactly the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1
+    * lateral), so ts ties break identically in both engines. The
+    * report aggregates to |channels| rows; the time-gap statistic is a
+    * single divide of an exact integer µs sum (the ev09 discipline).
+    * Scale: the window's partition key is user_id — cardinality grows
+    * WITH the corpus, so the sort parallelizes (no 3-partition window
+    * hazard); one shuffle on user_id total. */
+  val ev15Attribution: GraftQuery = q(
+    "ev15_attribution",
+    "last-touch purchase attribution: latest prior click/view within 24h, per-channel report",
+    """WITH p AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    t.event_type AS touch_type, t.ts AS touch_ts
+      |  FROM events e
+      |  LEFT JOIN LATERAL (
+      |    SELECT t.event_type, t.ts FROM events t
+      |    WHERE t.user_id = e.user_id
+      |      AND t.event_type IN ('click', 'view')
+      |      AND (epoch_us(t.ts) < epoch_us(e.ts)
+      |           OR (epoch_us(t.ts) = epoch_us(e.ts) AND t.event_id < e.event_id))
+      |      AND epoch_us(t.ts) >= epoch_us(e.ts) - 86400000000
+      |    ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) t ON TRUE
+      |  WHERE e.event_type = 'purchase'),
+      |lbl AS (
+      |  SELECT COALESCE(touch_type, 'none') AS channel,
+      |    user_id, epoch_us(ts) - epoch_us(touch_ts) AS gap_us
+      |  FROM p)
+      |SELECT channel, COUNT(*) AS n_purchases,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(gap_us) AS DOUBLE)
+      |    / CAST(COUNT(gap_us) * 1000000 AS DOUBLE) AS avg_gap_s
+      |FROM lbl GROUP BY channel ORDER BY channel""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val isTouch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastTouch = max(when(isTouch,
+      struct(col("ts"), col("event_id"), col("event_type")))).over(w)
+    val attributed = ev
+      .withColumn("lt", lastTouch)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("lt.event_type").as("touch_type"), col("lt.ts").as("touch_ts"))
+      // 24h validity: a touch older than the lookback is no touch
+      .withColumn("valid", col("touch_ts").isNotNull &&
+        unix_micros(col("touch_ts")) >= unix_micros(col("ts")) - 86400000000L)
+      .select(
+        when(col("valid"), col("touch_type")).otherwise(lit("none")).as("channel"),
+        col("user_id"),
+        when(col("valid"),
+          unix_micros(col("ts")) - unix_micros(col("touch_ts"))).as("gap_us"))
+    attributed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(col("gap_us")).cast(DoubleType) /
+          (count(col("gap_us")) * 1000000L).cast(DoubleType)).as("avg_gap_s"))
+      .orderBy("channel")
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
     ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
-    ev12LatenessAudit, ev13CepPattern, ev14DecayScore, cp01Changepoint)
+    ev12LatenessAudit, ev13CepPattern, ev14DecayScore, ev15Attribution,
+    cp01Changepoint)
 }

@@ -50,7 +50,15 @@ class BroadcastGuardSpec extends AnyFunSuite {
     "ev12_lateness_audit" ->
       ("watermark table = one row per 5-minute trigger batch — bounded " +
         "by wall-clock span (a year ≈ 105k rows ≈ 2 MB), not event " +
-        "volume; testdata only grows it until every slot is occupied"))
+        "volume; testdata only grows it until every slot is occupied"),
+    "dc02_semantic_decontam" ->
+      ("eval side = held-out benchmark embeddings (vec_id % 50 = 0 in " +
+        "testdata); same fixed-eval-artifact reason as dc01 — a real " +
+        "eval suite is a few thousand vectors regardless of corpus size"),
+    "iv01_incremental_join" ->
+      ("hinted frames are the dimension-upsert batch ΔS (c_custkey % 10 " +
+        "= 0 in testdata); production deltas are bounded by the upsert " +
+        "batch, not the standing table — same reason as dd12's shard"))
 
   /** Broadcast-hinted subtrees of an analyzed plan, traversal order. */
   private def hintedSubtrees(plan: LogicalPlan): Seq[LogicalPlan] =
