@@ -47,7 +47,7 @@ object ExplainDump {
     "pc01_power_iteration" ->
       "Distributed PCA split: the plan below is only the returned 64-row local relation — the corpus-touching work ran eagerly at build time as ONE typed-Aggregator aggregation (partial ObjectHashAggregate per task folding rows into the constant 4096-long Gram buffer, one final merge), one scan, no join, no corpus shuffle; the eigensolve runs on the collected d×d matrix (the bounded collect MLlib's RowMatrix PCA also performs). SpectralSpec asserts the aggregation is partitioning-invariant — the distributed-merge law the plan can't show.",
     "ss01_setsim_join" ->
-      "Prefix-filtered set-similarity join: every join in the plan is an equi-join (SortMergeJoin on the prefix-shingle rank for candidates, on doc_id/shingle for verification) — no CartesianProduct, no BroadcastNestedLoopJoin; the shingle frequency rank runs over the vocabulary-bounded distinct-shingle table, and the corpus-sized shingle frame is an InMemoryRelation pinned once and reused by all three consumers.",
+      "Prefix-filtered set-similarity join, rank-array form: each doc is ONE row carrying its packed rank array; the candidate join is an equi-join on the prefix-shingle rank with the lossless PPJoin length + positional filters fused into the join condition (pruned BEFORE the distinct), and verification is a per-row array_intersect of two long arrays — no CartesianProduct, no re-explosion of the shingle stream; the per-doc array frame is an InMemoryRelation pinned once and reused by all three consumers.",
     "aj04_asof_nearest" ->
       "Nearest as-of join: BOTH directional scans (latest-prior carry and earliest-next probe) appear as last()/first() inside a SINGLE Window operator over one Exchange + one Sort — nearest costs exactly one directional as-of; the semi-join prunes right rows whose key never occurs on the left before the sort.",
     "gr04_triangles" ->

@@ -75,45 +75,76 @@ object SetSimJoin {
       tNum = 3, tDen = 5)
   }
 
+  /** Each document collapsed to ONE row: its rare-first-sorted rank
+    * array (srank ↔ shingle is a bijection, so every set operation
+    * downstream runs on packed longs, never strings), size, and safe
+    * prefix length sz − ⌈τ·sz⌉ + 1. The global rank window runs over
+    * the shingle VOCABULARY (bounded), never the corpus; attaching
+    * ranks is one corpus-stream equi-join and the per-doc sort happens
+    * INSIDE `sort_array` on a ≤doc-length array — no per-doc
+    * row_number window over the exploded shingle stream. Per-row
+    * state is bounded by document length, the same bound the corpus
+    * already imposes. */
+  private def rankedDocs(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    // the exploded shingle stream feeds BOTH the frequency table and
+    // the rank-attach join — pin it or it is recomputed from the scan
+    val tok = elements.pinned
+    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val ord = tf.withColumn("srank",
+      row_number().over(Window.orderBy(col("tf"), col("tok"))).cast(LongType))
+      .select("tok", "srank")
+    tok.join(ord, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("srank"))).as("ranks"))
+      .withColumn("sz", size(col("ranks")).cast(LongType))
+      // p = sz − ⌈τ·sz⌉ + 1, integer ceil = (tNum·sz + tDen − 1) div tDen
+      .withColumn("plen",
+        (col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
+          .cast(IntegerType))
+      .select(col("doc_id"), col("sz"), col("ranks"), col("plen"))
+  }
+
   /** Prefix-filtered exact Jaccard ≥ tNum/tDen self-join over an
     * element table (doc_id, tok) — tok multiplicities must already be
     * deduplicated per doc. Factored from ss01 so specs can drive it
     * with crafted sets (threshold edges, containment pairs). */
   def setsimJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    // elements read 3× (prefix build, two verify joins) — pin once
-    val tok = elements.pinned
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // global shingle order, rare-first: rank window over the shingle
-    // VOCABULARY (bounded), never the corpus
-    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val ord = tf.withColumn("srank",
-      row_number().over(Window.orderBy(col("tf"), col("tok"))).cast(LongType))
-      .select("tok", "srank")
-    // per-doc rare-first position + safe prefix length
-    // p = sz − ⌈τ·sz⌉ + 1, integer ceil = (tNum·sz + tDen − 1) div tDen
-    val wDoc = Window.partitionBy("doc_id").orderBy("srank")
-    val pref = tok.join(ord, Seq("tok"))
-      .withColumn("pos", row_number().over(wDoc).cast(LongType))
-      .join(sz, Seq("doc_id"))
-      .filter(col("pos") <=
-        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("doc_id"), col("srank"))
-    // candidates: prefix-shingle collision, deduped
+    // per-doc array form read 3× (candidates + both verify sides)
+    val byDoc = rankedDocs(elements, tNum, tDen).pinned
+    // prefix entries with their 1-based rare-first position (for the
+    // positional filter) and the doc size (for the length filter)
+    val pref = byDoc.select(col("doc_id"), col("sz"),
+        posexplode(slice(col("ranks"), lit(1), col("plen"))))
+      .select(col("doc_id"), col("sz"),
+        (col("pos") + 1).as("pos"), col("col").as("srank"))
+    // candidates: prefix-shingle collision, pruned by the two LOSSLESS
+    // PPJoin filters before the distinct —
+    //  length: jac ≥ τ forces τ·|x| ≤ |y| ≤ |x|/τ (both directions);
+    //  positional: at the pair's FIRST collision (positions i, j), the
+    //  overlap is ≤ 1 + min(sa−i, sb−j), and jac ≥ τ needs
+    //  inter·(tNum+tDen) ≥ tNum·(sa+sb) — a qualifying pair always
+    //  passes at its first collision, so keeping pairs where ANY
+    //  collision passes drops no true pair (Xiao et al., WWW 2008)
     val cand = pref.as("pa").join(pref.as("pb"),
         col("pa.srank") === col("pb.srank") &&
-          col("pa.doc_id") < col("pb.doc_id"))
+          col("pa.doc_id") < col("pb.doc_id") &&
+          col("pb.sz") * tDen >= col("pa.sz") * tNum &&
+          col("pa.sz") * tDen >= col("pb.sz") * tNum &&
+          (lit(1) + least(col("pa.sz") - col("pa.pos"),
+            col("pb.sz") - col("pb.pos"))) * (tNum + tDen) >=
+            (col("pa.sz") + col("pb.sz")) * tNum)
       .select(col("pa.doc_id").as("a_id"), col("pb.doc_id").as("b_id"))
       .distinct()
-    // exact verification on candidates only: two equi-joins back to
-    // the shingle table give the true intersection size
-    val inter = cand
-      .join(tok.as("ta"), col("ta.doc_id") === col("a_id"))
-      .join(tok.as("tb"),
-        col("tb.doc_id") === col("b_id") && col("tb.tok") === col("ta.tok"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sa")), Seq("a_id"))
-      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("sb")), Seq("b_id"))
+    // exact verification on candidates only: per-row intersection of
+    // the two packed rank arrays — two narrow equi-joins on doc_id,
+    // no re-explosion of the shingle stream
+    cand
+      .join(byDoc.select(col("doc_id").as("a_id"), col("ranks").as("ra"),
+        col("sz").as("sa")), Seq("a_id"))
+      .join(byDoc.select(col("doc_id").as("b_id"), col("ranks").as("rb"),
+        col("sz").as("sb")), Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ra"), col("rb"))).cast(LongType))
       .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
       .filter(col("inter") * tDen >= col("union_sz") * tNum)
       .select(col("a_id"), col("b_id"), col("inter"), col("union_sz"),
@@ -201,32 +232,34 @@ object SetSimJoin {
     * [[setsimJoin]] so specs can drive threshold edges and crafted
     * subset pairs. */
   def containmentJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val tok = elements.pinned // prefix build + candidate probe + 2 verify joins
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val ord = tf.withColumn("srank",
-      row_number().over(Window.orderBy(col("tf"), col("tok"))).cast(LongType))
-      .select("tok", "srank")
-    val ranked = tok.join(ord, Seq("tok")).pinned // prefix side + probe side
-    val wDoc = Window.partitionBy("doc_id").orderBy("srank")
-    val pref = ranked
-      .withColumn("pos", row_number().over(wDoc).cast(LongType))
-      .join(sz, Seq("doc_id"))
-      .filter(col("pos") <=
-        col("sz") - expr(s"($tNum * sz + ${tDen - 1}) div $tDen") + 1)
-      .select(col("doc_id").as("a_id"), col("srank"))
-    // asymmetric candidates: A's prefix against B's FULL ranked set
-    val cand = pref.join(
-        ranked.select(col("doc_id").as("b_id"), col("srank")), Seq("srank"))
-      .filter(col("a_id") =!= col("b_id"))
+    // per-doc array form read 3× (A-prefix, B-probe, both verify sides)
+    val byDoc = rankedDocs(elements, tNum, tDen).pinned
+    // asymmetric candidates: A's prefix against B's FULL ranked set,
+    // pruned by the containment forms of the lossless filters —
+    //  length: inter ≥ ⌈τ·|A|⌉ and inter ≤ |B| force |B|·tDen ≥ |A|·tNum;
+    //  positional: at the pair's first collision (positions i, j) the
+    //  overlap is ≤ 1 + min(sa−i, sb−j), which must reach ⌈τ·|A|⌉
+    val pref = byDoc.select(col("doc_id").as("a_id"), col("sz").as("sa"),
+        posexplode(slice(col("ranks"), lit(1), col("plen"))))
+      .select(col("a_id"), col("sa"), (col("pos") + 1).as("i"),
+        col("col").as("srank"))
+    val probe = byDoc.select(col("doc_id").as("b_id"), col("sz").as("sb"),
+        posexplode(col("ranks")))
+      .select(col("b_id"), col("sb"), (col("pos") + 1).as("j"),
+        col("col").as("srank"))
+    val cand = pref.join(probe, Seq("srank"))
+      .filter(col("a_id") =!= col("b_id") &&
+        col("sb") * tDen >= col("sa") * tNum &&
+        (lit(1) + least(col("sa") - col("i"), col("sb") - col("j"))) * tDen >=
+          col("sa") * tNum)
       .select("a_id", "b_id").distinct()
-    val inter = cand
-      .join(tok.as("ta"), col("ta.doc_id") === col("a_id"))
-      .join(tok.as("tb"),
-        col("tb.doc_id") === col("b_id") && col("tb.tok") === col("ta.tok"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+    cand
+      .join(byDoc.select(col("doc_id").as("a_id"), col("ranks").as("ra"),
+        col("sz").as("a_sz")), Seq("a_id"))
+      .join(byDoc.select(col("doc_id").as("b_id"), col("ranks").as("rb")),
+        Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("ra"), col("rb"))).cast(LongType))
       .filter(col("inter") * tDen >= col("a_sz") * tNum)
       .select(col("a_id"), col("b_id"), col("inter"), col("a_sz"),
         (col("inter").cast(DoubleType) / col("a_sz").cast(DoubleType))
@@ -234,5 +267,71 @@ object SetSimJoin {
       .orderBy("a_id", "b_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(ss01SetSimJoin, ss02ContainmentJoin)
+  /** Twin-safe Jaccard self-join: ss01's semantics routed through
+    * ss02's identical-set collapse — the variant a twin-heavy corpus
+    * (crawl mirrors, boilerplate families) must run, because doc-level
+    * output is Θ(copies²) when every page has mirrors (see SCALING's
+    * set-similarity section: the 100× replica probe makes doc-level
+    * ss01 un-runnable by OUTPUT size alone, no candidate scheme
+    * escapes it). Identical shingle sets collapse to their min-doc_id
+    * representative (order-canonical md5 fingerprint) with copy counts
+    * carried; the prefix-filtered rank-array join then runs on the
+    * DISTINCT-set structure, whose size tracks content diversity, not
+    * duplication. Output = representative pairs + both copy counts —
+    * enough to reconstruct every doc-level pair without materializing
+    * them. */
+  val ss03SetSimRepresentatives: GraftQuery = q(
+    "ss03_setsim_representatives",
+    "twin-safe exact Jaccard>=0.6 join: identical-set collapse, then representative-level PPJoin",
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tok
+      |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      |fp AS (
+      |  SELECT doc_id, md5(string_agg(tok, chr(1) ORDER BY tok)) AS f
+      |  FROM sh GROUP BY doc_id),
+      |grp AS (SELECT f, MIN(doc_id) AS rep, COUNT(*) AS n_copies FROM fp GROUP BY f),
+      |rsh AS (SELECT g.rep AS doc_id, s.tok FROM sh s JOIN grp g ON s.doc_id = g.rep),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM rsh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT a_id, b_id, inter,
+      |  sa.sz + sb.sz - inter AS union_sz,
+      |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac,
+      |  ga.n_copies AS a_copies, gb.n_copies AS b_copies
+      |FROM p
+      |JOIN sz sa ON sa.doc_id = a_id
+      |JOIN sz sb ON sb.doc_id = b_id
+      |JOIN grp ga ON ga.rep = a_id
+      |JOIN grp gb ON gb.rep = b_id
+      |WHERE inter * 5 >= 3 * (sa.sz + sb.sz - inter)
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("tok"))
+      .pinned // fingerprint pass + representative slice
+    val fp = tok.groupBy("doc_id")
+      .agg(md5(concat_ws("\u0001", sort_array(collect_list(col("tok")))))
+        .as("f"))
+    val grp = fp.groupBy("f")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+    val repTok = tok.join(
+      grp.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    setsimJoin(repTok, tNum = 3, tDen = 5)
+      .join(grp.select(col("rep").as("a_id"), col("n_copies").as("a_copies")),
+        Seq("a_id"))
+      .join(grp.select(col("rep").as("b_id"), col("n_copies").as("b_copies")),
+        Seq("b_id"))
+      .select("a_id", "b_id", "inter", "union_sz", "jac",
+        "a_copies", "b_copies")
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(ss01SetSimJoin, ss02ContainmentJoin, ss03SetSimRepresentatives)
 }
