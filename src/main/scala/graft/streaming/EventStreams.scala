@@ -154,6 +154,42 @@ object EventStreams {
       .groupBy("row_j", "bucket").agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming drift-monitor state: the per-(event_type, value-bin)
+    * histogram maintained by the engine as a plain streaming count —
+    * the batch dr01 discipline (exact-integer total-variation
+    * distance) applied to an unbounded stream. State is exactly
+    * |types| × 8 cells, constant however long the stream runs, and the
+    * cell table at any point equals the batch histogram over
+    * everything seen (StreamingSpec pins stream ≡ batch). The TVD
+    * readout against a reference histogram is a bounded batch
+    * computation OVER the cells (two-level aggregation is the
+    * documented reason the readout doesn't ride inside the streaming
+    * query — same split as hllRegisters/cmsCells). */
+  def driftCells(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        least(floor(col("value") / 5).cast("long"), lit(7L)).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+
+  /** Batch readout over [[driftCells]] state: exact-integer TVD of the
+    * live histogram vs a reference cell table (same schema), per
+    * event_type — Σ|n·refTot − ref·liveTot| over bins, one divide at
+    * the end. Runs on ≤ |types|·bins rows regardless of stream age. */
+  def driftReadout(live: DataFrame, reference: DataFrame): DataFrame = {
+    val l = live.select(col("event_type"), col("bin"), col("n").as("nl"))
+    val r = reference.select(col("event_type"), col("bin"), col("n").as("nr"))
+    val cells = l.join(r, Seq("event_type", "bin"), "full_outer")
+      .na.fill(0L, Seq("nl", "nr"))
+    val tot = cells.groupBy("event_type")
+      .agg(sum(col("nl")).as("tl"), sum(col("nr")).as("tr"))
+    cells.join(tot, Seq("event_type"))
+      .groupBy(col("event_type"), col("tl"), col("tr"))
+      .agg(sum(abs(col("nl") * col("tr") - col("nr") * col("tl")))
+        .as("drift_num"))
+      .select(col("event_type"), col("tl"), col("tr"), col("drift_num"),
+        (col("drift_num").cast("double") /
+          (lit(2L) * col("tl") * col("tr")).cast("double")).as("tvd"))
+  }
+
   /** Stream-static enrichment: join a (possibly streaming) event frame
     * against a static dimension table, broadcast to each micro-batch —
     * stateless (no watermark), the production shape for decorating an

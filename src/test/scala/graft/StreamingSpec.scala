@@ -137,6 +137,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("drift monitor builds incrementally: streaming histogram cells ≡ batch; TVD readout exact") {
+    val batchCells = EventStreams.driftCells(Tables.events(spark, sf))
+    val batchRows = batchCells.orderBy("event_type", "bin").collect().toSeq
+    val streamCells = runStream(EventStreams.driftCells, "complete", "drift_cells")
+    assert(streamCells.orderBy("event_type", "bin").collect().toSeq == batchRows)
+    assert(batchRows.nonEmpty)
+    // readout: live vs itself is zero drift; live vs a half-stream
+    // reference is nonzero and bounded by [0, 1]
+    val self = EventStreams.driftReadout(streamCells, batchCells).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Double]("tvd") == 0.0))
+    val half = EventStreams.driftCells(
+      Tables.events(spark, sf).filter(col("event_id") % 2 === 0))
+    val drift = EventStreams.driftReadout(streamCells, half).collect()
+    assert(drift.forall(r => r.getAs[Double]("tvd") >= 0.0 &&
+      r.getAs[Double]("tvd") <= 1.0))
+  }
+
   test("count-min cells build incrementally: streaming cell counts ≡ batch sketch") {
     val batch = EventStreams.cmsCells(Tables.events(spark, sf))
       .orderBy("row_j", "bucket").collect().toSeq
