@@ -693,9 +693,79 @@ object EventQueries {
       .orderBy("channel")
   }
 
+  /** Linear (multi-touch) attribution — ev15's companion: every
+    * click/view in the 24h before a purchase shares the credit
+    * EQUALLY. Credit is exact integer parts-per-million: each touch
+    * gets ⌊1M/n⌋ ppm and the EARLIEST touch absorbs the remainder, so
+    * per-purchase credit sums to exactly 1,000,000 and channel totals
+    * are integer-deterministic (no per-touch float division — the
+    * ev14 quantization discipline). Shapes: one user-keyed interval
+    * join (ev05's shape), windows partitioned by purchase id
+    * (cardinality grows with the corpus), |channels|-row report with
+    * a broadcast 1-row total for the share divide. */
+  val ev16LinearAttribution: GraftQuery = q(
+    "ev16_linear_attribution",
+    "multi-touch linear attribution: exact-ppm credit split across 24h prior touches",
+    """WITH j AS (
+      |  SELECT p.event_id AS pid, t.event_id AS tid, t.event_type AS channel,
+      |    t.ts AS tts
+      |  FROM events p JOIN events t
+      |    ON t.user_id = p.user_id
+      |   AND p.event_type = 'purchase'
+      |   AND t.event_type IN ('click', 'view')
+      |   AND (epoch_us(t.ts) < epoch_us(p.ts)
+      |        OR (epoch_us(t.ts) = epoch_us(p.ts) AND t.event_id < p.event_id))
+      |   AND epoch_us(t.ts) >= epoch_us(p.ts) - 86400000000),
+      |c AS (
+      |  SELECT pid, tid, channel,
+      |    COUNT(*) OVER (PARTITION BY pid) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk
+      |  FROM j),
+      |cr AS (
+      |  SELECT channel,
+      |    1000000 // n + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END AS ppm
+      |  FROM c),
+      |agg AS (
+      |  SELECT channel, COUNT(*) AS n_touches,
+      |    CAST(SUM(ppm) AS BIGINT) AS credit_ppm
+      |  FROM cr GROUP BY channel),
+      |tot AS (SELECT CAST(SUM(credit_ppm) AS BIGINT) AS total FROM agg)
+      |SELECT channel, n_touches, credit_ppm,
+      |  CAST(credit_ppm AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pus"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("tid"), col("user_id"),
+        col("event_type").as("channel"), col("ts").as("tts"),
+        unix_micros(col("ts")).as("tus"))
+    val j = p.join(t, Seq("user_id"))
+      .filter((col("tus") < col("pus") ||
+        (col("tus") === col("pus") && col("tid") < col("pid"))) &&
+        col("tus") >= col("pus") - 86400000000L)
+    val wN = Window.partitionBy(col("pid"))
+    val wR = Window.partitionBy(col("pid")).orderBy(col("tts"), col("tid"))
+    val credited = j
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rk", row_number().over(wR))
+      .select(col("channel"),
+        (expr("1000000 div n") +
+          when(col("rk") === 1, expr("1000000 % n")).otherwise(0L)).as("ppm"))
+    val agg = credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("ppm")).as("credit_ppm"))
+    val tot = agg.agg(sum(col("credit_ppm")).as("total"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_touches"), col("credit_ppm"),
+        (col("credit_ppm").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("share"))
+      .orderBy("channel")
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
     ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
     ev12LatenessAudit, ev13CepPattern, ev14DecayScore, ev15Attribution,
-    cp01Changepoint)
+    ev16LinearAttribution, cp01Changepoint)
 }

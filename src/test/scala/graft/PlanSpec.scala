@@ -372,4 +372,40 @@ class PlanSpec extends AnyFunSuite {
     assert("LeftAnti".r.findAllIn(p).size >= 3,
       "all three variants plan anti joins\n" + p.take(3000))
   }
+
+  test("ng01: native generator runs as Generate ngram_explode; top-10 is TakeOrdered") {
+    val p = plan("ng01_native_ngrams")
+    assert(p.contains("Generate ngramexplode"),
+      "custom Generator must plan through GenerateExec\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("pa01: skyline dominance is a broadcast anti-join over the aggregated domain") {
+    val p = plan("pa01_skyline")
+    assert(p.contains("LeftAnti"),
+      "dominance must plan as an anti join\n" + p.take(3000))
+    // the anti join consumes the aggregate output, so a partial+final
+    // HashAggregate pair sits below it — fact rows never meet pairwise
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("ev15: last-touch attribution runs ONE window pass (user-partitioned)") {
+    val p = plan("ev15_attribution")
+    assert("Window".r.findAllIn(p).size == 1,
+      "expected exactly one WindowExec\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("ss01: candidate and verify joins are all equi-joins; filters fused into the candidate join") {
+    val p = plan("ss01_setsim_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering must never plan a nested-loop pair scan\n" + p.take(3000))
+    // the PPJoin length/positional filters ride the join condition —
+    // visible as a join-level predicate on the sz columns
+    assert(p.contains("array_intersect"),
+      "verification must be the per-row rank-array intersect\n" + p.take(3000))
+  }
 }
