@@ -1010,11 +1010,103 @@ object DedupQueries {
     }
   }
 
+  /** SimHash hamming-ball near-dup join (Manku, Jain & Sarma, WWW
+    * 2007 — the Google web-dedup algorithm): documents whose 60-bit
+    * SimHash fingerprints differ in ≤ 3 bits. The block-permutation
+    * trick makes the hamming join an EQUI-join: split the fingerprint
+    * into 4 contiguous 15-bit blocks — by pigeonhole, any pair within
+    * hamming distance 3 agrees EXACTLY on at least one block — so
+    * candidates are pairs sharing any (block_id, block_value) key and
+    * verification is one popcount on the XOR, map-side. Production
+    * systems size block bits to the corpus (Manku used 64-bit prints
+    * and bigger tables) so per-key buckets stay bounded; the plan
+    * shape — explode k block keys, equi-join, popcount verify — is
+    * unchanged. Complements dd10 (MinHash-LSH, set similarity,
+    * probabilistic) with the bit-fingerprint family (order-sensitive
+    * weighted features, EXACT radius guarantee).
+    *
+    * Identical fingerprints collapse to their min-doc_id
+    * representative FIRST (copy counts carried) — the ss02/ss03
+    * sequencing: on a twin-heavy corpus the doc-level hamming-0
+    * output alone is Θ(copies²) (the 100× growth replica makes that
+    * concrete: ~25M twin pairs), while the representative-level join
+    * is bounded by the DISTINCT-fingerprint structure. Output rows
+    * are near-dup fingerprint FAMILIES: representative pair, hamming
+    * distance, and both copy counts. */
+  val dd17SimhashHamming: GraftQuery = {
+    val Bits = 60
+    val BlockBits = 15
+    val Radius = 3
+    def sqlBitSum(j: Int) =
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), ${1 + j / 4}, 1)) - 1) & ${1 << (j % 4)}) > 0 THEN 1 ELSE -1 END)"
+    val sqlHash = (0 until Bits).map(j =>
+      s"(CASE WHEN ${sqlBitSum(j)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val sqlShift = (0 until 4).map(b =>
+      s"WHEN $b THEN CAST(${1L << (b * BlockBits)} AS BIGINT)")
+      .mkString("CASE b ", " ", s" ELSE CAST(${1L << (3 * BlockBits)} AS BIGINT) END")
+    q("dd17_simhash_hamming",
+      s"SimHash hamming<=$Radius near-dup join: 4x$BlockBits-bit block keys make it an equi-join",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |sh AS (SELECT doc_id, $sqlHash AS h FROM tok GROUP BY doc_id),
+         |fam AS (
+         |  SELECT h, MIN(doc_id) AS rep, COUNT(*) AS n_copies
+         |  FROM sh GROUP BY h),
+         |blocks AS (
+         |  SELECT rep, h, n_copies, b,
+         |    (h // ($sqlShift)) % ${1 << BlockBits} AS bv
+         |  FROM fam, UNNEST([0, 1, 2, 3]) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.rep AS a_id, b.rep AS b_id,
+         |    a.h AS ha, b.h AS hb,
+         |    a.n_copies AS a_copies, b.n_copies AS b_copies
+         |  FROM blocks a JOIN blocks b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.rep < b.rep)
+         |SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+         |  a_copies, b_copies
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $Radius
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      def hexVal(j: Int) =
+        conv(substring(md5(col("w")), 1 + j / 4, 1), 16, 10).cast(LongType)
+      def bitSum(j: Int) =
+        sum(when(hexVal(j).bitwiseAND(lit(1L << (j % 4))) > 0, 1).otherwise(-1))
+      val hashExpr = (0 until Bits).map(j =>
+        when(bitSum(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduceLeft(_ + _)
+      val fam = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id")
+        .agg(hashExpr.as("h"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+      val blocks = fam.select(col("rep"), col("h"), col("n_copies"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            (shiftrightunsigned(col("h"), b * BlockBits) % (1 << BlockBits))
+              .as("bv"))): _*)).as("e"))
+        .select(col("rep"), col("h"), col("n_copies"),
+          col("e.b").as("b"), col("e.bv").as("bv"))
+      val cand = blocks.as("ba").join(blocks.as("bb"),
+          col("ba.b") === col("bb.b") && col("ba.bv") === col("bb.bv") &&
+            col("ba.rep") < col("bb.rep"))
+        .select(col("ba.rep").as("a_id"), col("bb.rep").as("b_id"),
+          col("ba.h").as("ha"), col("bb.h").as("hb"),
+          col("ba.n_copies").as("a_copies"), col("bb.n_copies").as("b_copies"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          expr("bit_count(ha ^ hb)").cast(LongType))
+        .filter(col("hamming") <= Radius)
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          col("a_copies"), col("b_copies"))
+        .orderBy("a_id", "b_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
     dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
-    dd15SortedNeighborhood, dd16SubstringSpans, rb01RepetitionBudget,
-    pd01ChunkDedup)
+    dd15SortedNeighborhood, dd16SubstringSpans, dd17SimhashHamming,
+    rb01RepetitionBudget, pd01ChunkDedup)
 }
