@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -51,7 +52,8 @@ class SynthSource extends TableProvider {
       properties: JMap[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("parts", "8").toInt)
+      properties.getOrDefault("parts", "8").toInt,
+      properties.getOrDefault("batchRows", "250").toLong)
 }
 
 object SynthSource {
@@ -73,16 +75,18 @@ object SynthSource {
   val SQL_GRP = "id % 97"
 }
 
-final class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+final class SynthTable(rows: Long, parts: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name: String = s"graft_synth($rows rows, $parts parts)"
   override def schema: StructType = SynthSource.SCHEMA
   override def capabilities: java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts)
+    new SynthScanBuilder(rows, parts, batchRows)
 }
 
-final class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+final class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 250L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var lo = 0L
@@ -153,7 +157,7 @@ final class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new SynthAggScan(rows, lo, math.max(lo, hi), parts, pushedAggs)
-    else new SynthScan(rows, lo, math.max(lo, hi), parts, required)
+    else new SynthScan(rows, lo, math.max(lo, hi), parts, required, batchRows)
 }
 
 /** Scan serving a pushed group-by-less aggregation: same fixed-width
@@ -204,8 +208,63 @@ final class SynthAggScan(rows: Long, lo: Long, hi: Long, parts: Int,
 
 final case class SynthPartition(start: Long, end: Long) extends InputPartition
 
+/** Stream offset = count of ids emitted so far; JSON round-trips
+  * through the checkpoint log, which is what makes restart exact. */
+final case class SynthOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** The DSv2 STREAMING source contract, same surface Spark's kafka/rate
+  * sources implement: [[MicroBatchStream]] plans each batch as
+  * [start, end) offset ranges; [[SupportsAdmissionControl]] caps a
+  * batch at `batchRows` ids (the maxOffsetsPerTrigger idiom), so a
+  * backlog drains in bounded steps instead of one giant batch; and
+  * [[SupportsTriggerAvailableNow]] lets Trigger.AvailableNow snapshot
+  * the bounded backlog and stop when it's drained. Offsets persist in
+  * the checkpoint log as JSON — a restarted query resumes from the
+  * committed offset and re-emits NOTHING (pinned in SynthSourceSpec).
+  * Partitions reuse the batch grid and reader, so the streamed rows
+  * are bit-identical to the batch scan's. */
+final class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
+    required: StructType) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = SynthOffset(0L)
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(batchRows)
+  // admission-control sources get offsets through the 2-arg overload
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control path")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].v
+    val cap = limit match {
+      case mr: ReadMaxRows => math.min(rows, s + mr.maxRows())
+      case _ => rows
+    }
+    SynthOffset(math.max(s, cap))
+  }
+  override def reportLatestOffset(): Offset = SynthOffset(rows)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].v
+    val e = end.asInstanceOf[SynthOffset].v
+    if (e <= s) Array.empty
+    else {
+      val width = math.max(1L, (rows + parts - 1) / parts)
+      (0L until rows by width).iterator
+        .map(x => SynthPartition(math.max(x, s), math.min(x + width, e)))
+        .filter(p => p.end > p.start).toArray[InputPartition]
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
-    required: StructType) extends Scan with Batch
+    required: StructType, batchRows: Long = 250L) extends Scan with Batch
     with SupportsRuntimeFiltering {
   // runtime-narrowed band: starts at the statically-pushed [lo, hi)
   // and shrinks further when a join-time filter arrives (see below)
@@ -260,6 +319,13 @@ final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required.fieldNames)
+
+  /** Streaming face of the same scan (TableCapability.MICRO_BATCH_READ):
+    * the id space replays as a bounded stream of micro-batches. Column
+    * pruning composes — `required` arrives through the same
+    * ScanBuilder the batch path uses. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(rows, parts, batchRows, required)
 }
 
 final class SynthReaderFactory(cols: Array[String])

@@ -96,4 +96,45 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(r.getLong(2) == (999L * 2654435761L) % 1000003L)
     assert(r.getString(3) == "g" + (999L % 97))
   }
+
+  private def synthStream(rows: Long, batchRows: Long) =
+    spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("parts", "4")
+      .option("batchRows", batchRows.toString).load()
+
+  test("micro-batch stream: AvailableNow drains the backlog in admission-controlled batches; rows ≡ batch scan") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = synthStream(rows = 1000, batchRows = 300)
+      .writeStream.format("memory").queryName("synth_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // admission control (maxRows 300) must split 1000 ids into ≥ 4
+    // micro-batches rather than one giant batch
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    val got = spark.table("synth_stream")
+    assert(got.count() == 1000)
+    // streamed rows are bit-identical to the batch scan's
+    val batch = synth(rows = 1000, parts = 4)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("micro-batch stream: checkpointed restart resumes from the committed offset, re-emitting nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("synth_stream_ckpt")
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def run(rows: Long): Unit = {
+      val q = synthStream(rows, batchRows = 250)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(600)  // first run emits ids [0, 600)
+    run(1000) // restart: the checkpoint holds offset 600 → emits [600, 1000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1000, "restart must not re-emit committed ids")
+    assert(got.select("id").distinct().count() == 1000)
+  }
 }
