@@ -379,7 +379,78 @@ object SimilarityQueries {
     }
   }
 
+  /** kNN classifier evaluation — the harness that tells you whether an
+    * embedding space is any good before you build the ANN index over
+    * it: hold out a FIXED query slice, predict each query's label by
+    * majority vote of its k=5 nearest reference vectors (cosine), and
+    * report the confusion matrix. Prediction ties break by smallest
+    * label, neighbor ties by smallest cand_id — both integer rules, so
+    * the matrix is engine-identical. Scale shape: the query side is a
+    * fixed 64-vector slice (broadcast — scale-invariant, passes the
+    * BroadcastGuardSpec sweep); the reference side streams once
+    * map-side through the codegen'd cosine; per-query windows rank 64
+    * partitions. The |labels|² output is the eval artifact a training
+    * run files next to ann01's recall\@k. */
+  val kn01KnnClassifier: GraftQuery = q(
+    "kn01_knn_classifier",
+    "kNN (k=5) label prediction over held-out queries: majority vote + confusion matrix",
+    s"""WITH qv AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qe,
+       |    SQRT(${sqlNorm2("e")}) AS qnorm, e.label AS true_label
+       |  FROM embeddings e WHERE e.vec_id < 64),
+       |cv AS (
+       |  SELECT e.vec_id AS cand_id, e.embedding AS ce,
+       |    SQRT(${sqlNorm2("e")}) AS cnorm, e.label AS cand_label
+       |  FROM embeddings e WHERE e.vec_id >= 64),
+       |pairs AS (
+       |  SELECT query_id, true_label, cand_id, cand_label,
+       |    ${sqlDotCols("qv", "qe", "cv", "ce")} / (qnorm * cnorm) AS cosine
+       |  FROM qv JOIN cv ON cand_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, true_label, cand_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS rn
+       |  FROM pairs),
+       |votes AS (
+       |  SELECT query_id, true_label, cand_label, COUNT(*) AS nv
+       |  FROM ranked WHERE rn <= 5
+       |  GROUP BY query_id, true_label, cand_label),
+       |pred AS (
+       |  SELECT query_id, true_label, cand_label AS pred_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY nv DESC, cand_label) AS pr
+       |  FROM votes)
+       |SELECT true_label, pred_label, COUNT(*) AS n_queries
+       |FROM pred WHERE pr = 1
+       |GROUP BY true_label, pred_label
+       |ORDER BY true_label, pred_label""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val cv = e.filter(col("vec_id") >= 64)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("label").as("cand_label"))
+    val wNn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val wPred = Window.partitionBy(col("query_id"))
+      .orderBy(col("nv").desc, col("cand_label"))
+    broadcast(qv).join(cv, col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("cand_id"),
+        col("cand_label"), cosineExpr("qe", "ce").as("cosine"))
+      .withColumn("rn", row_number().over(wNn))
+      .filter(col("rn") <= 5)
+      .groupBy(col("query_id"), col("true_label"), col("cand_label"))
+      .agg(count(lit(1)).as("nv"))
+      .withColumn("pr", row_number().over(wPred))
+      .filter(col("pr") === 1)
+      .groupBy(col("true_label"), col("cand_label").as("pred_label"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("true_label", "pred_label")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,
-    sm05Int8Quantize, sm06QuantizedTopK, rp01RandomProjection, rr01RrfFusion)
+    sm05Int8Quantize, sm06QuantizedTopK, rp01RandomProjection, rr01RrfFusion,
+    kn01KnnClassifier)
 }
