@@ -463,6 +463,85 @@ object IvfQueries {
       .orderBy("cid")
   }
 
+  /** Incremental index upsert — the vector-index lifecycle's `add`
+    * operation (FAISS add / Milvus insert): a delta batch of new
+    * vectors (vec_id % 10 = 0 plays the arrivals) is admitted into an
+    * EXISTING index by assigning each new vector to its cell under the
+    * FROZEN coarse quantizer (centroids = the 16 smallest base ids —
+    * training does NOT rerun on ingest; that is the whole point of a
+    * coarse quantizer). The incremental path touches ONLY the delta:
+    * one map-side argmax against the broadcast frozen centroids, then
+    * a per-cell merge of counts — the standing corpus is never
+    * reassigned or reshuffled (dd12's delta-admission discipline on
+    * the vector side, iv01's on the relational side). The audit
+    * column recomputes every cell population from scratch over
+    * base ∪ delta with the same frozen centroids and must equal
+    * n_base + n_delta — the inc ≡ full proof in the result. */
+  val ivf07IndexUpsert: GraftQuery = q(
+    "ivf07_index_upsert",
+    "incremental IVF upsert: delta assigned under frozen centroids, per-cell merge ≡ full recompute",
+    s"""WITH normed AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, SQRT(${sqlNorm2("e")}) AS nrm
+       |  FROM embeddings e),
+       |centroids AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding, nrm AS cnrm FROM normed
+       |  WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT $CELLS),
+       |scored0 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ${sqlDot("v", "c")} / (v.nrm * c.cnrm) AS cos_c
+       |  FROM normed v CROSS JOIN centroids c),
+       |scored AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, cid) AS rc
+       |  FROM scored0),
+       |assigned AS (SELECT vec_id, cid FROM scored WHERE rc = 1),
+       |base AS (
+       |  SELECT cid, COUNT(*) AS n_base FROM assigned
+       |  WHERE vec_id % 10 <> 0 GROUP BY cid),
+       |delta AS (
+       |  SELECT cid, COUNT(*) AS n_delta FROM assigned
+       |  WHERE vec_id % 10 = 0 GROUP BY cid),
+       |full_r AS (SELECT cid, COUNT(*) AS n_full FROM assigned GROUP BY cid)
+       |SELECT f.cid,
+       |  COALESCE(b.n_base, 0) AS n_base,
+       |  COALESCE(d.n_delta, 0) AS n_delta,
+       |  COALESCE(b.n_base, 0) + COALESCE(d.n_delta, 0) AS n_total,
+       |  f.n_full
+       |FROM full_r f
+       |LEFT JOIN base b ON b.cid = f.cid
+       |LEFT JOIN delta d ON d.cid = f.cid
+       |ORDER BY f.cid""".stripMargin) { (s, d) =>
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+    // frozen quantizer: the 16 smallest BASE ids (training never reruns
+    // on ingest); ~16 rows → broadcast exactly like assignedDf's seeds
+    val centArr = e.filter(col("vec_id") % 10 =!= 0)
+      .orderBy("vec_id").limit(CELLS)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cemb")))).as("cents"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          VectorExpressions.cosine_similarity(col("embedding"), c.getField("cemb"))
+            .as("cos_c"),
+          (-c.getField("cid")).as("neg_cid"),
+          c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+      .pinned // base, delta and the full audit read the same assignment
+    val base = assigned.filter(col("vec_id") % 10 =!= 0)
+      .groupBy("cid").agg(count(lit(1)).as("n_base"))
+    val delta = assigned.filter(col("vec_id") % 10 === 0)
+      .groupBy("cid").agg(count(lit(1)).as("n_delta"))
+    val full = assigned.groupBy("cid").agg(count(lit(1)).as("n_full"))
+    full.join(base, Seq("cid"), "left").join(delta, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+      .select(col("cid"), col("n_base"), col("n_delta"),
+        (col("n_base") + col("n_delta")).as("n_total"), col("n_full"))
+      .orderBy("cid")
+  }
+
   /** Semantic decontamination — the embedding-space companion to
     * dc01's n-gram overlap check: flag corpus vectors whose cosine to
     * ANY held-out eval vector (vec_id % 50 = 0 plays the benchmark)
@@ -754,6 +833,6 @@ object IvfQueries {
 
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
-      ivf06PersistedIndex, sd01SemDedup, dc02SemanticDecontam,
-      cl01ClusterLabels, ann01Recall, pq01AdcSearch)
+      ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
+      dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, pq01AdcSearch)
 }
