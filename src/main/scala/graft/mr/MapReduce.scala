@@ -132,16 +132,40 @@ final case class GraftJobException(jobName: String, path: String,
   * strictly more informative and reproducible.
   */
 object ParentStacks {
+  /** Phase 1 of directory-file discovery: the PATH-ONLY scan. Exposed
+    * so PlanSpec can pin that this plan's read schema never includes
+    * `content` — the whole point of the two-phase shape: on an
+    * UNCACHED columnar corpus, finding the ~100 directory files must
+    * cost a path-column scan, not a deserialization of every file's
+    * payload bytes (a row-lambda `filter(r => ...)` forced exactly
+    * that: a typed filter reads whole rows). The predicate runs as a
+    * Column expression over `path` alone, so column pruning holds. */
+  private[graft] def discoveryPlan(files: DataFrame, pred: PathPredicate)
+      : DataFrame = {
+    val matchesPath = org.apache.spark.sql.functions
+      .udf((p: String) => pred.matches(p))
+    files.select(col("path")).filter(matchesPath(col("path")))
+  }
+
   def resolver(files: DataFrame, dirFilter: Option[PathPredicate])
       : String => Seq[Array[Byte]] =
     dirFilter match {
       case None => _ => Nil
       case Some(pred) =>
-        val dirRows = files
-          .filter(r => pred.matches(r.getAs[String]("path"))) // executor-side
+        // phase 1: path-only discovery (column-pruned scan, no content)
+        val dirPaths = discoveryPlan(files, pred).collect().map(_.getString(0))
+        // phase 2: fetch content for ONLY the discovered paths. The
+        // `isin` compiles to an In filter a columnar source pushes
+        // down (row-group skipping), so the content bytes of
+        // non-directory files are never materialized.
+        val dirRows = (if (dirPaths.isEmpty)
+          Array.empty[(String, Int, String, Array[Byte])]
+        else files
+          .filter(col("path").isin(dirPaths.toIndexedSeq: _*))
+          .select(col("dir"), col("depth"), col("path"), col("content"))
           .collect() // only the few matching directory files reach the driver
           .map(r => (r.getAs[String]("dir"), r.getAs[Int]("depth"),
-            r.getAs[String]("path"), r.getAs[Array[Byte]]("content")))
+            r.getAs[String]("path"), r.getAs[Array[Byte]]("content"))))
           .sortBy(t => (t._2, t._3)) // root→leaf, stable within a folder
         path => {
           val fileDir = path.lastIndexOf('/') match {

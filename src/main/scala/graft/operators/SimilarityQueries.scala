@@ -388,9 +388,13 @@ object SimilarityQueries {
     * the matrix is engine-identical. Scale shape: the query side is a
     * fixed 64-vector slice (broadcast — scale-invariant, passes the
     * BroadcastGuardSpec sweep); the reference side streams once
-    * map-side through the codegen'd cosine; per-query windows rank 64
-    * partitions. The |labels|² output is the eval artifact a training
-    * run files next to ann01's recall\@k. */
+    * map-side through the codegen'd cosine as a plain broadcast cross
+    * (the slices are disjoint, so no join predicate — and no
+    * BroadcastNestedLoopJoin per-pair filter); neighbor selection and
+    * the vote argmax both run through the k-bounded TopK operator, so
+    * parallelism is never capped at the 64 query groups the window
+    * idiom would sort in. The |labels|² output is the eval artifact a
+    * training run files next to ann01's recall\@k. */
   val kn01KnnClassifier: GraftQuery = q(
     "kn01_knn_classifier",
     "kNN (k=5) label prediction over held-out queries: majority vote + confusion matrix",
@@ -405,7 +409,7 @@ object SimilarityQueries {
        |pairs AS (
        |  SELECT query_id, true_label, cand_id, cand_label,
        |    ${sqlDotCols("qv", "qe", "cv", "ce")} / (qnorm * cnorm) AS cosine
-       |  FROM qv JOIN cv ON cand_id <> query_id),
+       |  FROM qv CROSS JOIN cv),
        |ranked AS (
        |  SELECT query_id, true_label, cand_label,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -431,19 +435,29 @@ object SimilarityQueries {
     val cv = e.filter(col("vec_id") >= 64)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("label").as("cand_label"))
-    val wNn = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    val wPred = Window.partitionBy(col("query_id"))
-      .orderBy(col("nv").desc, col("cand_label"))
-    broadcast(qv).join(cv, col("cand_id") =!= col("query_id"))
+    // plain broadcast CROSS join: the query (vec_id<64) and reference
+    // (vec_id>=64) slices are disjoint by construction, so a
+    // cand_id<>query_id condition would be vacuous — and worse, it
+    // would plan a BroadcastNestedLoopJoin with a per-pair predicate
+    // instead of the unconditional broadcast product
+    val pairs = broadcast(qv).crossJoin(cv)
       .select(col("query_id"), col("true_label"), col("cand_id"),
         col("cand_label"), cosineExpr("qe", "ce").as("cosine"))
-      .withColumn("rn", row_number().over(wNn))
-      .filter(col("rn") <= 5)
+    // k-bounded TopK instead of a row_number window: the window shape
+    // sorts each query's FULL candidate list in exactly |queries|=64
+    // partitions — a hard parallelism cap. TopK's partial stage keeps
+    // ≤5 rows per query per input partition map-side, so the exchange
+    // carries ≤ 5·64·tasks rows and the scan parallelism is whatever
+    // the corpus scan has. Ties: (cosine desc, cand_id asc) via the
+    // lexicographic struct with negated id.
+    val nn = graft.plans.TopKPerGroup.perGroup(pairs, Seq(col("query_id")),
+      struct(col("cosine"), (-col("cand_id")).as("neg_id")), 5)
+    val votes = nn
       .groupBy(col("query_id"), col("true_label"), col("cand_label"))
       .agg(count(lit(1)).as("nv"))
-      .withColumn("pr", row_number().over(wPred))
-      .filter(col("pr") === 1)
+    // argmax vote = TopK with k=1, ties to the smallest label
+    graft.plans.TopKPerGroup.perGroup(votes, Seq(col("query_id")),
+        struct(col("nv"), (-col("cand_label")).as("neg_label")), 1)
       .groupBy(col("true_label"), col("cand_label").as("pred_label"))
       .agg(count(lit(1)).as("n_queries"))
       .orderBy("true_label", "pred_label")

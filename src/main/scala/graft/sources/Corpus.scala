@@ -93,7 +93,12 @@ object Corpus {
           .as("path"),
         col("length"), col("content")))
     predicate match {
-      case Some(pred) => base.filter(r => pred.matches(r.getAs[String]("path")))
+      // a Column predicate over `path` alone (not a row lambda): the
+      // exact re-check must not force whole-row deserialization —
+      // content bytes stay columnar until a row has matched
+      case Some(pred) =>
+        val matchesPath = udf((p: String) => pred.matches(p))
+        base.filter(matchesPath(col("path")))
       case None => base
     }
   }

@@ -53,10 +53,16 @@ class SynthSource extends TableProvider {
     new SynthTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("parts", "8").toInt,
-      properties.getOrDefault("batchRows", "250").toLong)
+      properties.getOrDefault("batchRows",
+        SynthSource.DEFAULT_BATCH_ROWS.toString).toLong)
 }
 
 object SynthSource {
+  /** Single source of truth for the per-micro-batch admission cap —
+    * previously duplicated as a literal in three signatures, which
+    * could silently drift apart. */
+  val DEFAULT_BATCH_ROWS = 250L
+
   val SCHEMA: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("grp", LongType, nullable = false),
@@ -85,7 +91,8 @@ final class SynthTable(rows: Long, parts: Int, batchRows: Long)
     new SynthScanBuilder(rows, parts, batchRows)
 }
 
-final class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long = 250L)
+final class SynthScanBuilder(rows: Long, parts: Int,
+    batchRows: Long = SynthSource.DEFAULT_BATCH_ROWS)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -225,10 +232,15 @@ final case class SynthOffset(v: Long) extends Offset {
   * committed offset and re-emits NOTHING (pinned in SynthSourceSpec).
   * Partitions reuse the batch grid and reader, so the streamed rows
   * are bit-identical to the batch scan's. */
-final class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
-    required: StructType) extends MicroBatchStream
+final class SynthMicroBatchStream(rows: Long, lo: Long, hi: Long, parts: Int,
+    batchRows: Long, required: StructType) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  override def initialOffset(): Offset = SynthOffset(0L)
+  // the statically-pushed id band [lo, hi): the stream replays ONLY
+  // this band, so a filter-narrowed scan streams the same rows its
+  // batch face would scan. Offset stays "id position", just starting
+  // at lo instead of 0 — checkpoint restart semantics are unchanged.
+  private val bandEnd = math.max(lo, math.min(rows, hi))
+  override def initialOffset(): Offset = SynthOffset(lo)
   override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
   override def prepareForTriggerAvailableNow(): Unit = ()
   override def getDefaultReadLimit: ReadLimit =
@@ -240,17 +252,19 @@ final class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[SynthOffset].v
     val cap = limit match {
-      case mr: ReadMaxRows => math.min(rows, s + mr.maxRows())
-      case _ => rows
+      case mr: ReadMaxRows => math.min(bandEnd, s + mr.maxRows())
+      case _ => bandEnd
     }
     SynthOffset(math.max(s, cap))
   }
-  override def reportLatestOffset(): Offset = SynthOffset(rows)
+  override def reportLatestOffset(): Offset = SynthOffset(bandEnd)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SynthOffset].v
-    val e = end.asInstanceOf[SynthOffset].v
+    val s = math.max(start.asInstanceOf[SynthOffset].v, lo)
+    val e = math.min(end.asInstanceOf[SynthOffset].v, bandEnd)
     if (e <= s) Array.empty
     else {
+      // same fixed-width grid as the batch face, intersected with the
+      // micro-batch's [s, e) slice of the band
       val width = math.max(1L, (rows + parts - 1) / parts)
       (0L until rows by width).iterator
         .map(x => SynthPartition(math.max(x, s), math.min(x + width, e)))
@@ -264,7 +278,8 @@ final class SynthMicroBatchStream(rows: Long, parts: Int, batchRows: Long,
 }
 
 final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
-    required: StructType, batchRows: Long = 250L) extends Scan with Batch
+    required: StructType,
+    batchRows: Long = SynthSource.DEFAULT_BATCH_ROWS) extends Scan with Batch
     with SupportsRuntimeFiltering {
   // runtime-narrowed band: starts at the statically-pushed [lo, hi)
   // and shrinks further when a join-time filter arrives (see below)
@@ -323,9 +338,15 @@ final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
   /** Streaming face of the same scan (TableCapability.MICRO_BATCH_READ):
     * the id space replays as a bounded stream of micro-batches. Column
     * pruning composes — `required` arrives through the same
-    * ScanBuilder the batch path uses. */
+    * ScanBuilder the batch path uses — and so does FILTER pushdown:
+    * the statically-pushed [lo, hi) band carries into the stream
+    * (offsets start at `lo`, cap at `hi`, partitions clamp to the
+    * band). pushFilters reported accepted id-range filters as fully
+    * consumed with no residual, so a narrowed scan that dropped the
+    * band here would silently re-emit filtered-out rows the moment
+    * Spark's micro-batch planner starts invoking pushdown. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SynthMicroBatchStream(rows, parts, batchRows, required)
+    new SynthMicroBatchStream(rows, lo, hi, parts, batchRows, required)
 }
 
 final class SynthReaderFactory(cols: Array[String])

@@ -398,6 +398,37 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("dirfile discovery: phase-1 scan reads ONLY the path column (content never deserialized)") {
+    // a parquet-backed corpus (the uncached 100 TB path): discovery of
+    // directory files must plan as a path-only columnar scan, not a
+    // whole-row deserializing lambda filter that drags every file's
+    // content bytes through memory to match ~100 paths
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirscan").toFile
+    try {
+      val corpus = sources.Corpus.fromRecords(spark, Seq(
+        "a/_meta.json" -> "{}".getBytes,
+        "a/b/data.txt" -> "payload".getBytes))
+      val corpusPath = s"$dir/corpus"
+      corpus.write.mode("overwrite").parquet(corpusPath)
+      val onDisk = spark.read.parquet(corpusPath)
+      val probe = mr.ParentStacks.discoveryPlan(
+        onDisk, sources.PathGlob("**/*.json"))
+      val p = probe.queryExecution.executedPlan.toString
+      val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+      assert(readSchema.contains("path"), p.take(2000))
+      assert(!readSchema.contains("content"),
+        "discovery scan must not read content\n" + readSchema)
+      assert(!p.contains("DeserializeToObject"),
+        "discovery must be a Column predicate, not a typed row lambda\n" +
+          p.take(2000))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("ss01: candidate and verify joins are all equi-joins; filters fused into the candidate join") {
     val p = plan("ss01_setsim_join")
     assert(!p.contains("CartesianProduct") &&
