@@ -9,14 +9,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and a batched decode /
   * feature-extract stage.
   *
-  * The decode itself is STUBBED (no media libraries in this
-  * environment): [[FakeDecoder.decode]] derives deterministic
-  * "features" from the raw bytes. Everything around it is the real
-  * 100 TB shape: binary payload column + metadata struct, a typed
-  * Dataset, and `mapPartitions` batch processing (one decoder
-  * instantiation per partition, streaming batches through it — the
-  * Scala analog of `mapInPandas`: amortized setup, bounded memory,
-  * no per-row interpreter crossings).
+  * mm02's decode is a deterministic STUB (kept as the minimal
+  * pipeline-shape twin); the REAL codecs live below it — mm04 parses
+  * genuine BMP/PNG headers, mm05 decodes full pixel arrays (BMP
+  * strides + zlib-DEFLATE'd, filter-reconstructed, CRC-verified PNG),
+  * mm06 walks RIFF/WAV containers down to the PCM samples. All share
+  * the one 100 TB shape: binary payload column + typed metadata, and
+  * `mapPartitions` batch processing (one decoder instantiation per
+  * partition, streaming batches through it — the Scala analog of
+  * `mapInPandas`: amortized setup, bounded memory, no per-row
+  * interpreter crossings).
   */
 object MultimodalQueries {
 
@@ -258,6 +260,426 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- real pixel decode
+
+  /** Full-image pixel statistics — the decode output a training
+    * pipeline actually files (channel sums for normalization, a
+    * luminance histogram for exposure filtering, a row-weighted sum
+    * that breaks on any orientation bug). All integers, so the oracle
+    * check is exact. */
+  final case class PixelStats(doc_id: Long, fmt: String, width: Long,
+      height: Long, sum_r: Long, sum_g: Long, sum_b: Long, wsum_r: Long,
+      hist0: Long, hist1: Long, hist2: Long, hist3: Long)
+
+  /** REAL raster codecs over RGB8 images: a full 24-bpp BMP writer /
+    * reader (bottom-up rows, BGR byte order, 4-byte row padding,
+    * pixel-array offset honored) and a full 8-bit-RGB PNG writer /
+    * reader (zlib-DEFLATE'd scanlines via `java.util.zip`, per-row
+    * filter bytes with the spec's five reconstruction filters, CRC32
+    * chunk verification). Nothing here knows the pixel-generation
+    * formula — the decoder sees only container bytes, so a wrong
+    * stride, filter reconstruction, endianness, channel order or row
+    * orientation produces wrong sums and fails the oracle hash.
+    *
+    * This is the round-10 replacement for the capability mm02 only
+    * stubbed: the mapPartitions batch shape is unchanged, the codec is
+    * no longer fake. (PNG references: the public PNG spec's filter
+    * definitions; DEFLATE via the JDK's zlib binding.)
+    */
+  private[operators] object PixelCodec {
+    type PxFn = (Int, Int) => (Int, Int, Int) // (x, y) → (r, g, b)
+
+    // ---- BMP: 54-byte headers + padded bottom-up BGR pixel array ----
+    def encodeBmp(w: Int, h: Int, px: PxFn): Array[Byte] = {
+      val stride = (3 * w + 3) & ~3 // rows pad to 4-byte boundary
+      val size = 54 + stride * h
+      val b = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+        .putInt(size).putInt(0).putInt(54) // file size, reserved, data offset
+        .putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+        .putShort(1).putShort(24) // planes, bpp
+        .putInt(0).putInt(stride * h) // BI_RGB, image size
+        .putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm, palette
+      var fy = 0
+      while (fy < h) {
+        val y = h - 1 - fy // file rows run bottom-up
+        var x = 0
+        while (x < w) {
+          val (r, g, bl) = px(x, y)
+          b.put(bl.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+          x += 1
+        }
+        var pad = 3 * w
+        while (pad < stride) { b.put(0.toByte); pad += 1 }
+        fy += 1
+      }
+      b.array()
+    }
+
+    /** Decode a 24-bpp uncompressed BMP: dimensions and the pixel-array
+      * offset come from the header (NOT assumed to be 54), rows are
+      * bottom-up, pixels BGR, rows padded to 4 bytes. Calls `f(x, y,
+      * r, g, b)` per pixel in file order. */
+    def decodeBmp(p: Array[Byte], f: (Int, Int, Int, Int, Int) => Unit)
+        : (Long, Long) = {
+      def le32(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+      require(p(0) == 'B' && p(1) == 'M', "not a BMP")
+      val dataOff = le32(10)
+      val w = le32(18)
+      val h = le32(22)
+      val bpp = (p(28) & 0xff) | ((p(29) & 0xff) << 8)
+      require(bpp == 24, s"unsupported bpp $bpp")
+      val stride = (3 * w + 3) & ~3
+      var fy = 0
+      while (fy < h) {
+        val y = h - 1 - fy
+        val row = dataOff + fy * stride
+        var x = 0
+        while (x < w) {
+          val o = row + 3 * x
+          f(x, y, p(o + 2) & 0xff, p(o + 1) & 0xff, p(o) & 0xff)
+          x += 1
+        }
+        fy += 1
+      }
+      (w.toLong, h.toLong)
+    }
+
+    // ---- PNG: real zlib scanline compression + filter reconstruction ----
+    private def crc32(chunks: Array[Byte]*): Int = {
+      val c = new java.util.zip.CRC32
+      chunks.foreach(c.update)
+      c.getValue.toInt
+    }
+    private def be32(v: Int) = Array[Byte](
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      be32(body.length) ++ t ++ body ++ be32(crc32(t, body))
+    }
+
+    /** 8-bit colorType-2 (RGB) PNG. Scanlines get REAL per-row filter
+      * bytes — None on even rows, Sub on odd — then one zlib stream,
+      * so the reader must run both the inflater and the reconstruction
+      * arithmetic to get pixels back. */
+    def encodePng(w: Int, h: Int, px: PxFn): Array[Byte] = {
+      val raw = new Array[Byte](h * (1 + 3 * w))
+      var y = 0
+      while (y < h) {
+        val row = y * (1 + 3 * w)
+        val filt = y % 2 // 0 = None, 1 = Sub
+        raw(row) = filt.toByte
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = px(x, y)
+          val o = row + 1 + 3 * x
+          if (filt == 0) { raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte }
+          else { // Sub: raw = cur − left (mod 256)
+            val (lr, lg, lb) = if (x == 0) (0, 0, 0) else px(x - 1, y)
+            raw(o) = (r - lr).toByte; raw(o + 1) = (g - lg).toByte
+            raw(o + 2) = (b - lb).toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+      ImgCodec.PngSig ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
+    }
+
+    /** Decode an 8-bit RGB PNG: walk chunks (verifying each CRC32),
+      * concatenate IDAT, inflate, then reconstruct scanlines per the
+      * spec's five filters (None/Sub/Up/Average/Paeth — the encoder
+      * only emits two, but a decoder that can't reconstruct the rest
+      * isn't a PNG decoder). */
+    def decodePng(p: Array[Byte], f: (Int, Int, Int, Int, Int) => Unit)
+        : (Long, Long) = {
+      require(p.take(8).sameElements(ImgCodec.PngSig), "not a PNG")
+      def be32At(i: Int) = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+      var w = 0; var h = 0
+      val idat = new java.io.ByteArrayOutputStream
+      var pos = 8
+      var done = false
+      while (!done && pos + 8 <= p.length) {
+        val len = be32At(pos)
+        val tag = new String(p, pos + 4, 4, "US-ASCII")
+        val body = java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + len)
+        val crc = be32At(pos + 8 + len)
+        require(crc == crc32(java.util.Arrays.copyOfRange(p, pos + 4, pos + 8),
+          body), s"CRC mismatch in $tag")
+        tag match {
+          case "IHDR" =>
+            w = be32At(pos + 8); h = be32At(pos + 12)
+            require(p(pos + 16) == 8 && p(pos + 17) == 2,
+              "only 8-bit RGB supported")
+          case "IDAT" => idat.write(body)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+      val inflater = new java.util.zip.Inflater
+      inflater.setInput(idat.toByteArray)
+      val raw = new Array[Byte](h * (1 + 3 * w))
+      var got = 0
+      while (got < raw.length && !inflater.finished())
+        got += inflater.inflate(raw, got, raw.length - got)
+      inflater.end()
+      require(got == raw.length, s"short zlib stream: $got/${raw.length}")
+      // filter reconstruction, row by row (prev = reconstructed row above)
+      val bpp = 3
+      val prev = new Array[Int](3 * w)
+      val cur = new Array[Int](3 * w)
+      var y = 0
+      while (y < h) {
+        val row = y * (1 + 3 * w)
+        val filt = raw(row) & 0xff
+        var i = 0
+        while (i < 3 * w) {
+          val x = raw(row + 1 + i) & 0xff
+          val a = if (i >= bpp) cur(i - bpp) else 0 // left
+          val b = prev(i) // up
+          val c = if (i >= bpp) prev(i - bpp) else 0 // up-left
+          cur(i) = filt match {
+            case 0 => x
+            case 1 => (x + a) & 0xff
+            case 2 => (x + b) & 0xff
+            case 3 => (x + (a + b) / 2) & 0xff
+            case 4 => // Paeth predictor
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              (x + pred) & 0xff
+            case other => throw new IllegalArgumentException(s"filter $other")
+          }
+          i += 1
+        }
+        var x = 0
+        while (x < w) {
+          f(x, y, cur(3 * x), cur(3 * x + 1), cur(3 * x + 2))
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, 3 * w)
+        y += 1
+      }
+      (w.toLong, h.toLong)
+    }
+
+    /** Magic-dispatched decode → integer pixel statistics. */
+    def stats(docId: Long, fmt: String, p: Array[Byte]): PixelStats = {
+      var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+      val hist = new Array[Long](4)
+      val acc = (x: Int, y: Int, r: Int, g: Int, b: Int) => {
+        sr += r; sg += g; sb += b; wr += y.toLong * r
+        hist(((r + g + b) / 3) / 64) += 1
+      }
+      val (w, h) =
+        if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp(p, acc)
+        else decodePng(p, acc)
+      PixelStats(docId, fmt, w, h, sr, sg, sb, wr,
+        hist(0), hist(1), hist(2), hist(3))
+    }
+  }
+
+  /** mm05: REAL pixel decode end-to-end — the encode stage serializes
+    * genuine raster files (full 24-bpp BMPs for even ids, zlib-
+    * compressed filtered PNGs for odd), the decode stage parses them
+    * back byte-by-byte inside the per-partition batch path, and the
+    * oracle recomputes every statistic from the deterministic pixel
+    * formula alone. The decoder never sees that formula: a stride,
+    * padding, filter, CRC, channel-order or orientation bug lands as a
+    * wrong integer sum. wsum_r (Σ y·r) is the orientation canary —
+    * BMP's bottom-up rows read top-down would flip it. */
+  val mm05PixelDecode: GraftQuery = q(
+    "mm05_pixel_decode",
+    "real BMP + zlib-PNG pixel decoders → exact channel/histogram stats",
+    """WITH docs AS (
+      |  SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 5) % 16 AS h
+      |  FROM documents WHERE doc_id < 300),
+      |px AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    (x*7 + y*3 + doc_id) % 256 AS r,
+      |    (x*5 + y*11 + 2*doc_id) % 256 AS g,
+      |    (x*13 + y*17 + 3*doc_id) % 256 AS b
+      |  FROM docs, UNNEST(range(0, w)) AS gx(x), UNNEST(range(0, h)) AS gy(y))
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(SUM(y*r) AS BIGINT) AS wsum_r,
+      |  CAST(COUNT(CASE WHEN (r+g+b)//3 // 64 = 0 THEN 1 END) AS BIGINT) AS hist0,
+      |  CAST(COUNT(CASE WHEN (r+g+b)//3 // 64 = 1 THEN 1 END) AS BIGINT) AS hist1,
+      |  CAST(COUNT(CASE WHEN (r+g+b)//3 // 64 = 2 THEN 1 END) AS BIGINT) AS hist2,
+      |  CAST(COUNT(CASE WHEN (r+g+b)//3 // 64 = 3 THEN 1 END) AS BIGINT) AS hist3
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val w = (8 + id % 24).toInt
+      val h = (8 + (id / 5) % 16).toInt
+      val px: PixelCodec.PxFn = (x, y) => (
+        ((x * 7 + y * 3 + id) % 256).toInt,
+        ((x * 5 + y * 11 + 2 * id) % 256).toInt,
+        ((x * 13 + y * 17 + 3 * id) % 256).toInt)
+      val payload = if (id % 2 == 0) PixelCodec.encodeBmp(w, h, px)
+        else PixelCodec.encodePng(w, h, px)
+      MediaRecord(id, if (id % 2 == 0) "image/bmp" else "image/png",
+        payload.length.toLong, payload)
+    })
+    media.mapPartitions(_.map(r => PixelCodec.stats(r.doc_id,
+        if (r.mime.endsWith("bmp")) "bmp" else "png", r.payload)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- real audio decode
+
+  /** PCM sample statistics — the audio-QA row a speech pipeline files
+    * per clip: duration, amplitude extremes, clipping count, mean
+    * absolute level. All integer arithmetic → exact oracle. */
+  final case class AudioStats(doc_id: Long, sample_rate: Long,
+      n_samples: Long, duration_ms: Long, sum_s: Long, min_s: Long,
+      max_s: Long, n_clipped: Long, sum_abs: Long)
+
+  /** REAL WAV (RIFF/WAVE) writer + reader for 16-bit mono PCM: the
+    * writer emits a spec-shaped container — RIFF size header, `fmt `
+    * chunk (PCM, mono, 16-bit, byte-rate/block-align derived), an
+    * odd-length ancillary chunk (RIFF pads chunks to even length — a
+    * walker that forgets the pad byte desyncs and dies), then the
+    * `data` chunk of little-endian int16 samples. The reader is a
+    * chunk walker: it takes the rate from `fmt `, the sample count
+    * from `data`'s byte length, skips unknown chunks by size+pad, and
+    * never assumes chunk order or a fixed layout. The mm family's
+    * third modality (mm04/mm05 images, mm03 video frames, mm06 audio).
+    */
+  private[operators] object WavCodec {
+    def encode(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val note = "take1".getBytes("US-ASCII") // 5 bytes → 1 pad byte
+      val notePadded = note.length + (note.length & 1)
+      val dataLen = 2 * samples.length
+      val riffLen = 4 + (8 + 16) + (8 + notePadded) + (8 + dataLen)
+      val b = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(rate)
+        .putInt(rate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+        .put("note".getBytes("US-ASCII")).putInt(note.length).put(note)
+        .put(0.toByte) // RIFF even-length pad
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+
+    def stats(docId: Long, p: Array[Byte]): AudioStats = {
+      val b = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); b.get(t); new String(t, "US-ASCII")
+      }
+      require(tag() == "RIFF", "not a RIFF container")
+      b.getInt // riff length (trust chunk walk, not this)
+      require(tag() == "WAVE", "not a WAVE form")
+      var rate = 0L
+      var n = 0L
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var clip = 0L; var sabs = 0L
+      var haveData = false
+      while (b.remaining() >= 8) {
+        val t = tag()
+        val len = b.getInt
+        t match {
+          case "fmt " =>
+            val fmtEnd = b.position() + len
+            require(b.getShort == 1, "not PCM")
+            require(b.getShort == 1, "not mono")
+            rate = b.getInt.toLong
+            b.getInt // byte rate
+            b.getShort // block align
+            require(b.getShort == 16, "not 16-bit")
+            b.position(fmtEnd)
+          case "data" =>
+            require(rate > 0, "data chunk before fmt")
+            n = len / 2L
+            var i = 0L
+            while (i < n) {
+              val s = b.getShort.toLong
+              sum += s; sabs += math.abs(s)
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              if (math.abs(s) >= 30000) clip += 1
+              i += 1
+            }
+            haveData = true
+          case _ => b.position(b.position() + len + (len & 1)) // skip + pad
+        }
+      }
+      require(haveData, "no data chunk")
+      AudioStats(docId, rate, n, n * 1000L / rate, sum, mn, mx, clip, sabs)
+    }
+  }
+
+  /** mm06: WAV/PCM decode end-to-end — genuine RIFF containers (with
+    * an odd-length ancillary chunk the walker must pad past) encoded
+    * from a deterministic sample formula, decoded back via the chunk
+    * walker, reduced to exact integer clip statistics the oracle
+    * recomputes from the formula. A wrong endianness, a missed pad
+    * byte, a sign error in the int16 read, or a byte-vs-sample count
+    * confusion each lands as a wrong sum/min/max. */
+  val mm06AudioDecode: GraftQuery = q(
+    "mm06_audio_decode",
+    "real WAV/PCM decode: RIFF chunk walk → exact amplitude/clipping stats",
+    """WITH docs AS (
+      |  SELECT doc_id, 8000*(1 + doc_id % 3) AS rate, 200 + doc_id % 300 AS n
+      |  FROM documents WHERE doc_id < 300),
+      |smp AS (
+      |  SELECT doc_id, rate, n, i,
+      |    ((i*(doc_id+7)*31 + 3*i*i) % 65536) - 32768 AS s
+      |  FROM docs, UNNEST(range(0, n)) AS gi(i))
+      |SELECT doc_id, CAST(MAX(rate) AS BIGINT) AS sample_rate,
+      |  CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(MAX(n)*1000 // MAX(rate) AS BIGINT) AS duration_ms,
+      |  CAST(SUM(s) AS BIGINT) AS sum_s,
+      |  CAST(MIN(s) AS BIGINT) AS min_s, CAST(MAX(s) AS BIGINT) AS max_s,
+      |  CAST(COUNT(CASE WHEN ABS(s) >= 30000 THEN 1 END) AS BIGINT) AS n_clipped,
+      |  CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs
+      |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val rate = (8000 * (1 + id % 3)).toInt
+      val n = (200 + id % 300).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((i.toLong * (id + 7) * 31 + 3L * i * i) % 65536L) - 32768L).toShort)
+      val payload = WavCodec.encode(rate, samples)
+      MediaRecord(id, "audio/wav", payload.length.toLong, payload)
+    })
+    media.mapPartitions(_.map(r => WavCodec.stats(r.doc_id, r.payload)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(mm01BinaryMeta, mm02DecodeFeatures, mm03FrameSample, mm04HeaderDecode)
+    Seq(mm01BinaryMeta, mm02DecodeFeatures, mm03FrameSample, mm04HeaderDecode,
+      mm05PixelDecode, mm06AudioDecode)
 }

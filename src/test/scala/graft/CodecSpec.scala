@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.operators.MultimodalQueries.{PixelCodec, WavCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level tests for the real multimodal codecs (mm05/mm06) — the
+  * properties the oracle can't see directly: exact per-pixel/-sample
+  * round trips (not just aggregate sums), corruption detection, and
+  * the container edge cases (PNG filter reconstruction, RIFF pad
+  * bytes, BMP row padding at non-multiple-of-4 widths).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private val px: PixelCodec.PxFn = (x, y) =>
+    ((x * 31 + y * 7) % 256, (x * 3 + y * 13) % 256, (x * 17 + y * 29) % 256)
+
+  private def collect(decode: ((Int, Int, Int, Int, Int) => Unit) => (Long, Long))
+      : (Long, Long, Map[(Int, Int), (Int, Int, Int)]) = {
+    val m = scala.collection.mutable.Map.empty[(Int, Int), (Int, Int, Int)]
+    val (w, h) = decode((x, y, r, g, b) => m((x, y)) = (r, g, b))
+    (w, h, m.toMap)
+  }
+
+  test("BMP round trip is pixel-exact, including padded odd widths") {
+    for (w <- Seq(1, 2, 3, 4, 5, 7, 8); h <- Seq(1, 2, 3)) {
+      val bytes = PixelCodec.encodeBmp(w, h, px)
+      // stride padding: 3w rounded up to 4
+      assert(bytes.length == 54 + ((3 * w + 3) & ~3) * h)
+      val (dw, dh, m) = collect(PixelCodec.decodeBmp(bytes, _))
+      assert((dw, dh) == (w.toLong, h.toLong))
+      for (x <- 0 until w; y <- 0 until h)
+        assert(m((x, y)) == px(x, y), s"($x,$y) w=$w h=$h")
+    }
+  }
+
+  test("PNG round trip is pixel-exact through zlib + Sub-filter reconstruction") {
+    for ((w, h) <- Seq((1, 1), (3, 5), (16, 9), (31, 4))) {
+      val bytes = PixelCodec.encodePng(w, h, px)
+      val (dw, dh, m) = collect(PixelCodec.decodePng(bytes, _))
+      assert((dw, dh) == (w.toLong, h.toLong))
+      for (x <- 0 until w; y <- 0 until h)
+        assert(m((x, y)) == px(x, y), s"($x,$y) w=$w h=$h")
+    }
+  }
+
+  test("PNG decoder reconstructs ALL five spec filters (hand-built stream)") {
+    // one 4-wide, 5-row RGB image, rows filtered 0..4 by hand; the
+    // decoder must invert each per the spec's recon definitions
+    val w = 4; val h = 5
+    val want = Array.tabulate(h, w)((y, x) => px(x, y))
+    def flat(y: Int): Array[Int] =
+      want(y).flatMap { case (r, g, b) => Array(r, g, b) }
+    val raw = new java.io.ByteArrayOutputStream
+    for (y <- 0 until h) {
+      val cur = flat(y)
+      val up = if (y == 0) new Array[Int](3 * w) else flat(y - 1)
+      raw.write(y) // filter type = row index
+      for (i <- 0 until 3 * w) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = up(i)
+        val c = if (i >= 3) up(i - 3) else 0
+        val enc = y match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            cur(i) - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw.write(enc & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater
+    defl.setInput(raw.toByteArray); defl.finish()
+    val out = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]) = {
+      val t = tag.getBytes("US-ASCII")
+      val c = new java.util.zip.CRC32; c.update(t); c.update(body)
+      be32(body.length) ++ t ++ body ++ be32(c.getValue.toInt)
+    }
+    val png = MultimodalQueries.ImgCodec.PngSig ++
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
+    val (dw, dh, m) = collect(PixelCodec.decodePng(png, _))
+    assert((dw, dh) == (w.toLong, h.toLong))
+    for (x <- 0 until w; y <- 0 until h)
+      assert(m((x, y)) == want(y)(x), s"filter row $y, x=$x")
+  }
+
+  test("PNG decoder rejects a corrupted chunk (CRC mismatch)") {
+    val bytes = PixelCodec.encodePng(8, 8, px)
+    bytes(40) = (bytes(40) ^ 0x01).toByte // flip a bit inside IDAT
+    assertThrows[IllegalArgumentException] {
+      PixelCodec.decodePng(bytes, (_, _, _, _, _) => ())
+    }
+  }
+
+  test("BMP orientation: wsum over y is NOT flip-invariant (the mm05 canary works)") {
+    // an asymmetric gradient: if bottom-up rows were read top-down the
+    // y-weighted sum must change
+    val grad: PixelCodec.PxFn = (_, y) => (y % 256, 0, 0)
+    var wsum = 0L
+    PixelCodec.decodeBmp(PixelCodec.encodeBmp(4, 6, grad),
+      (_, y, r, _, _) => wsum += y.toLong * r)
+    // Σ y·y over 4 columns = 4 · (0+1+4+9+16+25)
+    assert(wsum == 4L * 55)
+  }
+
+  test("WAV round trip: rate, count and samples exact; odd chunk padded past") {
+    val samples = Array.tabulate(373)(i => ((i * 977) % 65536 - 32768).toShort)
+    val st = WavCodec.stats(7L, WavCodec.encode(16000, samples))
+    assert(st.sample_rate == 16000L)
+    assert(st.n_samples == 373L)
+    assert(st.duration_ms == 373L * 1000 / 16000)
+    assert(st.sum_s == samples.map(_.toLong).sum)
+    assert(st.min_s == samples.map(_.toLong).min)
+    assert(st.max_s == samples.map(_.toLong).max)
+    assert(st.sum_abs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(st.n_clipped == samples.count(s => math.abs(s.toInt) >= 30000).toLong)
+  }
+
+  test("WAV decoder rejects non-PCM and truncated containers") {
+    val ok = WavCodec.encode(8000, Array.tabulate(16)(_.toShort))
+    val nonPcm = ok.clone()
+    nonPcm(20) = 3 // audioFormat = IEEE float
+    assertThrows[IllegalArgumentException] {
+      WavCodec.stats(0L, nonPcm)
+    }
+    assertThrows[IllegalArgumentException] {
+      WavCodec.stats(0L, "RIFX????".getBytes("US-ASCII"))
+    }
+  }
+}
