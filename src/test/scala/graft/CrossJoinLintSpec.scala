@@ -37,6 +37,11 @@ class CrossJoinLintSpec extends AnyFunSuite {
       ("water-filling policy math over the per-source frame (~20 rows, " +
         "source-cardinality-bounded); the k/theta scalars come from a " +
         "right-join against a 1-row frame the estimator can't bound"),
+    "kn01_knn_classifier" ->
+      ("held-out query side is the fixed vec_id < 64 prefix (64 rows, " +
+        "scale-invariant) broadcast against the reference slice — the " +
+        "sm01/pq01 bounded-query-side precedent; the slices are disjoint " +
+        "so there is genuinely no join condition to condition on"),
     "pq01_pq_adc_search" ->
       ("ADC scoring joins the code table against the QUERY-side distance " +
         "tables — 3 rows by the vec_id < 3 prefix filter (sm01's bounded-" +

@@ -56,6 +56,32 @@ class IvfSpec extends AnyFunSuite {
     assert(rp > 0.0, "trained-cell search found none of the true top-5")
   }
 
+  test("hn01: graph-ANN beam search — recall floor, beam-bounded work, self-consistent counts") {
+    val rows = Registry.all.find(_.name == "hn01_graph_ann").get
+      .build(spark, sf).collect()
+    assert(rows.length == 32, "one row per query")
+    val nVec = Tables.embeddings(spark, sf).count()
+    var recallSum = 0.0
+    rows.foreach { r =>
+      val nVisited = r.getAs[Long]("n_visited")
+      val nExact = r.getAs[Long]("n_exact")
+      val nHits = r.getAs[Long]("n_hits")
+      val rec = r.getAs[Double]("recall")
+      assert(nExact == 5L)
+      assert(nHits >= 0L && nHits <= nExact)
+      assert(rec == nHits.toDouble / nExact)
+      // the point of the graph index: work is beam-bounded, not a
+      // corpus scan — visited ≲ hubs + H·B·(2M + hub-degree) ≪ corpus
+      assert(nVisited < nVec / 2,
+        s"beam search visited $nVisited of $nVec vectors — not beam-bounded")
+      recallSum += rec
+    }
+    // recall floor for the fixed (M=4, B=8, H=3) configuration on the
+    // deterministic corpus; brute-force would be 1.0 at corpus cost
+    assert(recallSum / rows.length >= 0.6,
+      s"mean recall@5 ${recallSum / rows.length} below floor")
+  }
+
   test("curation funnel counts decrease monotonically, stages complete") {
     val rows = Registry.all.find(_.name == "cc01_curation_pipeline").get
       .build(spark, sf).collect()
