@@ -620,6 +620,110 @@ object DedupQueries {
     }
   }
 
+  /** One evolving-admission verdict pass — the shared kernel of the
+    * dd18 batch twin and the streaming face
+    * ([[graft.streaming.EventStreams.evolvingAdmission]]), so batch ≡
+    * stream by construction.
+    *
+    * `bands` is the arriving shard's band table; `state` is the
+    * evolving band table `(doc_id, band_idx, bkey, is_corpus)` —
+    * pre-existing corpus bands plus the bands of every
+    * previously-arrived delta doc. A doc's candidates are the DISTINCT
+    * docs sharing any band that are either corpus (pre-admitted,
+    * whatever their id) or ID-EARLIER deltas (`o_id < doc_id`). The
+    * id-order predicate — applied to state and intra-shard rows alike
+    * — is what makes the verdict ARRIVAL-ORDER-INVARIANT: however the
+    * stream splits docs into micro-batches, and in whatever order they
+    * arrive, every pair (d', d) with d' < d is counted exactly once,
+    * either from state (d' arrived earlier) or from the in-shard union
+    * (same batch). So the stream needs no ordering contract at all,
+    * and the batch twin is one self-join, not a recursion.
+    *
+    * Semantics note: the state accretes ALL seen docs' bands, not just
+    * admitted ones — the conservative variant (admits a strict subset
+    * of the admitted-only-state variant: any doc it admits collides
+    * with nothing seen, so the serial variant admits it too). The
+    * admitted-only variant's intra-shard chain (each verdict depends
+    * on the previous verdict's outcome) is inherently serial and
+    * cannot parallelize across a shard at any scale.
+    *
+    * Scale: one equi-join on (band_idx, bkey) — bucketed by band key
+    * at cluster scale, so the probe never reshuffles the state table;
+    * the id/corpus predicates ride the join as post-filters. */
+  def evolvingVerdict(bands: DataFrame, state: DataFrame): DataFrame = {
+    val pool = state
+      .select(col("doc_id").as("o_id"), col("band_idx").as("bi"),
+        col("bkey").as("bk"), col("is_corpus"))
+      .unionByName(bands.select(col("doc_id").as("o_id"),
+        col("band_idx").as("bi"), col("bkey").as("bk"),
+        lit(false).as("is_corpus")))
+    val hits = bands
+      .join(pool, col("band_idx") === col("bi") && col("bkey") === col("bk") &&
+        (col("is_corpus") || col("o_id") < col("doc_id")))
+      .groupBy("doc_id").agg(countDistinct(col("o_id")).as("n_cand"))
+    bands.select(col("doc_id")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        (coalesce(col("n_cand"), lit(0L)) === 0L).as("admitted"))
+  }
+
+  /** Evolving-corpus LSH admission — dd12 with the band table itself
+    * evolving: each arriving doc's bands join every FUTURE arrival's
+    * probe, so a shard full of mutual near-dups admits only its
+    * id-first representative (dd12, stream-static, would admit them
+    * all — its corpus never learns). This batch twin runs the whole
+    * delta as one shard through [[evolvingVerdict]]; the streaming
+    * face replays it micro-batch by micro-batch over persisted state
+    * and StreamingSpec pins stream ≡ this oracle-checked query. */
+  val dd18EvolvingAdmission: GraftQuery = {
+    val R = 4
+    val B = 2
+    val bandsSql = (0 until B).map { b =>
+      val comps = (b * R until (b + 1) * R).map(j => s"s$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($comps) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    q("dd18_evolving_admission",
+      "evolving-corpus LSH admission: every arrival's bands screen all later arrivals",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+         |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until B * R).map(j => s"MIN(md5('$j:' || w)) AS s$j").mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSql),
+         |delta AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+         |hits AS (
+         |  SELECT d.doc_id, CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_cand
+         |  FROM delta d JOIN (
+         |    SELECT doc_id, band_idx, bkey, TRUE AS is_corpus FROM corpus
+         |    UNION ALL
+         |    SELECT doc_id, band_idx, bkey, FALSE AS is_corpus FROM delta) o
+         |    ON d.band_idx = o.band_idx AND d.bkey = o.bkey
+         |      AND (o.is_corpus OR o.doc_id < d.doc_id)
+         |  GROUP BY d.doc_id),
+         |deltadocs AS (SELECT DISTINCT doc_id FROM delta)
+         |SELECT dd.doc_id, COALESCE(n_cand, 0) AS n_cand,
+         |  COALESCE(n_cand, 0) = 0 AS admitted
+         |FROM deltadocs dd LEFT JOIN hits ON dd.doc_id = hits.doc_id
+         |ORDER BY dd.doc_id""".stripMargin) { (s, d) =>
+      graft.plans.VectorExpressions.register(s)
+      val bands = lshBands(
+          Tables.documents(s, d).filter(size(split(col("text"), " ")) >= 3),
+          rows = R, bands = B)
+        .pinned // one signature pass feeds the delta and corpus splits
+      val delta = bands.filter(col("doc_id") % 10 === 0)
+      val corpus = bands.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("is_corpus", lit(true))
+      evolvingVerdict(delta, corpus).orderBy("doc_id")
+    }
+  }
+
   /** LSH tuning harness: precision/recall of the banded MinHash
     * candidate set (dd10's 8-hash, 2×4 scheme) against exact shingle
     * Jaccard ground truth, at two duplicate thresholds. This is the
@@ -1108,5 +1212,5 @@ object DedupQueries {
     dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
     dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
     dd15SortedNeighborhood, dd16SubstringSpans, dd17SimhashHamming,
-    rb01RepetitionBudget, pd01ChunkDedup)
+    dd18EvolvingAdmission, rb01RepetitionBudget, pd01ChunkDedup)
 }

@@ -504,4 +504,45 @@ object EventStreams {
       scd2Merge(dim, batch)
         .write.mode("overwrite").parquet(s"$dimRoot/v_${id + 1}")
     }
+
+  /** Streaming EVOLVING-corpus LSH admission — dd18 run continuously:
+    * unlike [[incrementalAdmission]] (whose corpus band table is
+    * frozen for the life of the query), every arriving doc's bands
+    * are folded into the state table and screen all FUTURE arrivals,
+    * so a crawl that re-serves the same content across micro-batches
+    * admits only the first copy.
+    *
+    * State lives as versioned parquet snapshots of the band table
+    * (`stateRoot/v_<n>`, seeded at v_0 with the corpus bands,
+    * `is_corpus` flagged) — the [[cdcApply]] exactly-once discipline:
+    * batch n reads v_n and deterministically rewrites out_n and
+    * v_{n+1}, so a replayed micro-batch (crash between sink write and
+    * offset commit) reproduces identical outputs. A real deployment
+    * swaps the snapshot chain for MERGE INTO on a band-key-bucketed
+    * lakehouse table — the probe join and the append are identical
+    * plans, and bucketing means neither reshuffles the state side. A
+    * keyed state store (mapGroupsWithState per band key) CANNOT host
+    * this operator: a doc's verdict needs the conjunction over ALL its
+    * band keys plus a same-batch id-order rule — cross-key
+    * coordination a per-key state function can't express; the
+    * verdict is [[graft.operators.DedupQueries.evolvingVerdict]], the
+    * same kernel as the oracle-checked dd18 batch twin, and its
+    * id-order predicate makes the result identical under ANY
+    * micro-batch split or arrival order (StreamingSpec pins both).
+    *
+    * Callers pre-filter docs to ≥ 3 words, as in dd12/dd18. */
+  def evolvingAdmission(deltaDocs: DataFrame, stateRoot: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaDocs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val state = spark.read.parquet(s"$stateRoot/v_$id")
+      val bands = graft.operators.DedupQueries.lshBands(batch)
+        .persist() // two readers: the verdict and the state append
+      try {
+        graft.operators.DedupQueries.evolvingVerdict(bands, state)
+          .write.mode("overwrite").parquet(s"$stateRoot/out_$id")
+        state.unionByName(bands.withColumn("is_corpus", lit(false)))
+          .write.mode("overwrite").parquet(s"$stateRoot/v_${id + 1}")
+      } finally { bands.unpersist(); () }
+    }
 }

@@ -549,6 +549,70 @@ class StreamingSpec extends AnyFunSuite {
     corpusBands.unpersist(); docs.unpersist()
   }
 
+  test("streaming evolving LSH admission: arrivals screen later arrivals; ≡ oracle-checked dd18; restart-safe") {
+    graft.plans.VectorExpressions.register(spark)
+    val root = Files.createTempDirectory("graft-evolve").toString
+    val docs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3).cache()
+    val delta = docs.filter(col("doc_id") % 10 === 0).cache()
+    // evolving state seeded with the corpus band table (v_0)
+    graft.operators.DedupQueries
+      .lshBands(docs.filter(col("doc_id") % 10 =!= 0))
+      .withColumn("is_corpus", lit(true))
+      .write.parquet(s"$root/state/v_0")
+    // stage the delta in three id-range files, written OUT OF ORDER
+    // (middle tercile first): the verdict's id-order predicate makes
+    // the result arrival-order-invariant, so stream must still equal
+    // the batch twin exactly
+    val ids = delta.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (t1, t2, t3) = (ids.take(ids.length / 3).toSet,
+      ids.slice(ids.length / 3, 2 * ids.length / 3).toSet,
+      ids.drop(2 * ids.length / 3).toSet)
+    def stage(s: Set[Long]): Unit = {
+      delta.filter(col("doc_id").isInCollection(s))
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      Thread.sleep(5) // distinct mtimes → deterministic file order
+    }
+    stage(t2); stage(t1)
+    def run(): Unit = {
+      val src = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = graft.streaming.EventStreams.evolvingAdmission(src, s"$root/state")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // batches 0, 1 (two files staged so far)
+    stage(t3)
+    run() // RESTART from the checkpoint: must process only the new file
+    val outDirs = new java.io.File(s"$root/state").listFiles()
+      .filter(_.getName.startsWith("out_")).map(_.toString).sorted.toIndexedSeq
+    assert(outDirs.length == 3,
+      s"restart must not reprocess committed batches: ${outDirs.length} out dirs")
+    val got = spark.read.parquet(outDirs: _*)
+    // exactly-once: every delta doc verdicted exactly once across batches
+    assert(got.count() == ids.length.toLong)
+    assert(got.select("doc_id").distinct().count() == ids.length.toLong)
+    val want = graft.operators.DedupQueries.dd18EvolvingAdmission
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val gotSeq = got.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(gotSeq == want,
+      s"stream evolving admission diverged: got ${gotSeq.take(5)}… want ${want.take(5)}…")
+    // the point of EVOLVING state: strictly harder to get in than the
+    // frozen-corpus dd12 (same docs, same banding) whenever the delta
+    // has intra-shard near-dups; never easier
+    val dd12 = graft.operators.DedupQueries.dd12IncrementalAdmission
+      .build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    gotSeq.foreach { case (id, _, adm) =>
+      assert(!adm || dd12(id),
+        s"doc $id admitted by evolving state but rejected by frozen corpus")
+    }
+    delta.unpersist(); docs.unpersist()
+  }
+
   test("streaming CDC (cdc01 composed with streaming): foreachBatch SCD2 merges ≡ sequential batch merges") {
     // Two change files → two microbatches folded into the versioned
     // dimension; the final snapshot must equal applying scd2Merge
