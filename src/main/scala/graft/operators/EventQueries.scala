@@ -763,9 +763,67 @@ object EventQueries {
       .orderBy("channel")
   }
 
+  /** PURE interval join — no equi key at all — made shuffle-joinable
+    * by time-bin blocking. ev05's view→purchase join survives scale
+    * because `user_id = user_id` gives the planner an equi-key and the
+    * 30-min range rides as a post-filter; drop the user key (global
+    * attribution: "how many views, from ANYONE, preceded this
+    * purchase?") and the naive plan is a BroadcastNestedLoopJoin that
+    * compares every view to every purchase — the classic non-equi
+    * 100 TB killer.
+    *
+    * The blocking: with interval width W, bucket both sides into
+    * W-wide epoch bins; a qualifying pair (vt ≤ pt ≤ vt+W) always has
+    * bin(pt) ∈ {bin(vt), bin(vt)+1}, so replicating each VIEW into
+    * its own bin and the next (2× the smaller side, map-side explode)
+    * and equi-joining on the bin turns the join into a plain shuffle
+    * hash/merge join; the exact range predicate rides as the join's
+    * post-filter. No dedup step is needed — a purchase lives in
+    * exactly one bin, so each qualifying pair meets exactly once.
+    * Work is Σ-per-bin-products (time-local), never |V|·|P|;
+    * PlanSpec pins the no-nested-loop shape. This is the interval
+    * analog of dd15's sorted-neighborhood blocking, and the batch
+    * form of what a stream-stream time-range join does with
+    * watermark-bounded state. */
+  val ev17BucketizedInterval: GraftQuery = {
+    val W = 1800000000L // 30 min in µs = bin width = interval length
+    q("ev17_bucketized_interval",
+      "pure (no-equi-key) interval join via time-bin blocking: views preceding each purchase",
+      s"""WITH v AS (
+         |  SELECT epoch_us(ts) AS vt FROM events WHERE event_type = 'view'),
+         |p AS (
+         |  SELECT event_id AS purchase_id, epoch_us(ts) AS pt FROM events
+         |  WHERE event_type = 'purchase'),
+         |hits AS (
+         |  SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_views
+         |  FROM p JOIN v ON vt <= pt AND pt <= vt + $W
+         |  GROUP BY purchase_id)
+         |SELECT p.purchase_id, COALESCE(n_views, 0) AS n_views
+         |FROM p LEFT JOIN hits ON p.purchase_id = hits.purchase_id
+         |ORDER BY p.purchase_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pt"),
+          expr(s"unix_micros(ts) div $W").as("bin"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(unix_micros(col("ts")).as("vt"))
+        .select(col("vt"), explode(array(expr(s"vt div $W"),
+          expr(s"vt div $W + 1"))).as("bin"))
+      val hits = p.join(v, Seq("bin"))
+        .filter(col("vt") <= col("pt") && col("pt") <= col("vt") + W)
+        .groupBy("purchase_id").agg(count(lit(1)).as("n_views"))
+      p.select("purchase_id")
+        .join(hits, Seq("purchase_id"), "left")
+        .select(col("purchase_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"))
+        .orderBy("purchase_id")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(ev01Tumbling, ev02Sessionize, ev03RollingDaily,
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
     ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
     ev12LatenessAudit, ev13CepPattern, ev14DecayScore, ev15Attribution,
-    ev16LinearAttribution, cp01Changepoint)
+    ev16LinearAttribution, ev17BucketizedInterval, cp01Changepoint)
 }

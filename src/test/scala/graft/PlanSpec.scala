@@ -398,6 +398,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("ev17: pure interval join plans as an equi-join on the time bin — no nested loop") {
+    val p = plan("ev17_bucketized_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "time-bin blocking must make the non-equi join an equi-join\n" + p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("dirfile discovery: phase-1 scan reads ONLY the path column (content never deserialized)") {
     // a parquet-backed corpus (the uncached 100 TB path): discovery of
     // directory files must plan as a path-only columnar scan, not a
