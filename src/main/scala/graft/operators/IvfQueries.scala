@@ -62,10 +62,11 @@ object IvfQueries {
     * crossJoin shape shuffled 16n rows to pick a per-row max). The
     * struct max is lexicographic (cos desc via max, ties → max of
     * -cid = smallest cid), exactly the oracle's ROW_NUMBER pick. */
-  private def assignedDf(s: SparkSession, d: String): DataFrame = {
+  private def assignedDf(s: SparkSession, d: String,
+      cells: Long = CELLS): DataFrame = {
     VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
-    val centArr = e.filter(col("vec_id") < CELLS)
+    val centArr = e.filter(col("vec_id") < cells)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
         col("embedding").as("cemb")))).as("cents"))
     e.select(col("vec_id"), col("embedding"))
@@ -717,6 +718,39 @@ object IvfQueries {
     }
   }
 
+  /** [[sqlAssign]] with a COUNT-CALIBRATED cell count (dd14's
+    * count-calibrated sampling precedent): cells = GREATEST(16,
+    * CEIL(n/128)) caps the expected cell population at ~128 vectors
+    * however large the corpus grows, which is what keeps hn01's
+    * within-cell kNN build LINEAR in n (Σ cell² ≈ n·128) instead of
+    * quadratic-in-n the fixed-16-cell assign would give it. At every
+    * driver scale (n ≤ 2000) this evaluates to exactly 16, so the two
+    * assigns coincide where the oracle checks them. */
+  private def sqlAssignDyn: String =
+    s"""normed AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, SQRT(${sqlNorm2("e")}) AS nrm
+       |  FROM embeddings e),
+       |params AS MATERIALIZED (
+       |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS ncells
+       |  FROM embeddings),
+       |centroids AS MATERIALIZED (
+       |  SELECT vec_id AS cid, embedding, nrm AS cnrm FROM normed, params
+       |  WHERE vec_id < ncells),
+       |scored0 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ${sqlDot("v", "c")} / (v.nrm * c.cnrm) AS cos_c
+       |  FROM normed v CROSS JOIN centroids c),
+       |scored AS (
+       |  SELECT vec_id, cid, cos_c,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_c DESC, cid) AS rc
+       |  FROM scored0),
+       |assigned AS (SELECT vec_id, cid, cos_c FROM scored WHERE rc = 1)""".stripMargin
+
+  /** Engine-side twin of [[sqlAssignDyn]]'s cell count. */
+  private def dynCells(s: SparkSession, d: String): Long =
+    math.max(16L, (Tables.embeddings(s, d).count() + 127L) / 128L)
+
   /** Graph-based ANN (NSW/HNSW-family; Malkov et al.) — the
     * highest-recall-per-probe production index family, complementing
     * IVF (cells) and PQ (codes): a navigable small-world graph whose
@@ -726,13 +760,19 @@ object IvfQueries {
     * Deterministic, distributable construction (HNSW's sequential
     * random-level insert doesn't parallelize or replay):
     *  - base layer: within each IVF cell, every vector's M=4 nearest
-    *    neighbors by cosine (ties → smaller dst) — a cell-bounded kNN
-    *    graph, Θ(Σ cell²) pairwise work like dc02, NEVER corpus²;
-    *    built as one equi-join on cid + per-src top-M;
+    *    neighbors by cosine (ties → smaller dst), built as one
+    *    equi-join on cid + per-src top-M. The cell count is
+    *    COUNT-CALIBRATED ([[sqlAssignDyn]]: ~128 vectors per cell), so
+    *    Σ cell² ≈ 128·n — the build is LINEAR in the corpus, where a
+    *    fixed cell count would quietly go quadratic at 100×;
     *  - upper layer: one hub per cell (the vector most cosine-aligned
     *    with its centroid — the cell's natural medoid stand-in), hubs
-    *    fully connected — the |cells|² "zoom-out" layer HNSW gets from
-    *    its sparse top levels;
+    *    fully connected — the "zoom-out" layer HNSW gets from its
+    *    sparse top levels. Hub count is n/128, so the hub clique and
+    *    the per-query hub scan grow linearly ÷128; past ~10⁷ vectors a
+    *    THIRD level over the hubs (same construction, recursively)
+    *    would make both logarithmic — the natural extension, not a
+    *    rewrite;
     *  - search: score all hubs (the top-layer scan), then H=3 beam
     *    rounds — expand the beam's out-edges, score, keep the best
     *    B=8 of everything seen; report top-K of the visited set.
@@ -772,7 +812,7 @@ object IvfQueries {
          |    FROM visited$i) WHERE rn <= $B)""".stripMargin
     q("hn01_graph_ann",
       s"graph ANN: cell-bounded kNN graph + hub layer, $H-round beam-$B search, recall@$K",
-      s"""WITH $sqlAssign,
+      s"""WITH $sqlAssignDyn,
          |gpairs AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
          |    ${sqlDot("an", "bn")} / (an.nrm * bn.nrm) AS cos_e
@@ -841,7 +881,11 @@ object IvfQueries {
          |FROM hits h JOIN nv ON nv.query_id = h.query_id
          |GROUP BY h.query_id, nv.n_visited
          |ORDER BY h.query_id""".stripMargin) { (s, d) =>
-      val assigned = assignedDf(s, d).pinned // one pass: edges, hubs, vecs
+      // count-calibrated cells (≈128 vectors each) keep the kNN build
+      // linear; == 16 at every driver scale, so oracle rows are
+      // unchanged by the calibration
+      val assigned = assignedDf(s, d, dynCells(s, d))
+        .pinned // one pass: edges, hubs, vecs
       val vecs = assigned.select(col("vec_id"), col("embedding"))
       // base layer: within-cell kNN (equi-join on cid — NEVER corpus²)
       val aSide = assigned.select(col("cid"), col("vec_id").as("src"),
