@@ -67,7 +67,15 @@ object ExplainDump {
     "iv01_incremental_join" ->
       "Join IVM: every incremental leg is a broadcast-delta shape (BroadcastHashJoin on the upsert keys for delete/reinsert, broadcast fact-delta join) — the standing snapshot is never reshuffled; the full-recompute branch exists only to feed the EXCEPT ALL audit.",
     "ev15_attribution" ->
-      "Last-touch attribution: ONE window pass partitioned by user_id (cardinality grows with the corpus — the sort parallelizes), struct-max picks the latest touch without a per-purchase join; the report aggregates to |channels| rows."
+      "Last-touch attribution: ONE window pass partitioned by user_id (cardinality grows with the corpus — the sort parallelizes), struct-max picks the latest touch without a per-purchase join; the report aggregates to |channels| rows.",
+    "hn01_graph_ann" ->
+      "Graph ANN: the kNN edge build is an equi-join on the count-calibrated cell id (~128 vectors/cell, so pairwise work is 128·n — linear, never corpus²); every search-round join broadcasts only fixed-size frames (queries, hubs, beam-bounded candidate lists) against corpus-side vec_id fetch joins; per-round visited sets are pinned InMemoryRelations.",
+    "ev17_bucketized_interval" ->
+      "Pure (no-equi-key) interval join under time-bin blocking: the views side is exploded into (bin, bin+1) map-side, the join is a plain shuffle equi-join on the bin with the exact range predicate as its post-filter — no BroadcastNestedLoopJoin, no CartesianProduct anywhere in the plan.",
+    "dd18_evolving_admission" ->
+      "Evolving LSH admission: ONE equi-join on (band_idx, bkey) between the delta bands and the corpus+delta pool (band-key-bucketed at cluster scale ⇒ no state reshuffle); the corpus/id-order predicates ride the join as post-filters, and the signature pass is pinned once for both splits.",
+    "mm05_pixel_decode" ->
+      "Real pixel decode: both codec stages are per-partition mapPartitions over the typed Dataset (SerializeFromObject→MapPartitions→DeserializeToObject spans) — one decoder instantiation per partition, rows stream through; the only exchange is the final ORDER BY's range partition."
   )
 
   def main(args: Array[String]): Unit = {
