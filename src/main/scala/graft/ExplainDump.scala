@@ -74,6 +74,8 @@ object ExplainDump {
       "Pure (no-equi-key) interval join under time-bin blocking: the views side is exploded into (bin, bin+1) map-side, the join is a plain shuffle equi-join on the bin with the exact range predicate as its post-filter — no BroadcastNestedLoopJoin, no CartesianProduct anywhere in the plan.",
     "dd18_evolving_admission" ->
       "Evolving LSH admission: ONE equi-join on (band_idx, bkey) between the delta bands and the corpus+delta pool (band-key-bucketed at cluster scale ⇒ no state reshuffle); the corpus/id-order predicates ride the join as post-filters, and the signature pass is pinned once for both splits.",
+    "dd19_twin_safe_lsh" ->
+      "Twin-safe LSH: the identical-set collapse is ONE groupBy on the 16-byte set fingerprint (map-side computed next to the shingle array — never the text); the signature/band/candidate/confirm stages all hang off the left-semi rep slice, so every self-join runs on the DISTINCT-set corpus; band keys, not text, are the shuffle keys throughout.",
     "mm05_pixel_decode" ->
       "Real pixel decode: both codec stages are per-partition mapPartitions over the typed Dataset (SerializeFromObject→MapPartitions→DeserializeToObject spans) — one decoder instantiation per partition, rows stream through; the only exchange is the final ORDER BY's range partition."
   )

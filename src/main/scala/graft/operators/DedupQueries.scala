@@ -724,6 +724,132 @@ object DedupQueries {
     }
   }
 
+  /** Twin-safe production LSH — dd10's exact pipeline (3-gram
+    * shingles, 8-hash signatures, 2 bands × 4 rows, band-OR, exact
+    * Jaccard confirm) run at the REPRESENTATIVE level: identical
+    * shingle-sets collapse to their min-id doc first (copy counts
+    * carried), the ss02/ss03 sequencing applied to the MinHash route.
+    *
+    * Why this variant must exist: dd10's doc-level pair output is
+    * Θ(copies²) on a twin-heavy corpus — the 1000× key-shifted replica
+    * gives every doc 999 identical twins, so the TRUE doc-level result
+    * alone is ~5000·C(1000,2) ≈ 2.5e9 rows and no candidate-pruning
+    * scheme escapes output cardinality (measured: dd10 dies at the
+    * 1000× probe on exactly this; SCALING.md growth table). The
+    * collapse is LOSSLESS for MinHash: identical sets ⇒ identical
+    * signatures ⇒ identical bands, and Jaccard depends only on the
+    * sets, so every doc-level pair (x, y) with distinct sets is the
+    * representative pair (rep(x), rep(y)) with multiplicity
+    * a_copies·b_copies, and within-set twins are the n_copies counts —
+    * the doc-level answer is a cheap cross-expansion of this result.
+    *
+    * Scale: the per-doc work (shingle + fingerprint) is one map-side
+    * pass; the collapse is one groupBy on the 16-byte set fingerprint
+    * (never the text); everything downstream — signature, banding,
+    * candidate join, confirm — runs on the DISTINCT-set corpus, whose
+    * size the twin replicas cannot grow. */
+  val dd19TwinSafeLsh: GraftQuery = {
+    val R = 4 // rows per band
+    val B = 2 // bands
+    val bandsSql = (0 until B).map { b =>
+      val comps = (b * R until (b + 1) * R).map(j => s"s$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($comps) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    q("dd19_twin_safe_lsh",
+      "twin-safe MinHash-LSH: identical-set collapse, then dd10's pipeline over representatives",
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+         |  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+         |fp AS (
+         |  SELECT doc_id, md5(string_agg(w, chr(1) ORDER BY w)) AS f
+         |  FROM sh GROUP BY doc_id),
+         |grp AS (SELECT f, MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_copies
+         |  FROM fp GROUP BY f),
+         |rsh AS (SELECT s.doc_id, s.w FROM sh s JOIN grp g ON s.doc_id = g.rep),
+         |sig AS (
+         |  SELECT doc_id,
+         |    ${(0 until B * R).map(j => s"MIN(md5('$j:' || w)) AS s$j").mkString(", ")}
+         |  FROM rsh GROUP BY doc_id),
+         |bands AS (
+         |  $bandsSql),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM rsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, c.n_bands, COUNT(*) AS i
+         |  FROM cand c JOIN rsh ta ON ta.doc_id = c.doc_a
+         |  JOIN rsh tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+         |  GROUP BY c.doc_a, c.doc_b, c.n_bands)
+         |SELECT doc_a, doc_b, n_bands,
+         |  CAST(i AS DOUBLE) / CAST(ca.c + cb.c - i AS DOUBLE) AS jaccard,
+         |  ga.n_copies AS a_copies, gb.n_copies AS b_copies
+         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |JOIN grp ga ON ga.rep = doc_a
+         |JOIN grp gb ON gb.rep = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      graft.plans.VectorExpressions.register(s)
+      // Shingle set + its order-canonical fingerprint in ONE map-side
+      // pass (shingles() is array_distinct'd, so sort_array(sh) is the
+      // canonical set image); the fingerprint is engine-internal — it
+      // only has to group identical sets together, which any correct
+      // hash of the canonical image does in both engines.
+      val docs = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"),
+          md5(concat_ws("\u0001", sort_array(
+            TextFunctions.shingles(col("text"), 3)))).as("f"))
+        .pinned // three consumers: the collapse, the rep slice, the confirm
+      val grp = docs.groupBy("f")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+      val reps = docs.join(
+        grp.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("sh"))
+        .pinned // rep-level frame feeds signature AND exact confirm
+      val sig = reps.select(col("doc_id"),
+        graft.plans.VectorExpressions.minhash_signature(col("sh"), B * R).as("sig"))
+      val bands = sig.select(col("doc_id"), explode(array((0 until B).map(b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat((b * R until (b + 1) * R).map(j =>
+            element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"),
+          col("band_idx").as("bi"), col("bkey").as("bk")),
+          col("band_idx") === col("bi") && col("bkey") === col("bk") &&
+            col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+      val tok = reps.select(col("doc_id"), explode(col("sh")).as("w"))
+      val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val inter = cand
+        .join(tok.select(col("doc_id").as("da"), col("w")), col("doc_a") === col("da"))
+        .join(tok.select(col("doc_id").as("db"), col("w").as("wb")),
+          col("doc_b") === col("db") && col("w") === col("wb"))
+        .groupBy("doc_a", "doc_b", "n_bands").agg(count(lit(1)).as("i"))
+      inter
+        .join(cnt.select(col("doc_id").as("ca_id"), col("c").as("ca")),
+          col("doc_a") === col("ca_id"))
+        .join(cnt.select(col("doc_id").as("cb_id"), col("c").as("cb")),
+          col("doc_b") === col("cb_id"))
+        .join(grp.select(col("rep").as("ga_id"), col("n_copies").as("a_copies")),
+          col("doc_a") === col("ga_id"))
+        .join(grp.select(col("rep").as("gb_id"), col("n_copies").as("b_copies")),
+          col("doc_b") === col("gb_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_bands"),
+          (col("i").cast(DoubleType) /
+            (col("ca") + col("cb") - col("i")).cast(DoubleType)).as("jaccard"),
+          col("a_copies"), col("b_copies"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
   /** LSH tuning harness: precision/recall of the banded MinHash
     * candidate set (dd10's 8-hash, 2×4 scheme) against exact shingle
     * Jaccard ground truth, at two duplicate thresholds. This is the
@@ -1209,7 +1335,8 @@ object DedupQueries {
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
-    dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd11RepeatedNgrams,
+    dd08DupClusters, dd09KeepBest, dd10ProductionLsh, dd19TwinSafeLsh,
+    dd11RepeatedNgrams,
     dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
     dd15SortedNeighborhood, dd16SubstringSpans, dd17SimhashHamming,
     dd18EvolvingAdmission, rb01RepetitionBudget, pd01ChunkDedup)

@@ -126,4 +126,58 @@ class IntegritySpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("dd19 is a lossless factorization of dd10 on a twin corpus " +
+      "(cross-expansion ≡ the doc-level result)") {
+    val s = spark
+    // twin fixture: sf0.001 documents ∪ one key-shifted identical
+    // replica (the ScaleUp construction that makes doc-level LSH
+    // output Θ(copies²))
+    val docs = Tables.documents(s, sf)
+    val off = 1000000L
+    val twin = docs.select((col("doc_id") + off).as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val root = Scratch.dir("dd19-law")
+    docs.unionByName(twin).write.mode("overwrite")
+      .parquet(s"$root/documents.parquet")
+
+    def res(name: String) = Registry.all.find(_.name == name).get.build(s, root)
+    val dd10 = res("dd10_production_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dd19 = res("dd19_twin_safe_lsh").collect()
+    assert(dd19.length < dd10.size,
+      "the collapse must strictly shrink the output on a twin corpus")
+
+    // group membership under the operator's own fingerprint definition
+    import graft.functions.TextFunctions
+    val members: Map[Long, Seq[Long]] = Tables.documents(s, root)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), md5(concat_ws("\u0001",
+        sort_array(TextFunctions.shingles(col("text"), 3)))).as("f"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values
+      .map { g => val ids = g.map(_._1).sorted.toSeq; ids.head -> ids }.toMap
+    // ≥ 2: the shifted replica guarantees a twin; exact-dup ORIGINALS
+    // (present in the synthetic corpus) make some groups larger
+    assert(members.forall(_._2.size >= 2), "every doc must have its twin")
+
+    // identical sets ⇒ identical signatures ⇒ identical band collisions,
+    // so each rep pair expands to all cross pairs with the SAME n_bands
+    // and jaccard, and each group's internal pairs are (2 bands, 1.0)
+    val expanded = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    dd19.foreach { r =>
+      val (a, b, nb, j) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      for (x <- members(a); y <- members(b)) {
+        val (lo, hi) = if (x < y) (x, y) else (y, x)
+        expanded += ((lo, hi, nb, j))
+      }
+    }
+    members.values.filter(_.size > 1).foreach { ids =>
+      for (i <- ids.indices; k <- i + 1 until ids.size)
+        expanded += ((ids(i), ids(k), 2L, 1.0))
+    }
+    assert(expanded.toSet == dd10,
+      s"expansion mismatch: ${(expanded.toSet -- dd10).take(3)} extra, " +
+        s"${(dd10 -- expanded).take(3)} missing")
+  }
 }
