@@ -734,8 +734,10 @@ object DedupQueries {
     * Θ(copies²) on a twin-heavy corpus — the 1000× key-shifted replica
     * gives every doc 999 identical twins, so the TRUE doc-level result
     * alone is ~5000·C(1000,2) ≈ 2.5e9 rows and no candidate-pruning
-    * scheme escapes output cardinality (measured: dd10 dies at the
-    * 1000× probe on exactly this; SCALING.md growth table). The
+    * scheme escapes output cardinality (measured: dd10 heap-OOMs at
+    * the 100× probe already — the exact-confirm stage streams ~100M
+    * candidate pairs × their shingle arrays; SCALING.md growth table).
+    * The
     * collapse is LOSSLESS for MinHash: identical sets ⇒ identical
     * signatures ⇒ identical bands, and Jaccard depends only on the
     * sets, so every doc-level pair (x, y) with distinct sets is the
