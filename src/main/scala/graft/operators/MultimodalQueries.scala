@@ -679,7 +679,150 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------- perceptual-hash image dedup
+
+  /** Per-image perceptual fingerprint: the decoded raster pooled to a
+    * 9×8 luminance grid, dHashed to 64 horizontal-gradient bits. */
+  final case class PHashRow(doc_id: Long, fmt: String, w: Long, h: Long,
+      phash: String)
+
+  /** dHash (difference hash) over a decoded raster: average-pool the
+    * pixels into a 9×8 luminance grid (cell = x*9/w, y*8/h — the
+    * integer "resize" every perceptual-hash library performs), then
+    * emit one bit per horizontally adjacent cell pair (right > left).
+    * Resolution- and container-independent by construction: any two
+    * images whose pooled grids match hash identically, whatever their
+    * dimensions or codec. */
+  private[operators] object PerceptualHash {
+    def dhash(p: Array[Byte]): (Long, Long, String) = {
+      val sum = Array.ofDim[Long](9, 8)
+      val cnt = Array.ofDim[Long](9, 8)
+      // cell assignment needs the image dims, which the decoders only
+      // return after the walk — buffer the (tiny) luminance raster
+      // through the callback, then pool once dims are known. Memory is
+      // O(one image), the same bound the decode itself already has.
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      val collect = (x: Int, y: Int, r: Int, g: Int, b: Int) => {
+        buf += ((x, y, (r + g + b) / 3)); ()
+      }
+      val (w, h) =
+        if (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+          PixelCodec.decodeBmp(p, collect)
+        else PixelCodec.decodePng(p, collect)
+      buf.foreach { case (x, y, lum) =>
+        val cx = (x * 9 / w).toInt
+        val cy = (y * 8 / h).toInt
+        sum(cx)(cy) += lum
+        cnt(cx)(cy) += 1
+      }
+      val cell = Array.tabulate(9, 8)((cx, cy) =>
+        if (cnt(cx)(cy) == 0) 0L else sum(cx)(cy) / cnt(cx)(cy))
+      val bits = new StringBuilder(64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          bits.append(if (cell(cx + 1)(cy) > cell(cx)(cy)) '1' else '0')
+          cx += 1
+        }
+        cy += 1
+      }
+      (w, h, bits.toString)
+    }
+  }
+
+  /** mm07: perceptual-hash image dedup — the multimodal twin of the
+    * dd family. The fixture encodes 7 underlying IMAGE PATTERNS, each
+    * rendered at ~51 different resolutions and serialized through two
+    * different containers (BMP for even ids, PNG for odd — 7 and 2
+    * are coprime, so every pattern group contains both), so every
+    * byte-level signal — payload checksum, file length, even the
+    * decoded dimensions — splits what is visually one image. The
+    * pipeline decodes the real rasters (mm05's codecs), pools each to
+    * a 9×8 luminance grid, dHashes the gradients, and groups by the
+    * hash: 7 groups re-emerge, each spanning both formats and dozens
+    * of dimension variants. n_formats > 1 in every group is the
+    * measured proof that byte-level dedup cannot find these pairs.
+    *
+    * The pixel formula is constant within each pooled cell (pattern
+    * value at (x*9/w, y*8/h)), which makes the pooled means — and so
+    * the hash — EXACTLY resolution-invariant and lets the oracle
+    * recompute the same 64 bits from the cell formula alone, never
+    * touching container bytes. The decoder doesn't know any of that:
+    * it pools whatever pixels the codecs hand it, so every stride /
+    * filter / orientation bug still lands as a wrong bit.
+    *
+    * Scale shape: decode + hash is one mapPartitions pass (per-byte
+    * linear, embarrassingly parallel); the dedup is ONE groupBy on a
+    * 64-bit key — the exact-dedup (dd01) shape, so the 100 TB story is
+    * the grouping's, already probed flat. Hamming-radius (near-dup)
+    * variants compose with dd17's block-permutation equi-join on the
+    * same 64-bit keys. */
+  val mm07PhashDedup: GraftQuery = q(
+    "mm07_phash_dedup",
+    "perceptual dHash over real decoded rasters: cross-format, cross-resolution image dedup",
+    """WITH docs AS (
+      |  SELECT doc_id, doc_id % 7 AS p,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+      |    9 + doc_id % 24 AS w, 8 + (doc_id // 5) % 16 AS h
+      |  FROM documents WHERE doc_id < 360),
+      |cells AS (
+      |  SELECT doc_id, fmt, w, h, cx, cy,
+      |    (((cx*31 + cy*17 + p*53) % 256) + ((cx*13 + cy*29 + p*71) % 256)
+      |      + ((cx*37 + cy*11 + p*89) % 256)) // 3 AS lum
+      |  FROM docs, UNNEST(range(0, 9)) AS gx(cx), UNNEST(range(0, 8)) AS gy(cy)),
+      |bits AS (
+      |  SELECT a.doc_id, a.fmt, a.w, a.h, a.cy, a.cx,
+      |    CASE WHEN b.lum > a.lum THEN '1' ELSE '0' END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |ph AS (
+      |  SELECT doc_id, MIN(fmt) AS fmt, MIN(w) AS w, MIN(h) AS h,
+      |    string_agg(bit, '' ORDER BY cy, cx) AS phash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT fmt) AS BIGINT) AS n_formats,
+      |  CAST(COUNT(DISTINCT w*1000 + h) AS BIGINT) AS n_dims,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM ph GROUP BY phash ORDER BY phash, min_doc""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).filter(col("doc_id") < 360)
+      .select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val p = id % 7
+      val w = (9 + id % 24).toInt
+      val h = (8 + (id / 5) % 16).toInt
+      // pattern value at the POOLED cell — constant within each cell,
+      // so the pooled mean is exactly resolution-independent
+      val px: PixelCodec.PxFn = (x, y) => {
+        val cx = x * 9 / w
+        val cy = y * 8 / h
+        (((cx * 31 + cy * 17 + p * 53) % 256).toInt,
+          ((cx * 13 + cy * 29 + p * 71) % 256).toInt,
+          ((cx * 37 + cy * 11 + p * 89) % 256).toInt)
+      }
+      val payload = if (id % 2 == 0) PixelCodec.encodeBmp(w, h, px)
+        else PixelCodec.encodePng(w, h, px)
+      MediaRecord(id, if (id % 2 == 0) "image/bmp" else "image/png",
+        payload.length.toLong, payload)
+    })
+    media.mapPartitions(_.map { r =>
+        val (w, h, phash) = PerceptualHash.dhash(r.payload)
+        PHashRow(r.doc_id, if (r.mime.endsWith("bmp")) "bmp" else "png",
+          w, h, phash)
+      })
+      .toDF()
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fmt")).as("n_formats"),
+        countDistinct(col("w") * 1000 + col("h")).as("n_dims"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("phash", "min_doc")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(mm01BinaryMeta, mm02DecodeFeatures, mm03FrameSample, mm04HeaderDecode,
-      mm05PixelDecode, mm06AudioDecode)
+      mm05PixelDecode, mm06AudioDecode, mm07PhashDedup)
 }

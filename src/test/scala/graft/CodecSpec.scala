@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.operators.MultimodalQueries.{PixelCodec, WavCodec}
+import graft.operators.MultimodalQueries.{PerceptualHash, PixelCodec, WavCodec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Byte-level tests for the real multimodal codecs (mm05/mm06) — the
@@ -137,5 +137,42 @@ class CodecSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       WavCodec.stats(0L, "RIFX????".getBytes("US-ASCII"))
     }
+  }
+
+  // ---- PerceptualHash (mm07): the properties the oracle can't see ----
+
+  /** mm07's fixture shape: pattern value sampled at the pooled cell. */
+  private def patternPx(w: Int, h: Int, p: Long): PixelCodec.PxFn = (x, y) => {
+    val cx = x * 9 / w
+    val cy = y * 8 / h
+    (((cx * 31 + cy * 17 + p * 53) % 256).toInt,
+      ((cx * 13 + cy * 29 + p * 71) % 256).toInt,
+      ((cx * 37 + cy * 11 + p * 89) % 256).toInt)
+  }
+
+  test("dHash is resolution- and container-invariant for pooled-cell patterns") {
+    val a = PerceptualHash.dhash(PixelCodec.encodeBmp(9, 8, patternPx(9, 8, 3)))
+    val b = PerceptualHash.dhash(PixelCodec.encodePng(31, 22, patternPx(31, 22, 3)))
+    val c = PerceptualHash.dhash(PixelCodec.encodeBmp(17, 15, patternPx(17, 15, 3)))
+    assert(a._3.length == 64 && a._3.forall(ch => ch == '0' || ch == '1'))
+    assert(a._3 == b._3, "BMP 9x8 vs PNG 31x22, same pattern")
+    assert(a._3 == c._3, "BMP 9x8 vs BMP 17x15, same pattern")
+    assert((a._1, a._2) == (9L, 8L) && (b._1, b._2) == (31L, 22L))
+  }
+
+  test("dHash separates the fixture's 7 patterns and flips on a one-cell edit") {
+    val hashes = (0L until 7L).map(p =>
+      PerceptualHash.dhash(PixelCodec.encodeBmp(20, 12, patternPx(20, 12, p)))._3)
+    assert(hashes.distinct.size == 7, "pattern collision in the fixture formula")
+    // brighten one interior cell enough to flip its two horizontal
+    // gradient comparisons: a perceptual CHANGE, not a re-encode
+    val base = patternPx(20, 12, 3)
+    val edited: PixelCodec.PxFn = (x, y) =>
+      if (x * 9 / 20 == 4 && y * 8 / 12 == 4) (255, 255, 255) else base(x, y)
+    val h0 = PerceptualHash.dhash(PixelCodec.encodeBmp(20, 12, base))._3
+    val h1 = PerceptualHash.dhash(PixelCodec.encodeBmp(20, 12, edited))._3
+    assert(h0 != h1, "a visible edit must change the hash")
+    assert(h0.zip(h1).count { case (x, y) => x != y } <= 3,
+      "a one-cell edit must stay a NEAR duplicate (small hamming distance)")
   }
 }
