@@ -1052,10 +1052,135 @@ object AnalyticsQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Incremental view maintenance for an AGGREGATE — iv01's discipline
+    * applied to the materialized rollup a reporting pipeline keeps: per
+    * (priority, year) order counts and exact-decimal revenue. Standing
+    * state A_old = γ(B). One maintenance batch arrives with BOTH delta
+    * signs: Δ⁻ purges an entire cohort (every 1996 1-URGENT order — the
+    * GDPR-delete shape) plus a scattered slice (orderkey % 11 = 0), and
+    * Δ⁺ inserts the new-order batch (orderkey % 7 = 0, outside the
+    * purged cohort). The maintained result is
+    *   A_new = A_old ⊕ γ(Δ⁺) ⊖ γ(Δ⁻)
+    * — a full-outer merge on the group key with coalesced count/sum
+    * arithmetic and COUNT-ZERO ELIMINATION: a group whose maintained
+    * count reaches 0 (the purged cohort) must DISAPPEAR, the classic
+    * multiset-IVM subtlety a naive merge gets wrong (it would emit the
+    * group with n=0 and sum=0). The audit recomputes γ((B∖Δ⁻)∪Δ⁺) and
+    * counts EXCEPT ALL mismatches per group — provably 0.
+    *
+    * Scale: γ partials are map-side combinable, the three agg frames
+    * are keyspace-sized (≤ |priorities|·|years| rows at ANY corpus
+    * size), and the merge joins those bounded frames — fact rows are
+    * touched once by each γ and never by the merge. At 100 TB the
+    * maintained table updates in O(|Δ| + keyspace), which is the whole
+    * point of aggregate IVM; the full recompute here exists only as
+    * the audit. Sums ride DECIMAL(12,2) (Det.dec2) end to end so the
+    * ⊕/⊖ arithmetic is exact and the final double cast is one rounding
+    * in both engines. */
+  val av01IncrementalAgg: GraftQuery = q(
+    "av01_incremental_agg",
+    "incremental aggregate maintenance: cohort purge + insert batch, count-zero elimination, audited vs recompute",
+    """WITH b AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+      |del AS (
+      |  SELECT * FROM b
+      |  WHERE (o_orderpriority = '1-URGENT'
+      |         AND EXTRACT(year FROM o_orderdate) = 1996)
+      |     OR o_orderkey % 11 = 0),
+      |ins AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderkey % 7 = 0
+      |    AND NOT (o_orderpriority = '1-URGENT'
+      |             AND EXTRACT(year FROM o_orderdate) = 1996)),
+      |a_old AS (
+      |  SELECT o_orderpriority AS pri, EXTRACT(year FROM o_orderdate) AS yr,
+      |    COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM b GROUP BY 1, 2),
+      |a_ins AS (
+      |  SELECT o_orderpriority AS pri, EXTRACT(year FROM o_orderdate) AS yr,
+      |    COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM ins GROUP BY 1, 2),
+      |a_del AS (
+      |  SELECT o_orderpriority AS pri, EXTRACT(year FROM o_orderdate) AS yr,
+      |    COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM del GROUP BY 1, 2),
+      |merged AS (
+      |  SELECT COALESCE(o.pri, i.pri, d.pri) AS pri,
+      |    COALESCE(o.yr, i.yr, d.yr) AS yr,
+      |    COALESCE(o.n, 0) + COALESCE(i.n, 0) - COALESCE(d.n, 0) AS n,
+      |    COALESCE(o.rev, 0) + COALESCE(i.rev, 0) - COALESCE(d.rev, 0) AS rev
+      |  FROM a_old o
+      |  FULL OUTER JOIN a_ins i ON i.pri = o.pri AND i.yr = o.yr
+      |  FULL OUTER JOIN a_del d
+      |    ON d.pri = COALESCE(o.pri, i.pri) AND d.yr = COALESCE(o.yr, i.yr)),
+      |a_new AS (SELECT * FROM merged WHERE n > 0),
+      |a_full AS (
+      |  SELECT o_orderpriority AS pri, EXTRACT(year FROM o_orderdate) AS yr,
+      |    COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM (SELECT * FROM b
+      |        EXCEPT ALL SELECT * FROM del
+      |        UNION ALL SELECT * FROM ins) x
+      |  GROUP BY 1, 2),
+      |mism AS (
+      |  SELECT pri, yr, COUNT(*) AS n_mismatch FROM (
+      |    SELECT * FROM a_new EXCEPT ALL SELECT * FROM a_full
+      |    UNION ALL
+      |    SELECT * FROM a_full EXCEPT ALL SELECT * FROM a_new) x
+      |  GROUP BY pri, yr)
+      |SELECT a.pri, CAST(a.yr AS BIGINT) AS yr, CAST(a.n AS BIGINT) AS n,
+      |  CAST(a.rev AS DOUBLE) AS rev,
+      |  CAST(COALESCE(m.n_mismatch, 0) AS BIGINT) AS n_mismatch
+      |FROM a_new a LEFT JOIN mism m ON m.pri = a.pri AND m.yr = a.yr
+      |ORDER BY a.pri, a.yr""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val purged = col("o_orderpriority") === "1-URGENT" &&
+      year(col("o_orderdate")) === 1996
+    val b = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val del = b.filter(purged || col("o_orderkey") % 11 === 0)
+    val ins = orders.filter(col("o_orderkey") % 7 === 0 && !purged)
+    def gamma(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority").as("pri"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("rev"))
+    val aOld = gamma(b)
+    val aIns = gamma(ins)
+    val aDel = gamma(del)
+    // keyspace-sized merge: full-outer on the group key, signed
+    // count/sum arithmetic, then count-zero elimination
+    val merged = aOld.select(col("pri"), col("yr"),
+        col("n").as("n_o"), col("rev").as("rev_o"))
+      .join(aIns.select(col("pri"), col("yr"),
+        col("n").as("n_i"), col("rev").as("rev_i")), Seq("pri", "yr"), "full_outer")
+      .join(aDel.select(col("pri"), col("yr"),
+        col("n").as("n_d"), col("rev").as("rev_d")), Seq("pri", "yr"), "full_outer")
+      .select(col("pri"), col("yr"),
+        (coalesce(col("n_o"), lit(0L)) + coalesce(col("n_i"), lit(0L))
+          - coalesce(col("n_d"), lit(0L))).as("n"),
+        (coalesce(col("rev_o"), lit(0).cast(DecimalType(12, 2)))
+          + coalesce(col("rev_i"), lit(0).cast(DecimalType(12, 2)))
+          - coalesce(col("rev_d"), lit(0).cast(DecimalType(12, 2)))).as("rev"))
+    val aNew = merged.filter(col("n") > 0)
+    val aFull = gamma(b.exceptAll(del).unionAll(ins))
+    val mism = aNew.select(col("pri"), col("yr"), col("n"),
+        col("rev").cast(DecimalType(22, 2)).as("rev"))
+      .exceptAll(aFull.select(col("pri"), col("yr"), col("n"),
+        col("rev").cast(DecimalType(22, 2)).as("rev")))
+      .unionAll(aFull.select(col("pri"), col("yr"), col("n"),
+          col("rev").cast(DecimalType(22, 2)).as("rev"))
+        .exceptAll(aNew.select(col("pri"), col("yr"), col("n"),
+          col("rev").cast(DecimalType(22, 2)).as("rev"))))
+      .groupBy("pri", "yr").agg(count(lit(1)).as("n_mismatch"))
+    aNew.join(mism, Seq("pri", "yr"), "left")
+      .na.fill(0L, Seq("n_mismatch"))
+      .select(col("pri"), col("yr"), col("n"),
+        col("rev").cast(DoubleType).as("rev"), col("n_mismatch"))
+      .orderBy("pri", "yr")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
     ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample,
     rs01ReservoirSample, mb01MarketBasket, pit01PointInTime,
-    dr01DistributionDrift, pa01Skyline, iv01IncrementalJoin)
+    dr01DistributionDrift, pa01Skyline, iv01IncrementalJoin,
+    av01IncrementalAgg)
 }
