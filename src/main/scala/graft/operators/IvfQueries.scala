@@ -723,9 +723,19 @@ object IvfQueries {
     * CEIL(n/128)) caps the expected cell population at ~128 vectors
     * however large the corpus grows, which is what keeps hn01's
     * within-cell kNN build LINEAR in n (Σ cell² ≈ n·128) instead of
-    * quadratic-in-n the fixed-16-cell assign would give it. At every
-    * driver scale (n ≤ 2000) this evaluates to exactly 16, so the two
-    * assigns coincide where the oracle checks them. */
+    * quadratic-in-n the fixed-16-cell assign would give it.
+    *
+    * The assignment itself is HIERARCHICAL (coarse-to-fine — the
+    * IVF-HNSW/two-level-quantizer shape): a vector first picks the
+    * best of the ⌈ncells/128⌉ group REPRESENTATIVES (centroids whose
+    * cid ≡ 0 mod 128), then the best centroid within that group. The
+    * 1000× probe forced this too: flat argmax over n/128 centroids is
+    * n²/128 cosine evaluations (31 BILLION at 2M vectors — the probe
+    * timed out on assignment alone); coarse-to-fine is ~(n/16384 +
+    * 128)·n — linear. Whenever ncells ≤ 128 there is exactly one
+    * group (cid 0 is the only representative) and the fine stage
+    * scores every centroid, so the hierarchical and flat assigns
+    * coincide at every driver scale (n ≤ 2000 ⇒ ncells = 16). */
   private def sqlAssignDyn: String =
     s"""normed AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, SQRT(${sqlNorm2("e")}) AS nrm
@@ -736,20 +746,65 @@ object IvfQueries {
        |centroids AS MATERIALIZED (
        |  SELECT vec_id AS cid, embedding, nrm AS cnrm FROM normed, params
        |  WHERE vec_id < ncells),
+       |coarse AS MATERIALIZED (
+       |  SELECT vec_id, g FROM (
+       |    SELECT v.vec_id, r.cid // 128 AS g,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${sqlDot("v", "r")} / (v.nrm * r.cnrm) DESC, r.cid) AS rr
+       |    FROM normed v CROSS JOIN centroids r WHERE r.cid % 128 = 0)
+       |  WHERE rr = 1),
        |scored0 AS (
        |  SELECT v.vec_id, c.cid,
        |    ${sqlDot("v", "c")} / (v.nrm * c.cnrm) AS cos_c
-       |  FROM normed v CROSS JOIN centroids c),
+       |  FROM normed v JOIN coarse ON coarse.vec_id = v.vec_id
+       |  JOIN centroids c ON c.cid // 128 = coarse.g),
        |scored AS (
        |  SELECT vec_id, cid, cos_c,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY cos_c DESC, cid) AS rc
        |  FROM scored0),
-       |assigned AS (SELECT vec_id, cid, cos_c FROM scored WHERE rc = 1)""".stripMargin
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid, cos_c FROM scored WHERE rc = 1)""".stripMargin
 
   /** Engine-side twin of [[sqlAssignDyn]]'s cell count. */
   private def dynCells(s: SparkSession, d: String): Long =
     math.max(16L, (Tables.embeddings(s, d).count() + 127L) / 128L)
+
+  /** Engine-side twin of [[sqlAssignDyn]]'s hierarchical assignment:
+    * both stages are the map-side broadcast-array argmax idiom of
+    * [[assignedDf]] — stage 1 against the ⌈ncells/128⌉ representative
+    * array, stage 2 against the chosen group's ≤128 centroids via a
+    * broadcast equi-join on the group id. Zero corpus shuffles; the
+    * per-vector cost is representatives + 128, independent of ncells. */
+  private def assignedDfHier(s: SparkSession, d: String, cells: Long): DataFrame = {
+    VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        floor(col("vec_id") / 128).cast(LongType).as("g"))
+    val repArr = cents.filter(col("cid") % 128 === 0)
+      .agg(sort_array(collect_list(struct(col("cid").as("cid"),
+        col("cemb").as("cemb")))).as("reps"))
+    val groupArrs = cents.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("cid").as("cid"),
+        col("cemb").as("cemb")))).as("gc"))
+    def argmax(arr: Column, emb: Column): Column =
+      array_max(transform(arr, c =>
+        struct(
+          VectorExpressions.cosine_similarity(emb, c.getField("cemb"))
+            .as("cos_c"),
+          (-c.getField("cid")).as("neg_cid"),
+          c.getField("cid").as("cid"))))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(repArr))
+      .withColumn("g",
+        floor(argmax(col("reps"), col("embedding")).getField("cid") / 128)
+          .cast(LongType))
+      .join(broadcast(groupArrs), Seq("g"))
+      .withColumn("best", argmax(col("gc"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        col("best.cid").as("cid"), col("best.cos_c").as("cos_c"))
+  }
 
   /** Graph-based ANN (NSW/HNSW-family; Malkov et al.) — the
     * highest-recall-per-probe production index family, complementing
@@ -765,14 +820,19 @@ object IvfQueries {
     *    COUNT-CALIBRATED ([[sqlAssignDyn]]: ~128 vectors per cell), so
     *    Σ cell² ≈ 128·n — the build is LINEAR in the corpus, where a
     *    fixed cell count would quietly go quadratic at 100×;
-    *  - upper layer: one hub per cell (the vector most cosine-aligned
-    *    with its centroid — the cell's natural medoid stand-in), hubs
-    *    fully connected — the "zoom-out" layer HNSW gets from its
-    *    sparse top levels. Hub count is n/128, so the hub clique and
-    *    the per-query hub scan grow linearly ÷128; past ~10⁷ vectors a
-    *    THIRD level over the hubs (same construction, recursively)
-    *    would make both logarithmic — the natural extension, not a
-    *    rewrite;
+    *  - upper layers: one hub per cell (the vector most cosine-aligned
+    *    with its centroid — the cell's natural medoid stand-in). Hubs
+    *    connect as a clique only WITHIN their super-cell (cid/128 —
+    *    ≤128 hubs each), and one super-hub per super-cell forms the
+    *    apex clique — the "zoom-out" levels HNSW gets from its sparse
+    *    top layers, with every tier's edge count linear-bounded. The
+    *    1000× probe forced this: the original single-tier design
+    *    connected ALL hubs ((n/128)² edges — 244M at 2M vectors, a
+    *    genuine quadratic term that timed the probe out); the
+    *    three-tier form is ~n edges total and degenerates to the
+    *    single-tier clique whenever cells ≤ 128 (one super-cell), so
+    *    every driver-scale result is unchanged. Past ~10⁹ vectors the
+    *    apex clique ((n/16384)²) recurses the same way;
     *  - search: score all hubs (the top-layer scan), then H=3 beam
     *    rounds — expand the beam's out-edges, score, keep the best
     *    B=8 of everything seen; report top-K of the visited set.
@@ -826,10 +886,15 @@ object IvfQueries {
          |      PARTITION BY src ORDER BY cos_e DESC, dst) AS rn
          |    FROM gpairs) WHERE rn <= $M),
          |hubs AS (
-         |  SELECT vec_id FROM (
-         |    SELECT vec_id, ROW_NUMBER() OVER (
+         |  SELECT vec_id, cid // 128 AS sc, cos_c FROM (
+         |    SELECT vec_id, cid, cos_c, ROW_NUMBER() OVER (
          |      PARTITION BY cid ORDER BY cos_c DESC, vec_id) AS rn
          |    FROM assigned) WHERE rn = 1),
+         |shubs AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY sc ORDER BY cos_c DESC, vec_id) AS rn
+         |    FROM hubs) WHERE rn = 1),
          |edges AS (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT src, dst FROM knn
@@ -837,7 +902,11 @@ object IvfQueries {
          |    SELECT dst AS src, src AS dst FROM knn
          |    UNION ALL
          |    SELECT h1.vec_id AS src, h2.vec_id AS dst
-         |    FROM hubs h1 CROSS JOIN hubs h2 WHERE h1.vec_id <> h2.vec_id)),
+         |    FROM hubs h1 JOIN hubs h2
+         |      ON h1.sc = h2.sc AND h1.vec_id <> h2.vec_id
+         |    UNION ALL
+         |    SELECT s1.vec_id AS src, s2.vec_id AS dst
+         |    FROM shubs s1 CROSS JOIN shubs s2 WHERE s1.vec_id <> s2.vec_id)),
          |qs AS (SELECT vec_id AS query_id FROM normed WHERE vec_id < $NQ),
          |sc0 AS (
          |  SELECT q.query_id, h.vec_id AS cand_id,
@@ -884,7 +953,7 @@ object IvfQueries {
       // count-calibrated cells (≈128 vectors each) keep the kNN build
       // linear; == 16 at every driver scale, so oracle rows are
       // unchanged by the calibration
-      val assigned = assignedDf(s, d, dynCells(s, d))
+      val assigned = assignedDfHier(s, d, dynCells(s, d))
         .pinned // one pass: edges, hubs, vecs
       val vecs = assigned.select(col("vec_id"), col("embedding"))
       // base layer: within-cell kNN (equi-join on cid — NEVER corpus²)
@@ -892,22 +961,39 @@ object IvfQueries {
         col("embedding").as("se"))
       val bSide = assigned.select(col("cid").as("bcid"),
         col("vec_id").as("dst"), col("embedding").as("de"))
-      val wSrc = Window.partitionBy(col("src"))
-        .orderBy(col("cos_e").desc, col("dst"))
-      val knn = aSide
-        .join(bSide, col("cid") === col("bcid") && col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          VectorExpressions.cosine_similarity(col("se"), col("de")).as("cos_e"))
-        .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= M)
+      // per-src top-M through the k-bounded TopKPerGroup operator —
+      // the 1000× probe's pair stream is 128·n rows (256M at 2M
+      // vectors); a window sort would materialize and sort every
+      // group, the heap keeps M rows per src per task
+      val knn = graft.plans.TopKPerGroup.perGroup(
+        aSide
+          .join(bSide, col("cid") === col("bcid") && col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            VectorExpressions.cosine_similarity(col("se"), col("de")).as("cos_e")),
+        Seq(col("src")), struct(col("cos_e"), -col("dst")), k = M)
         .select(col("src"), col("dst"))
-      // upper layer: per-cell hub (argmax cosine-to-centroid), fully
-      // connected — ≤ |cells| rows, broadcast-safe at any corpus size
+      // upper layers: per-cell hub (argmax cosine-to-centroid), hub
+      // cliques WITHIN each super-cell (cid/128), and the apex clique
+      // over per-super-cell super-hubs. One super-cell at every driver
+      // scale (cells = 16) ⇒ identical to a full hub clique there; at
+      // 1000× this is what keeps the edge table ~n instead of (n/128)²
       val wHub = Window.partitionBy(col("cid"))
         .orderBy(col("cos_c").desc, col("vec_id"))
       val hubs = assigned.withColumn("rn", row_number().over(wHub))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), floor(col("cid") / 128).cast(LongType).as("sc"),
+          col("cos_c"), col("embedding"))
+        .pinned // four readers: entry scan, within-sc clique ×2, apex
+      val hubClique = hubs.select(col("sc"), col("vec_id").as("src"))
+        .join(hubs.select(col("sc"), col("vec_id").as("dst")), Seq("sc"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val wSc = Window.partitionBy(col("sc"))
+        .orderBy(col("cos_c").desc, col("vec_id"))
+      val superHubs = hubs.withColumn("rn", row_number().over(wSc))
         .filter(col("rn") === 1).select(col("vec_id"))
-      val hubEdges = hubs.select(col("vec_id").as("src"))
-        .crossJoin(broadcast(hubs.select(col("vec_id").as("dst"))))
+      val apexClique = superHubs.select(col("vec_id").as("src"))
+        .crossJoin(broadcast(superHubs.select(col("vec_id").as("dst"))))
         .filter(col("src") =!= col("dst"))
       // UNDIRECTED base layer (kNN ∪ reverse-kNN — the NSW convention):
       // reverse edges let a search escape a neighbor whose own top-M
@@ -915,7 +1001,7 @@ object IvfQueries {
       // recall 0 (measured at sf0.01)
       val edges = knn
         .union(knn.select(col("dst").as("src"), col("src").as("dst")))
-        .union(hubEdges).distinct().pinned // read H times
+        .union(hubClique).union(apexClique).distinct().pinned // read H times
       val qvecs = vecs.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       // score a (query_id, cand_id) list: broadcast the beam-bounded
@@ -932,8 +1018,14 @@ object IvfQueries {
       def topOf(df: DataFrame, k: Int): DataFrame =
         df.withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
           .select(col("query_id"), col("cand_id"))
-      var visited = score(qvecs.select(col("query_id"))
-        .crossJoin(broadcast(hubs.select(col("vec_id").as("cand_id")))))
+      // entry scan: hubs carry their embeddings, so the top-layer scan
+      // is hubs × broadcast(32 queries) map-side — it never rescans the
+      // corpus and never broadcasts a corpus-growing candidate list
+      var visited = hubs.select(col("vec_id").as("cand_id"), col("embedding"))
+        .crossJoin(broadcast(qvecs))
+        .select(col("query_id"), col("cand_id"),
+          VectorExpressions.cosine_similarity(col("qe"), col("embedding"))
+            .as("cos_q"))
         .pinned
       var beam = topOf(visited, B)
       for (_ <- 1 to H) {
@@ -948,12 +1040,16 @@ object IvfQueries {
         .withColumn("hit", lit(1))
       val nv = visited.groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_visited"))
-      val exact = topOf(
+      // exact ground truth: n×NQ pairs through the k-bounded TopK
+      // operator (heap, map-side partials) — a window sort here would
+      // materialize and sort all 64M pairs at the 1000× probe
+      val exact = graft.plans.TopKPerGroup.perGroup(
         vecs.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
           .join(broadcast(qvecs), col("cand_id") =!= col("query_id"))
           .select(col("query_id"), col("cand_id"),
             VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cos_q")),
-        K)
+        Seq(col("query_id")), struct(col("cos_q"), -col("cand_id")), k = K)
+        .select(col("query_id"), col("cand_id"))
       exact.join(approx, Seq("query_id", "cand_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_exact"),
