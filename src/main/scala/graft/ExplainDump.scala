@@ -69,7 +69,7 @@ object ExplainDump {
     "ev15_attribution" ->
       "Last-touch attribution: ONE window pass partitioned by user_id (cardinality grows with the corpus — the sort parallelizes), struct-max picks the latest touch without a per-purchase join; the report aggregates to |channels| rows.",
     "hn01_graph_ann" ->
-      "Graph ANN: the kNN edge build is an equi-join on the count-calibrated cell id (~128 vectors/cell, so pairwise work is 128·n — linear, never corpus²); every search-round join broadcasts only fixed-size frames (queries, hubs, beam-bounded candidate lists) against corpus-side vec_id fetch joins; per-round visited sets are pinned InMemoryRelations.",
+      "Graph ANN: assignment is HIERARCHICAL (coarse reps then one group's ≤128 centroids — both map-side broadcast-array argmax, ~(n/16384+128)·n cosines instead of the flat n²/128 the 1000× probe timed out on); the kNN edge build is an equi-join on the count-calibrated cell id through the k-bounded TopK operator; hub cliques stay within super-cells plus an apex clique (edge table ~n, never (n/128)²); the entry scan is hubs × broadcast(32 queries) map-side; beam rounds broadcast only beam-bounded candidate lists; per-round visited sets are pinned InMemoryRelations.",
     "ev17_bucketized_interval" ->
       "Pure (no-equi-key) interval join under time-bin blocking: the views side is exploded into (bin, bin+1) map-side, the join is a plain shuffle equi-join on the bin with the exact range predicate as its post-filter — no BroadcastNestedLoopJoin, no CartesianProduct anywhere in the plan.",
     "dd18_evolving_admission" ->
@@ -77,7 +77,17 @@ object ExplainDump {
     "dd19_twin_safe_lsh" ->
       "Twin-safe LSH: the identical-set collapse is ONE groupBy on the 16-byte set fingerprint (map-side computed next to the shingle array — never the text); the signature/band/candidate/confirm stages all hang off the left-semi rep slice, so every self-join runs on the DISTINCT-set corpus; band keys, not text, are the shuffle keys throughout.",
     "mm05_pixel_decode" ->
-      "Real pixel decode: both codec stages are per-partition mapPartitions over the typed Dataset (SerializeFromObject→MapPartitions→DeserializeToObject spans) — one decoder instantiation per partition, rows stream through; the only exchange is the final ORDER BY's range partition."
+      "Real pixel decode: both codec stages are per-partition mapPartitions over the typed Dataset (SerializeFromObject→MapPartitions→DeserializeToObject spans) — one decoder instantiation per partition, rows stream through; the only exchange is the final ORDER BY's range partition.",
+    "mm07_phash_dedup" ->
+      "Perceptual image dedup: decode + pool + dHash is ONE mapPartitions pass (per-byte linear, embarrassingly parallel); the dedup itself is a single partial-aggregated groupBy on the 64-bit hash — the exact-dedup shape — so the only corpus exchange carries (hash, partial counts).",
+    "av01_incremental_agg" ->
+      "Aggregate IVM: each γ is a partial-aggregated scan of its slice (map-side combine before the exchange); the ⊕/⊖ merge is a full-outer join of three KEYSPACE-sized frames (≤ |priorities|·|years| rows at any corpus size) — fact rows are touched once per γ and never by the merge; the recompute branch exists only for the EXCEPT ALL audit.",
+    "qs01_kll_quantiles" ->
+      "Native TypedImperativeAggregate quantile sketch: ObjectHashAggregate partial/final pair — per-partition sketch states (O(k·log(n/k)) doubles each, NEVER the group's rows) serialize through the one exchange and merge; below the compaction threshold the estimate is provably the exact type-1 discrete quantile, which is what the DuckDB oracle hash-checks.",
+    "mt02_blocked_gemm" ->
+      "Blocked dense GEMM: k-block slicing + ×1000 int64 quantization ride ONE map-side posexplode (a vector's 4 blocks never leave its partition); the B side is 4 broadcast tiles (fixed 64×8 model width — broadcast is correct at any corpus scale, unlike mt01's corpus-growing vocab); the 16-term block contraction runs INSIDE a higher-order expression so the k dimension never becomes rows; per-vector C assembles via 8 map-side-combinable sums (complete before the single n-row exchange), and the census is 8 rows.",
+    "mt01_sparse_matmul" ->
+      "Distributed sparse GEMM: the contraction C=A·B is ONE shuffle equi-join on the contraction key (term) — A (corpus-sized tf triples) is touched by exactly that join, B (vocab-scale) rides the same shuffle and is never broadcast (the corpus-growing-vocabulary rule), fanning each triple by exactly 8 so a hot term cannot skew-amplify; C's partial sums combine map-side before the (doc, topic) exchange, the per-doc argmax runs through the k-bounded TopK operator (k=1, no window sort), and the report is an 8-row census. Bucketing both triple stores by term makes the contraction zero-Exchange at cluster scale (q48's layout argument applied to matrices)."
   )
 
   def main(args: Array[String]): Unit = {

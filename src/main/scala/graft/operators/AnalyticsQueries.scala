@@ -1176,11 +1176,178 @@ object AnalyticsQueries {
       .orderBy("pri", "yr")
   }
 
+  /** Distributed sparse matrix multiply — the linear-algebra kernel a
+    * training pipeline runs as "project every document into a topic /
+    * cluster space": C = A·B with A the (doc × term) tf matrix in
+    * sparse triple form and B a (term × 8) integer projection derived
+    * from the term hash (a deterministic stand-in for a learned topic
+    * matrix — the md5 idiom st02/fh01 established, so both engines
+    * derive identical weights). The contraction is the textbook
+    * reduce-side GEMM: ONE shuffle equi-join on the contraction key
+    * (term), then a map-side-combinable SUM into C's (doc, topic)
+    * cells. Each doc then takes its argmax topic through the k-bounded
+    * TopK operator (k=1), and the report is the 8-row topic census.
+    *
+    * Scale shape: A is the corpus-sized operand and is touched by
+    * exactly one join; B is VOCAB-scale and carries no broadcast hint
+    * (the round-7 broadcast-guard rule for corpus-growing
+    * vocabularies: the optimizer may still size-elect a broadcast at
+    * small SFs, but at scale both sides degrade to the shuffle join —
+    * mb01's unhinted-margin discipline), fanning each A triple by
+    * exactly 8 — no skew amplification however hot a term is. B
+    * itself is built map-side: the 8 topic rows per term come from an
+    * explode of a literal array, zero joins. C's partial sums
+    * combine map-side before the (doc, topic) exchange. At cluster
+    * scale, bucketing BOTH triple stores by term makes the
+    * contraction zero-Exchange (q48's layout argument applied to
+    * matrices); blocked tiling only changes the key to (term-block),
+    * not the plan shape. All weights and scores are exact int64. */
+  val mt01SparseMatmul: GraftQuery = q(
+    "mt01_sparse_matmul",
+    "distributed sparse GEMM: tf triples x hash-projection on the contraction key, argmax-topic census",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |vocab AS (SELECT DISTINCT tok FROM tf),
+      |b AS (
+      |  SELECT tok, t,
+      |    CAST(CONCAT('0x', SUBSTRING(md5(tok || ':' || CAST(t AS VARCHAR)), 1, 4))
+      |      AS BIGINT) % 7 - 3 AS w
+      |  FROM vocab, UNNEST(range(0, 8)) AS tt(t)),
+      |c AS (
+      |  SELECT f.doc_id, b.t, SUM(f.tf * b.w) AS score
+      |  FROM tf f JOIN b ON b.tok = f.tok
+      |  GROUP BY f.doc_id, b.t),
+      |best AS (
+      |  SELECT doc_id, t, score FROM (
+      |    SELECT doc_id, t, score, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, t) AS rn
+      |    FROM c) WHERE rn = 1)
+      |SELECT CAST(t AS BIGINT) AS topic,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(score) AS BIGINT) AS total_score
+      |FROM best GROUP BY t ORDER BY topic""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .pinned // two consumers: the vocab projection and the contraction
+    // B's 8 topic columns are generated MAP-SIDE on the distinct-vocab
+    // frame (explode of an 8-element literal array — no join of any
+    // kind), so building B costs one vocab scan, zero exchanges
+    val bmat = tf.select(col("tok")).distinct()
+      .select(col("tok"), explode(sequence(lit(0L), lit(7L))).as("t"))
+      .select(col("tok"), col("t"),
+        (conv(substring(md5(concat(col("tok"), lit(":"),
+          col("t").cast(StringType))), 1, 4), 16, 10).cast(LongType)
+          % 7 - 3).as("w"))
+    val c = tf.join(bmat, Seq("tok"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+    val best = graft.plans.TopKPerGroup.perGroup(
+      c, Seq(col("doc_id")), struct(col("score"), -col("t")), k = 1)
+    best.groupBy(col("t").as("topic"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).cast(LongType).as("total_score"))
+      .orderBy("topic")
+  }
+
+  /** Blocked (tiled) dense GEMM — mt01's scale claim ("blocked tiling
+    * only changes the key, not the plan shape") made a real, checked
+    * plan: C = A·B with A the dense n×64 embedding matrix (quantized
+    * ×1000 to exact int64 — the established cross-engine idiom) and B
+    * a 64×8 md5-derived integer projection. A is sliced MAP-SIDE into
+    * 4 k-blocks of 16 (posexplode of subarray slices — the row never
+    * leaves its partition), each block equi-joins its B TILE, and the
+    * per-(vec, block) partial products reduce over the block INSIDE a
+    * higher-order expression — so the contraction dimension never
+    * appears as rows at all. Per-vector C assembles via 8
+    * map-side-combinable SUMs keyed by vec_id; since every k-block of
+    * a vector is born on its partition, the partials are complete
+    * before the single exchange (1 row × 8 ints per vector).
+    *
+    * The B side here is FIXED-dimension (64×8 — a learned projection's
+    * shape, set by model width not corpus size), so broadcasting the 4
+    * tiles is correct at ANY corpus scale — the deliberate contrast
+    * with mt01, whose B grows with the vocabulary and must stay
+    * shuffle-eligible. When B itself outgrows broadcast (huge output
+    * width), the identical plan shuffles A-blocks on kb and tiles on
+    * (kb, jb) — mt01's reduce-side path with block keys substituted
+    * for scalar keys; nothing else changes. */
+  val mt02BlockedGemm: GraftQuery = {
+    val NB = 4  // k-blocks
+    val KB = 16 // block size (NB*KB = embedding dim)
+    val NT = 8  // output topics
+    q("mt02_blocked_gemm",
+      "tiled dense GEMM: map-side k-block slicing x broadcast B tiles, in-expression block reduce",
+      s"""WITH a AS (
+         |  SELECT vec_id, k - 1 AS k0,
+         |    CAST(floor(CAST(embedding[k] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS av
+         |  FROM embeddings, UNNEST(range(1, ${NB * KB + 1})) AS tk(k)),
+         |b AS (
+         |  SELECT k0, j,
+         |    CAST(CONCAT('0x', SUBSTRING(md5('w:' || CAST(k0 AS VARCHAR) || ':' ||
+         |      CAST(j AS VARCHAR)), 1, 4)) AS BIGINT) % 7 - 3 AS w
+         |  FROM UNNEST(range(0, ${NB * KB})) AS tk(k0),
+         |       UNNEST(range(0, $NT)) AS tj(j)),
+         |c AS (
+         |  SELECT a.vec_id, b.j, SUM(a.av * b.w) AS score
+         |  FROM a JOIN b ON b.k0 = a.k0 GROUP BY a.vec_id, b.j),
+         |best AS (
+         |  SELECT vec_id, j, score FROM (
+         |    SELECT vec_id, j, score, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY score DESC, j) AS rn
+         |    FROM c) WHERE rn = 1)
+         |SELECT CAST(j AS BIGINT) AS topic,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(score) AS BIGINT) AS total_score
+         |FROM best GROUP BY j ORDER BY topic""".stripMargin) { (s, d) =>
+      def xd(x: Column) = x.cast(DoubleType)
+      // A row → NB (vec_id, kb, 16-wide exact-int sub-block) rows, all
+      // map-side: slice + quantize inside one posexplode expression
+      val ablocks = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(transform(sequence(lit(0), lit(NB - 1)), b =>
+            transform(slice(col("embedding"), b * KB + lit(1), lit(KB)), x =>
+              floor(xd(x) * 1000 + 0.5).cast(LongType)))))
+        .select(col("vec_id"), col("pos").as("kb"), col("col").as("asub"))
+      // B tiles: 4 rows, each a flat 16×8 int array ordered (k_local, j)
+      val tiles = s.range(NB).select(col("id").cast(IntegerType).as("kb"),
+        transform(sequence(lit(0), lit(KB * NT - 1)), i => {
+          val k0 = col("kb") * KB + floor(i / NT).cast(IntegerType)
+          val j = i % NT
+          conv(substring(md5(concat(lit("w:"), k0.cast(StringType), lit(":"),
+            j.cast(StringType))), 1, 4), 16, 10).cast(LongType) % 7 - 3
+        }).as("tile"))
+      // the block contraction happens INSIDE this expression — k never
+      // becomes rows; each (vec, kb) row yields its 8 partial cells
+      val partial = ablocks.join(broadcast(tiles), Seq("kb"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(NT - 1)), j =>
+            aggregate(sequence(lit(0), lit(KB - 1)), lit(0L), (acc, kl) =>
+              acc + element_at(col("asub"), kl + 1) *
+                element_at(col("tile"), kl * NT + j + 1))).as("p"))
+      val cRows = partial.groupBy(col("vec_id"))
+        .agg(sum(element_at(col("p"), 1)).as("c0"),
+          (1 until NT).map(j =>
+            sum(element_at(col("p"), j + 1)).as(s"c$j")): _*)
+      val best = cRows.select(col("vec_id"),
+        array_max(array((0 until NT).map(j =>
+          struct(col(s"c$j").as("score"), lit(-j).as("negj"),
+            lit(j).cast(LongType).as("j"))): _*)).as("b"))
+      best.groupBy(col("b.j").as("topic"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("b.score")).as("total_score"))
+        .orderBy("topic")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
     ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample,
     rs01ReservoirSample, mb01MarketBasket, pit01PointInTime,
     dr01DistributionDrift, pa01Skyline, iv01IncrementalJoin,
-    av01IncrementalAgg)
+    av01IncrementalAgg, mt01SparseMatmul, mt02BlockedGemm)
 }

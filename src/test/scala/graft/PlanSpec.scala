@@ -438,6 +438,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mt01: GEMM contraction is an equi-join; argmax is the k-bounded TopK, not a window sort") {
+    val p = plan("mt01_sparse_matmul")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the contraction must be an equi-join on the term key\n" + p.take(3000))
+    assert(p.contains("TopK"),
+      "per-doc argmax must run through the k-bounded TopK operator\n" + p.take(3000))
+    // C's sums must combine map-side before the (doc, topic) exchange
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "expected partial aggregation of the product cells\n" + p.take(3000))
+  }
+
+  test("qs01: sketch aggregates as a partial/final ObjectHashAggregate pair; scan pruned") {
+    val p = plan("qs01_kll_quantiles")
+    assert(p.contains("partial_kll_quantiles"),
+      "sketch states must combine map-side before the exchange\n" + p.take(3000))
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate must plan as ObjectHashAggregate\n" + p.take(3000))
+    // only the grouping keys + value column reach the scan
+    assert(!p.contains("l_extendedprice"),
+      "unused columns must be pruned from the lineitem scan\n" + p.take(3000))
+  }
+
+  test("mt02: B tiles broadcast, block contraction stays in-expression, partial sums before the vec exchange") {
+    val p = plan("mt02_blocked_gemm")
+    assert(p.contains("BroadcastHashJoin"),
+      "the fixed-width tile join must broadcast\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_sum"),
+      "C partials must combine map-side before the vec_id exchange\n" + p.take(3000))
+    // the contraction dimension must never appear as rows: the only
+    // Generate is the 4-way k-block split, never a 64-way k explode
+    assert(p.contains("posexplode"), p.take(3000))
+  }
+
   test("ss01: candidate and verify joins are all equi-joins; filters fused into the candidate join") {
     val p = plan("ss01_setsim_join")
     assert(!p.contains("CartesianProduct") &&
