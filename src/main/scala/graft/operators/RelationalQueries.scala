@@ -937,6 +937,55 @@ object RelationalQueries {
         element_at(col("price_q"), 2).as("p95"))
       .orderBy("l_returnflag")
 
+  /** The third aggregation tier made first-class: ap01's exact path is
+    * a distributed rank, ap01Sketch wraps Spark's built-in GK sketch —
+    * qs01 runs graft's OWN mergeable quantile sketch, a native Catalyst
+    * [[graft.plans.KllQuantilesAgg TypedImperativeAggregate]] (state
+    * object in the aggregation buffer, serialize/merge through the
+    * standard partial→final pipeline — the tier below the typed
+    * Aggregator API ua01/ty01 exercise). k=32768 exceeds every
+    * per-group count at oracle scales, so no compaction fires and the
+    * sketch provably returns the EXACT type-1 discrete quantile — the
+    * same integer rank formula (n·p+99) div 100 as the DuckDB oracle
+    * (never floating-point: 0.95·n in IEEE double rounds differently
+    * than DECIMAL arithmetic exactly when p·n is an integer). On 100 TB
+    * groups the same plan compacts to O(k·log(n/k)) memory with the
+    * ε·n rank-error envelope SketchSpec pins under forced-small k.
+    * One shuffle total (partial states, ~k doubles/group, combine
+    * map-side) vs ap01's rank machinery — the sketch is the cheaper
+    * plan precisely when groups are huge. */
+  val qs01KllQuantiles: GraftQuery = q(
+    "qs01_kll_quantiles",
+    "native TypedImperativeAggregate quantile sketch: mergeable state, exact below compaction threshold",
+    """WITH r AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |    EXTRACT(YEAR FROM l_shipdate) AS yr, l_quantity AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus,
+      |      EXTRACT(YEAR FROM l_shipdate) ORDER BY l_quantity) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus,
+      |      EXTRACT(YEAR FROM l_shipdate)) AS n
+      |  FROM lineitem)
+      |SELECT rf AS l_returnflag, ls AS l_linestatus, yr,
+      |  MAX(CASE WHEN rn = GREATEST(1, (n * 25 + 99) // 100) THEN v END) AS p25,
+      |  MAX(CASE WHEN rn = GREATEST(1, (n * 50 + 99) // 100) THEN v END) AS p50,
+      |  MAX(CASE WHEN rn = GREATEST(1, (n * 75 + 99) // 100) THEN v END) AS p75,
+      |  MAX(CASE WHEN rn = GREATEST(1, (n * 95 + 99) // 100) THEN v END) AS p95
+      |FROM r GROUP BY rf, ls, yr
+      |ORDER BY l_returnflag, l_linestatus, yr""".stripMargin) { (s, d) =>
+    graft.plans.VectorExpressions.register(s)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast(LongType).as("yr"))
+      .agg(graft.plans.VectorExpressions
+        .kll_quantiles(col("l_quantity"), 32768, 25, 50, 75, 95).as("qv"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("yr"),
+        element_at(col("qv"), 1).as("p25"),
+        element_at(col("qv"), 2).as("p50"),
+        element_at(col("qv"), 3).as("p75"),
+        element_at(col("qv"), 4).as("p95"))
+      .orderBy("l_returnflag", "l_linestatus", "yr")
+  }
+
   /** Write-path round trip: orders written partitioned by a derived
     * year column ([[graft.sources.Formats.write]] → partitionBy
     * directory layout), read back through a partition predicate — the
@@ -1960,7 +2009,8 @@ object RelationalQueries {
   val all: Seq[GraftQuery] = Seq(
     df01SnapshotDiff, q54OrcRoundtrip, q55NullAwareAnti, q56RankStats,
     cdc01Scd2Merge,
-    ap01ApproxQuantiles, q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
+    ap01ApproxQuantiles, qs01KllQuantiles,
+    q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
     q50SchemaMerge, q51IncrementalAgg, q52FromJson, q53TableChecksum,
     cm01CountMin,
     cm02JoinSize, cm03HeavyHitters,

@@ -166,6 +166,13 @@ object VectorExpressions {
     call_function("ngram_explode", items,
       org.apache.spark.sql.functions.lit(n))
 
+  /** Mergeable quantile-sketch aggregate (see [[KllQuantiles]]):
+    * returns array<double>, one type-1 discrete quantile per percent. */
+  def kll_quantiles(value: Column, k: Int, percents: Int*): Column =
+    call_function("kll_quantiles",
+      (value +: org.apache.spark.sql.functions.lit(k) +:
+        percents.map(org.apache.spark.sql.functions.lit(_))): _*)
+
   private def ngramN(exprs: Seq[Expression]): Int = exprs(1) match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -190,6 +197,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_explode",
       exprs => NGramExplode(exprs.head, ngramN(exprs)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantiles", exprs => KllQuantiles.fromExprs(exprs), "built-in")
   }
 }
 
@@ -231,6 +240,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[NfcNormalize].getName, "nfc_normalize"),
         (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_quantiles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[KllQuantilesAgg].getName, "kll_quantiles"),
+        (exprs: Seq[Expression]) => KllQuantiles.fromExprs(exprs)))
     // the whole-operator surface rides the same deployment path: a
     // session built withExtensions gets the TopKPerGroup physical
     // strategy without any per-session imperative registration

@@ -83,4 +83,76 @@ class SketchSpec extends AnyFunSuite {
       .orderBy("row_j", "bucket").collect().toSeq
     assert(merged == whole)
   }
+
+  // ---- graft's own TypedImperativeAggregate quantile sketch ----
+
+  /** Deterministic pseudo-random valued frame: 3 groups, mostly-unique
+    * values — the Knuth-multiplicative scatter every engine reproduces. */
+  private def kllInput(n: Int): DataFrame =
+    spark.range(n).select(
+      (col("id") % 3).as("g"),
+      ((col("id") * 2654435761L) % 1000003L).cast("double").as("v"))
+
+  private def kllOf(df: DataFrame, k: Int, percents: Seq[Int]): Map[Long, Seq[Double]] = {
+    graft.plans.VectorExpressions.register(spark)
+    df.groupBy("g")
+      .agg(graft.plans.VectorExpressions
+        .kll_quantiles(col("v"), k, percents: _*).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+  }
+
+  test("kll: exact type-1 quantiles below the compaction threshold, any partitioning") {
+    val n = 20000
+    val percents = Seq(25, 50, 75, 95, 99)
+    val df = kllInput(n)
+    // exact type-1 quantiles driver-side (n is test-tiny), same
+    // integer rank formula as the aggregate and the qs01 oracle
+    val byG = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exactQ(g: Long, p: Int): Double = {
+      val vs = byG(g)
+      val r = math.max(1L, (p.toLong * vs.length + 99L) / 100L)
+      vs((r - 1).toInt)
+    }
+    for (parts <- Seq(1, 13)) {
+      val got = kllOf(df.repartition(parts), k = 65536, percents)
+      for (g <- 0L to 2L; (p, i) <- percents.zipWithIndex)
+        assert(got(g)(i) == exactQ(g, p),
+          s"parts=$parts g=$g p=$p: got ${got(g)(i)} want ${exactQ(g, p)}")
+    }
+  }
+
+  test("kll: forced-small k stays within the rank-error envelope across merge trees") {
+    val n = 21000
+    val percents = Seq(25, 50, 75, 95)
+    val df = kllInput(n)
+    val byG = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // k=64 on ~7000-row groups → log2(n/k) ≈ 7 compaction levels; the
+    // empirical envelope 0.1·n is ~2× the observed worst case — an
+    // honest regression pin, not the theoretical bound
+    for (parts <- Seq(2, 32)) {
+      val got = kllOf(df.repartition(parts), k = 64, percents)
+      for (g <- 0L to 2L; (p, i) <- percents.zipWithIndex) {
+        val vs = byG(g)
+        val est = got(g)(i)
+        val rank = vs.count(_ <= est)
+        val target = (p.toLong * vs.length + 99L) / 100L
+        assert(math.abs(rank - target) <= vs.length / 10,
+          s"parts=$parts g=$g p=$p: rank $rank vs target $target of n=${vs.length}")
+      }
+    }
+  }
+
+  test("kll: weight conservation — sketch count equals group count under heavy compaction") {
+    // count is carried exactly through odd-element handling: quantile
+    // ranks are computed against the TRUE n even when buffers compact
+    val df = kllInput(9999).filter(col("g") === 0)
+    val got = kllOf(df, k = 16, Seq(100))
+    val mx = df.agg(max(col("v"))).collect()(0).getDouble(0)
+    // p100's target rank is exactly n; the estimate must be drawn from
+    // the retained items, and under keep-later pair collapse the max
+    // always survives to the end
+    assert(got(0L)(0) == mx, s"p100 ${got(0L)(0)} != max $mx")
+  }
 }
