@@ -785,6 +785,35 @@ object EventQueries {
     * analog of dd15's sorted-neighborhood blocking, and the batch
     * form of what a stream-stream time-range join does with
     * watermark-bounded state. */
+  /** Batch face of [[graft.streaming.EventStreams.windowedQuantiles]]:
+    * tumbling 1-hour p50/p95 latency-style quantiles per event type
+    * through graft's native TypedImperativeAggregate sketch (qs01's
+    * operator composed with event-time windows — StreamingSpec proves
+    * the STREAMING run of the identical function emits these same
+    * rows). Quantile selection does no arithmetic on the values, so
+    * the double `value` column is hash-safe as-is; ranks use the
+    * integer (n·p+99) div 100 formula on both sides. One shuffle of
+    * per-partition sketch states keyed by (window, type); state and
+    * shuffle bytes are O(k·log n/k) per group at any event volume. */
+  val ev18WindowQuantiles: GraftQuery = q(
+    "ev18_window_quantiles",
+    "tumbling-window p50/p95 via the native quantile sketch (batch ≡ streaming state-store face)",
+    """WITH r AS (
+      |  SELECT DATE_TRUNC('hour', ts) AS window_start, event_type, value AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type
+      |      ORDER BY value) AS rn,
+      |    COUNT(*) OVER (PARTITION BY DATE_TRUNC('hour', ts), event_type) AS n
+      |  FROM events)
+      |SELECT window_start, event_type, COUNT(*) AS n_events,
+      |  MAX(CASE WHEN rn = GREATEST(1, (n * 50 + 99) // 100) THEN v END) AS p50,
+      |  MAX(CASE WHEN rn = GREATEST(1, (n * 95 + 99) // 100) THEN v END) AS p95
+      |FROM r GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.EventStreams
+      .windowedQuantiles(Tables.events(s, d), withWatermarkCol = false)
+      .orderBy("window_start", "event_type")
+  }
+
   val ev17BucketizedInterval: GraftQuery = {
     val W = 1800000000L // 30 min in µs = bin width = interval length
     q("ev17_bucketized_interval",
@@ -825,5 +854,6 @@ object EventQueries {
     ev04Funnel, ev05IntervalJoin, ev06RangeFrame, ev07Retention,
     ev08SlidingWindow, ev09LatencyPercentiles, ev10PathMining, ev11AnomalyZscore,
     ev12LatenessAudit, ev13CepPattern, ev14DecayScore, ev15Attribution,
-    ev16LinearAttribution, ev17BucketizedInterval, cp01Changepoint)
+    ev16LinearAttribution, ev17BucketizedInterval, ev18WindowQuantiles,
+    cp01Changepoint)
 }

@@ -64,6 +64,32 @@ object EventStreams {
         col("user_id"), col("n_events"))
   }
 
+  /** Tumbling 1-hour windowed QUANTILES per event type through graft's
+    * own [[graft.plans.KllQuantilesAgg]] — proof the native
+    * TypedImperativeAggregate composes with watermarked streaming
+    * aggregation: the sketch state rides the streaming state store via
+    * the same serialize/merge contract the batch partial→final pipeline
+    * uses, so each open (window, type) entry holds ONE O(k·log n/k)
+    * sketch, never the window's raw rows. Below the compaction
+    * threshold the emitted p50/p95 are exactly the batch values
+    * (ev18's DuckDB-checked integer-rank oracle); at production volume
+    * the same query degrades to bounded-error quantiles with bounded
+    * state — the property a 100 TB/day latency dashboard actually
+    * needs. */
+  def windowedQuantiles(events: DataFrame, withWatermarkCol: Boolean = true): DataFrame = {
+    graft.plans.VectorExpressions.register(events.sparkSession)
+    val src = if (withWatermarkCol) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.plans.VectorExpressions
+          .kll_quantiles(col("value"), 32768, 50, 95).as("qv"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"),
+        element_at(col("qv"), 1).as("p50"),
+        element_at(col("qv"), 2).as("p95"))
+  }
+
   /** Streaming exact dedup on event_id: state-backed dropDuplicates;
     * the watermark lets the state store evict ids older than the
     * lateness bound (unbounded state otherwise — the 100 TB footgun). */

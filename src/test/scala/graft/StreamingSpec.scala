@@ -53,6 +53,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("windowed quantile sketch: streaming state-store face ≡ batch ≡ exact ranks") {
+    // the native TypedImperativeAggregate rides the streaming state
+    // store via the same serialize/merge contract as the batch
+    // partial→final pipeline; below the compaction threshold both
+    // faces emit the exact type-1 quantiles ev18's oracle hash-checks
+    val batch = EventStreams.windowedQuantiles(
+      Tables.events(spark, sf), withWatermarkCol = false)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val stream = runStream(EventStreams.windowedQuantiles(_, withWatermarkCol = false),
+      "complete", "quantiles_complete")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("sliding window: streaming complete mode ≡ batch") {
     val batch = EventStreams.slidingQuarterHourly(
       Tables.events(spark, sf), withWatermarkCol = false)
