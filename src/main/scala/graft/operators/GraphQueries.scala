@@ -280,6 +280,53 @@ object GraphQueries {
     }
   }
 
+  /** gr03's BFS expressed as ONE recursive SQL query — Spark 4's
+    * `WITH RECURSIVE` (UnionLoop execution) replaces the driver-side
+    * round loop: the engine iterates (working table = the previous
+    * step's rows) until the depth guard empties the step, so traversal
+    * depth is a RUNTIME property of the data, not an unrolled plan.
+    * Same graph, same source, same 4 rounds as gr03, so the min-depth
+    * profile is identical — but where gr03's driver loop pins each
+    * round and grows the plan per round, the recursive form hands the
+    * loop to the engine (the cluster-scale win: one submitted plan, no
+    * driver round-trips between rounds).
+    *
+    * Termination + blowup discipline: the recursive step is DISTINCT
+    * (each level ≤ |V| rows, never the path count — on this bipartite
+    * graph paths of length 4 number ~10⁸ while levels stay ≤ ~16k) and
+    * depth-bounded (d < 4), so the loop runs exactly 4 iterations on
+    * any input; BFS min-distances come from the MIN(d)-per-node fold
+    * after the loop, which also dedups node re-discoveries across
+    * levels. The identical SQL text runs on both engines. */
+  val gr05RecursiveBfs: GraftQuery = {
+    val body =
+      """WITH RECURSIVE
+        |eb AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM %LI% JOIN %ORD% ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT c * 2 AS src, sp * 2 + 1 AS dst FROM eb
+        |  UNION ALL
+        |  SELECT sp * 2 + 1, c * 2 FROM eb),
+        |walk(node, d) AS (
+        |  SELECT CAST(2 AS BIGINT) AS node, 0 AS d
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst AS node, w.d + 1 AS d
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.d < 4)
+        |SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n_nodes,
+        |  MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM (SELECT node, MIN(d) AS d FROM walk GROUP BY node)
+        |GROUP BY d ORDER BY d""".stripMargin
+    q("gr05_recursive_bfs",
+      "BFS as a single recursive CTE (WITH RECURSIVE / UnionLoop) — engine-iterated, DISTINCT-per-level, depth-guarded",
+      body.replace("%LI%", "lineitem").replace("%ORD%", "orders")) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_rc")
+      Tables.orders(s, d).createOrReplaceTempView("orders_rc")
+      s.sql(body.replace("%LI%", "lineitem_rc").replace("%ORD%", "orders_rc"))
+    }
+  }
+
   /** TRIANGLE COUNTING over the part co-purchase graph (parts are
     * adjacent when they co-occur in ≥2 order baskets — the same
     * bounded pair generator as mb01), with TOP-D ADJACENCY
@@ -368,5 +415,5 @@ object GraphQueries {
       .orderBy("rn")
   }
 
-  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs, gr04Triangles)
+  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs, gr04Triangles, gr05RecursiveBfs)
 }

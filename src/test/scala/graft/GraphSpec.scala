@@ -79,4 +79,20 @@ class GraphSpec extends AnyFunSuite {
     val plan = gr01.build(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("recursive-CTE BFS (gr05) reproduces the driver-loop BFS (gr03) exactly, and plans a loop") {
+    // same graph, source, and depth — the engine-iterated WITH
+    // RECURSIVE and the per-round driver loop must agree row-for-row
+    val loop = Registry.all.find(_.name == "gr03_bfs").get
+      .build(spark, sf).collect().toSeq
+    val rec = Registry.all.find(_.name == "gr05_recursive_bfs").get
+      .build(spark, sf).collect().toSeq
+    assert(rec == loop && rec.nonEmpty)
+    // the recursion must be a single engine-executed loop, not an
+    // unrolled union of 4 levels
+    val plan = Registry.all.find(_.name == "gr05_recursive_bfs").get
+      .build(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"),
+      "WITH RECURSIVE must plan as an engine loop\n" + plan.take(2000))
+  }
 }
