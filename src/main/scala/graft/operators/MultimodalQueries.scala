@@ -822,7 +822,121 @@ object MultimodalQueries {
       .orderBy("phash", "min_doc")
   }
 
+  /** mm08: perceptual NEAR-dup — mm07's real-decode dHash composed
+    * with dd17's block-permutation hamming join. The fixture perturbs
+    * ONE pooled cell of every third image (+96 luminance at cell
+    * (p+1, 2)), which flips at most the two gradient bits that cell
+    * participates in — a near-duplicate (hamming 1–2) of its base
+    * pattern that EXACT phash dedup (mm07) can no longer group. The
+    * operator: collapse to distinct hashes first (the dd19/ss03
+    * representative discipline — the pair join never sees copies),
+    * split each 64-bit hash into 4×16-bit blocks (pigeonhole: any two
+    * hashes within hamming ≤ 3 agree on ≥ 1 whole block), equi-join
+    * per block index, exact 64-position distance only on candidates.
+    * Same shape at 100 TB: the join is block-bucketed, candidates
+    * track true near-dup density, and the distance check is per-pair
+    * constant work. Hashes travel as 64-char bit strings (a BIGINT
+    * encoding would put bit 63 in the sign — '//'-division block
+    * extraction then diverges between engines; strings sidestep the
+    * signedness entirely and the 16-char block key equi-joins just as
+    * well). */
+  val mm08PhashNeardup: GraftQuery = {
+    val hamSql = (0 until 64).map(i =>
+      s"(CASE WHEN substr(ha, ${i + 1}, 1) <> substr(hb, ${i + 1}, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def chSql(base: String) =
+      s"(CASE WHEN pert AND cx = p + 1 AND cy = 2 THEN (($base) % 256 + 96) % 256 ELSE ($base) % 256 END)"
+    q("mm08_phash_neardup",
+      "perceptual near-dup: dHash over real rasters + block-permutation hamming<=3 join",
+      s"""WITH docs AS (
+         |  SELECT doc_id, doc_id % 7 AS p, doc_id % 3 = 0 AS pert,
+         |    9 + doc_id % 24 AS w, 8 + (doc_id // 5) % 16 AS h
+         |  FROM documents WHERE doc_id < 360),
+         |cells AS (
+         |  SELECT doc_id, cx, cy,
+         |    (${chSql("cx*31 + cy*17 + p*53")}
+         |     + ${chSql("cx*13 + cy*29 + p*71")}
+         |     + ${chSql("cx*37 + cy*11 + p*89")}) // 3 AS lum
+         |  FROM docs, UNNEST(range(0, 9)) AS gx(cx), UNNEST(range(0, 8)) AS gy(cy)),
+         |bits AS (
+         |  SELECT a.doc_id, a.cy, a.cx,
+         |    CASE WHEN b.lum > a.lum THEN '1' ELSE '0' END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+         |  WHERE a.cx < 8),
+         |ph AS (
+         |  SELECT doc_id, string_agg(bit, '' ORDER BY cy, cx) AS phash
+         |  FROM bits GROUP BY doc_id),
+         |fam AS (
+         |  SELECT phash, MIN(doc_id) AS rep, COUNT(*) AS n_copies
+         |  FROM ph GROUP BY phash),
+         |blocks AS (
+         |  SELECT rep, phash, n_copies, b, substr(phash, 1 + b * 16, 16) AS bv
+         |  FROM fam, UNNEST([0, 1, 2, 3]) AS t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.rep AS a_id, b.rep AS b_id,
+         |    a.phash AS ha, b.phash AS hb,
+         |    a.n_copies AS a_copies, b.n_copies AS b_copies
+         |  FROM blocks a JOIN blocks b
+         |    ON a.b = b.b AND a.bv = b.bv AND a.rep < b.rep)
+         |SELECT a_id, b_id, CAST($hamSql AS BIGINT) AS hamming,
+         |  a_copies, b_copies
+         |FROM cand WHERE $hamSql <= 3
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ids = Tables.documents(s, d).filter(col("doc_id") < 360)
+        .select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val p = id % 7
+        val pert = id % 3 == 0
+        val w = (9 + id % 24).toInt
+        val h = (8 + (id / 5) % 16).toInt
+        val px: PixelCodec.PxFn = (x, y) => {
+          val cx = x * 9 / w
+          val cy = y * 8 / h
+          def ch(base: Long): Int = {
+            val v = (base % 256).toInt
+            if (pert && cx == p + 1 && cy == 2) (v + 96) % 256 else v
+          }
+          (ch(cx * 31 + cy * 17 + p * 53),
+            ch(cx * 13 + cy * 29 + p * 71),
+            ch(cx * 37 + cy * 11 + p * 89))
+        }
+        val payload = if (id % 2 == 0) PixelCodec.encodeBmp(w, h, px)
+          else PixelCodec.encodePng(w, h, px)
+        MediaRecord(id, if (id % 2 == 0) "image/bmp" else "image/png",
+          payload.length.toLong, payload)
+      })
+      val fam = media.mapPartitions(_.map { r =>
+          val (_, _, phash) = PerceptualHash.dhash(r.payload)
+          (r.doc_id, phash)
+        }).toDF("doc_id", "phash")
+        .groupBy("phash")
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+      val blocks = fam.select(col("rep"), col("phash"), col("n_copies"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            substring(col("phash"), 1 + b * 16, 16).as("bv"))): _*)).as("e"))
+        .select(col("rep"), col("phash"), col("n_copies"),
+          col("e.b").as("b"), col("e.bv").as("bv"))
+      val cand = blocks.as("ba").join(blocks.as("bb"),
+          col("ba.b") === col("bb.b") && col("ba.bv") === col("bb.bv") &&
+            col("ba.rep") < col("bb.rep"))
+        .select(col("ba.rep").as("a_id"), col("bb.rep").as("b_id"),
+          col("ba.phash").as("ha"), col("bb.phash").as("hb"),
+          col("ba.n_copies").as("a_copies"), col("bb.n_copies").as("b_copies"))
+        .distinct()
+      val ham = (0 until 64).map(i =>
+        when(substring(col("ha"), i + 1, 1) =!= substring(col("hb"), i + 1, 1),
+          1).otherwise(0)).reduceLeft(_ + _)
+      cand.withColumn("hamming", ham.cast(LongType))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          col("a_copies"), col("b_copies"))
+        .orderBy("a_id", "b_id")
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(mm01BinaryMeta, mm02DecodeFeatures, mm03FrameSample, mm04HeaderDecode,
-      mm05PixelDecode, mm06AudioDecode, mm07PhashDedup)
+      mm05PixelDecode, mm06AudioDecode, mm07PhashDedup, mm08PhashNeardup)
 }

@@ -474,6 +474,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("posexplode"), p.take(3000))
   }
 
+  test("mm08: the near-dup candidate join is a block-key equi-join, never a nested loop") {
+    val p = plan("mm08_phash_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "hamming candidates must come from the 16-char block equi-join\n" + p.take(3000))
+  }
+
   test("ss01: candidate and verify joins are all equi-joins; filters fused into the candidate join") {
     val p = plan("ss01_setsim_join")
     assert(!p.contains("CartesianProduct") &&
