@@ -82,6 +82,8 @@ object ExplainDump {
       "Perceptual image dedup: decode + pool + dHash is ONE mapPartitions pass (per-byte linear, embarrassingly parallel); the dedup itself is a single partial-aggregated groupBy on the 64-bit hash — the exact-dedup shape — so the only corpus exchange carries (hash, partial counts).",
     "av01_incremental_agg" ->
       "Aggregate IVM: each γ is a partial-aggregated scan of its slice (map-side combine before the exchange); the ⊕/⊖ merge is a full-outer join of three KEYSPACE-sized frames (≤ |priorities|·|years| rows at any corpus size) — fact rows are touched once per γ and never by the merge; the recompute branch exists only for the EXCEPT ALL audit.",
+    "hn02_graph_serving" ->
+      "Graph-ANN serving: the NSW index (edges repartitioned by src, hubs with embeddings, id->vector fetch table) persists ONCE per session/dir (bench reports it as setup_write) and the timed plan is pure search — hub entry scan x broadcast(queries), HnH beam rounds whose every join broadcasts only beam-bounded candidate lists against storage-side fetch joins. The serving fleet shape: index offline, answer online.",
     "mm08_phash_neardup" ->
       "Perceptual near-dup: decode+dHash is one mapPartitions pass; distinct-hash collapse precedes the pair join (copies never meet the join); candidates come from the 4x16-char block equi-join (pigeonhole-lossless at radius 3), exact 64-position distance only on candidates — block-bucketed, never all-pairs.",
     "gr05_recursive_bfs" ->

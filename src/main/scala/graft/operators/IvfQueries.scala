@@ -846,80 +846,199 @@ object IvfQueries {
     * fetch joins on vec_id — BroadcastGuardSpec-clean; the H-round
     * loop pins each round's visited set (Pin), the iterative-operator
     * convention PageRank/k-means established here. */
+  // graph-ANN family parameters, shared by hn01 (build+search+recall
+  // harness) and hn02 (persisted-index serving)
+  private val HnM = 4 // out-degree of the base-layer kNN graph
+  private val HnB = 8 // beam width
+  private val HnH = 3 // beam-expansion rounds
+  private val HnK = 5 // report top-K
+  private val HnNQ = 32 // fixed query prefix (scale-invariant harness size)
+
+  /** The graph index build shared by hn01 and hn02's persisted writer:
+    * count-calibrated hierarchical assignment, within-cell kNN through
+    * the k-bounded TopK operator, tiered hub cliques, undirected edge
+    * set. Returns (vecs, hubs-with-embeddings, edges); hubs and edges
+    * are pinned (multiple readers). */
+  private def hnBuildGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val assigned = assignedDfHier(s, d, dynCells(s, d))
+      .pinned // one pass: edges, hubs, vecs
+    val vecs = assigned.select(col("vec_id"), col("embedding"))
+    // base layer: within-cell kNN (equi-join on cid — NEVER corpus²);
+    // per-src top-M through the k-bounded TopKPerGroup operator — the
+    // 1000× probe's pair stream is 128·n rows (256M at 2M vectors); a
+    // window sort would materialize and sort every group, the heap
+    // keeps M rows per src per task
+    val aSide = assigned.select(col("cid"), col("vec_id").as("src"),
+      col("embedding").as("se"))
+    val bSide = assigned.select(col("cid").as("bcid"),
+      col("vec_id").as("dst"), col("embedding").as("de"))
+    val knn = graft.plans.TopKPerGroup.perGroup(
+      aSide
+        .join(bSide, col("cid") === col("bcid") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          VectorExpressions.cosine_similarity(col("se"), col("de")).as("cos_e")),
+      Seq(col("src")), struct(col("cos_e"), -col("dst")), k = HnM)
+      .select(col("src"), col("dst"))
+    // upper layers: per-cell hub (argmax cosine-to-centroid), hub
+    // cliques WITHIN each super-cell (cid/128), and the apex clique
+    // over per-super-cell super-hubs. One super-cell at every driver
+    // scale (cells = 16) ⇒ identical to a full hub clique there; at
+    // 1000× this is what keeps the edge table ~n instead of (n/128)²
+    val wHub = Window.partitionBy(col("cid"))
+      .orderBy(col("cos_c").desc, col("vec_id"))
+    val hubs = assigned.withColumn("rn", row_number().over(wHub))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), floor(col("cid") / 128).cast(LongType).as("sc"),
+        col("cos_c"), col("embedding"))
+      .pinned // four readers: entry scan, within-sc clique ×2, apex
+    val hubClique = hubs.select(col("sc"), col("vec_id").as("src"))
+      .join(hubs.select(col("sc"), col("vec_id").as("dst")), Seq("sc"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val wSc = Window.partitionBy(col("sc"))
+      .orderBy(col("cos_c").desc, col("vec_id"))
+    val superHubs = hubs.withColumn("rn", row_number().over(wSc))
+      .filter(col("rn") === 1).select(col("vec_id"))
+    val apexClique = superHubs.select(col("vec_id").as("src"))
+      .crossJoin(broadcast(superHubs.select(col("vec_id").as("dst"))))
+      .filter(col("src") =!= col("dst"))
+    // UNDIRECTED base layer (kNN ∪ reverse-kNN — the NSW convention):
+    // reverse edges let a search escape a neighbor whose own top-M
+    // points elsewhere; without them ~1/4 of queries strand at
+    // recall 0 (measured at sf0.01)
+    val edges = knn
+      .union(knn.select(col("dst").as("src"), col("src").as("dst")))
+      .union(hubClique).union(apexClique).distinct().pinned // read H times
+    (vecs, hubs, edges)
+  }
+
+  /** The beam search shared by hn01 and hn02: hub entry scan, HnH
+    * rounds of expand-score-prune, returns the accumulated visited set
+    * (query_id, cand_id, cos_q). `hubs` needs (vec_id, embedding);
+    * `vecs` is the id→embedding fetch table. */
+  private def hnBeamSearch(vecs: DataFrame, hubs: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val qvecs = vecs.filter(col("vec_id") < HnNQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // score a (query_id, cand_id) list: broadcast the beam-bounded
+    // candidates into a corpus-side fetch join on vec_id — the
+    // serve-time shape (fetch vectors by id, never scan the corpus)
+    def score(cands: DataFrame): DataFrame =
+      vecs.select(col("vec_id"), col("embedding").as("ce"))
+        .join(broadcast(cands.join(broadcast(qvecs), Seq("query_id"))),
+          col("vec_id") === col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cos_q"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("cand_id"))
+    def topOf(df: DataFrame, k: Int): DataFrame =
+      df.withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
+        .select(col("query_id"), col("cand_id"))
+    // entry scan: hubs carry their embeddings, so the top-layer scan
+    // is hubs × broadcast(32 queries) map-side — it never rescans the
+    // corpus and never broadcasts a corpus-growing candidate list
+    var visited = hubs.select(col("vec_id").as("cand_id"), col("embedding"))
+      .crossJoin(broadcast(qvecs))
+      .select(col("query_id"), col("cand_id"),
+        VectorExpressions.cosine_similarity(col("qe"), col("embedding"))
+          .as("cos_q"))
+      .pinned
+    var beam = topOf(visited, HnB)
+    for (_ <- 1 to HnH) {
+      val expd = edges
+        .join(broadcast(beam.withColumnRenamed("cand_id", "cur")),
+          col("src") === col("cur"))
+        .select(col("query_id"), col("dst").as("cand_id")).distinct()
+      visited = visited.union(score(expd)).distinct().pinned
+      beam = topOf(visited, HnB)
+    }
+    visited
+  }
+
+  private def sqlHnHop(i: Int): String =
+    s"""exp$i AS (
+       |  SELECT DISTINCT b.query_id, e.dst AS cand_id
+       |  FROM beam${i - 1} b JOIN edges e ON e.src = b.cand_id),
+       |sc$i AS (
+       |  SELECT x.query_id, x.cand_id,
+       |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cos_q
+       |  FROM exp$i x JOIN normed qn ON qn.vec_id = x.query_id
+       |  JOIN normed cn ON cn.vec_id = x.cand_id),
+       |visited$i AS (
+       |  SELECT DISTINCT query_id, cand_id, cos_q FROM (
+       |    SELECT query_id, cand_id, cos_q FROM visited${i - 1}
+       |    UNION ALL SELECT query_id, cand_id, cos_q FROM sc$i)),
+       |beam$i AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+       |    FROM visited$i) WHERE rn <= $HnB)""".stripMargin
+
+  /** The full graph-build + beam-search CTE chain (assignment,
+    * within-cell kNN, tiered hubs, edges, entry scan, HnH hops) —
+    * shared verbatim by hn01's recall oracle and hn02's serving
+    * oracle, so the two queries are provably over the same index. */
+  private def sqlHnSearchCtes: String =
+    s"""WITH $sqlAssignDyn,
+       |gpairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${sqlDot("an", "bn")} / (an.nrm * bn.nrm) AS cos_e
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |  JOIN normed an ON an.vec_id = a.vec_id
+       |  JOIN normed bn ON bn.vec_id = b.vec_id),
+       |knn AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (
+       |      PARTITION BY src ORDER BY cos_e DESC, dst) AS rn
+       |    FROM gpairs) WHERE rn <= $HnM),
+       |hubs AS (
+       |  SELECT vec_id, cid // 128 AS sc, cos_c FROM (
+       |    SELECT vec_id, cid, cos_c, ROW_NUMBER() OVER (
+       |      PARTITION BY cid ORDER BY cos_c DESC, vec_id) AS rn
+       |    FROM assigned) WHERE rn = 1),
+       |shubs AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY sc ORDER BY cos_c DESC, vec_id) AS rn
+       |    FROM hubs) WHERE rn = 1),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM knn
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst FROM knn
+       |    UNION ALL
+       |    SELECT h1.vec_id AS src, h2.vec_id AS dst
+       |    FROM hubs h1 JOIN hubs h2
+       |      ON h1.sc = h2.sc AND h1.vec_id <> h2.vec_id
+       |    UNION ALL
+       |    SELECT s1.vec_id AS src, s2.vec_id AS dst
+       |    FROM shubs s1 CROSS JOIN shubs s2 WHERE s1.vec_id <> s2.vec_id)),
+       |qs AS (SELECT vec_id AS query_id FROM normed WHERE vec_id < $HnNQ),
+       |sc0 AS (
+       |  SELECT q.query_id, h.vec_id AS cand_id,
+       |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cos_q
+       |  FROM qs q JOIN normed qn ON qn.vec_id = q.query_id
+       |  CROSS JOIN hubs h JOIN normed cn ON cn.vec_id = h.vec_id),
+       |visited0 AS (SELECT query_id, cand_id, cos_q FROM sc0),
+       |beam0 AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+       |    FROM visited0) WHERE rn <= $HnB),
+       |${(1 to HnH).map(sqlHnHop).mkString(",\n")}""".stripMargin
+
   val hn01GraphAnn: GraftQuery = {
-    val M = 4 // out-degree of the base-layer kNN graph
-    val B = 8 // beam width
-    val H = 3 // beam-expansion rounds
-    val K = 5 // report top-K
-    val NQ = 32 // fixed query prefix (scale-invariant harness size)
-    def hopSql(i: Int): String =
-      s"""exp$i AS (
-         |  SELECT DISTINCT b.query_id, e.dst AS cand_id
-         |  FROM beam${i - 1} b JOIN edges e ON e.src = b.cand_id),
-         |sc$i AS (
-         |  SELECT x.query_id, x.cand_id,
-         |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cos_q
-         |  FROM exp$i x JOIN normed qn ON qn.vec_id = x.query_id
-         |  JOIN normed cn ON cn.vec_id = x.cand_id),
-         |visited$i AS (
-         |  SELECT DISTINCT query_id, cand_id, cos_q FROM (
-         |    SELECT query_id, cand_id, cos_q FROM visited${i - 1}
-         |    UNION ALL SELECT query_id, cand_id, cos_q FROM sc$i)),
-         |beam$i AS (
-         |  SELECT query_id, cand_id FROM (
-         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
-         |    FROM visited$i) WHERE rn <= $B)""".stripMargin
+    val M = HnM
+    val B = HnB
+    val H = HnH
+    val K = HnK
+    val NQ = HnNQ
+    def hopSql(i: Int): String = sqlHnHop(i)
     q("hn01_graph_ann",
       s"graph ANN: cell-bounded kNN graph + hub layer, $H-round beam-$B search, recall@$K",
-      s"""WITH $sqlAssignDyn,
-         |gpairs AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    ${sqlDot("an", "bn")} / (an.nrm * bn.nrm) AS cos_e
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cid = b.cid AND a.vec_id <> b.vec_id
-         |  JOIN normed an ON an.vec_id = a.vec_id
-         |  JOIN normed bn ON bn.vec_id = b.vec_id),
-         |knn AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, ROW_NUMBER() OVER (
-         |      PARTITION BY src ORDER BY cos_e DESC, dst) AS rn
-         |    FROM gpairs) WHERE rn <= $M),
-         |hubs AS (
-         |  SELECT vec_id, cid // 128 AS sc, cos_c FROM (
-         |    SELECT vec_id, cid, cos_c, ROW_NUMBER() OVER (
-         |      PARTITION BY cid ORDER BY cos_c DESC, vec_id) AS rn
-         |    FROM assigned) WHERE rn = 1),
-         |shubs AS (
-         |  SELECT vec_id FROM (
-         |    SELECT vec_id, ROW_NUMBER() OVER (
-         |      PARTITION BY sc ORDER BY cos_c DESC, vec_id) AS rn
-         |    FROM hubs) WHERE rn = 1),
-         |edges AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM knn
-         |    UNION ALL
-         |    SELECT dst AS src, src AS dst FROM knn
-         |    UNION ALL
-         |    SELECT h1.vec_id AS src, h2.vec_id AS dst
-         |    FROM hubs h1 JOIN hubs h2
-         |      ON h1.sc = h2.sc AND h1.vec_id <> h2.vec_id
-         |    UNION ALL
-         |    SELECT s1.vec_id AS src, s2.vec_id AS dst
-         |    FROM shubs s1 CROSS JOIN shubs s2 WHERE s1.vec_id <> s2.vec_id)),
-         |qs AS (SELECT vec_id AS query_id FROM normed WHERE vec_id < $NQ),
-         |sc0 AS (
-         |  SELECT q.query_id, h.vec_id AS cand_id,
-         |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cos_q
-         |  FROM qs q JOIN normed qn ON qn.vec_id = q.query_id
-         |  CROSS JOIN hubs h JOIN normed cn ON cn.vec_id = h.vec_id),
-         |visited0 AS (SELECT query_id, cand_id, cos_q FROM sc0),
-         |beam0 AS (
-         |  SELECT query_id, cand_id FROM (
-         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
-         |    FROM visited0) WHERE rn <= $B),
-         |${(1 to H).map(hopSql).mkString(",\n")},
+      s"""$sqlHnSearchCtes,
          |approx AS (
          |  SELECT query_id, cand_id FROM (
          |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
@@ -953,89 +1072,15 @@ object IvfQueries {
       // count-calibrated cells (≈128 vectors each) keep the kNN build
       // linear; == 16 at every driver scale, so oracle rows are
       // unchanged by the calibration
-      val assigned = assignedDfHier(s, d, dynCells(s, d))
-        .pinned // one pass: edges, hubs, vecs
-      val vecs = assigned.select(col("vec_id"), col("embedding"))
-      // base layer: within-cell kNN (equi-join on cid — NEVER corpus²)
-      val aSide = assigned.select(col("cid"), col("vec_id").as("src"),
-        col("embedding").as("se"))
-      val bSide = assigned.select(col("cid").as("bcid"),
-        col("vec_id").as("dst"), col("embedding").as("de"))
-      // per-src top-M through the k-bounded TopKPerGroup operator —
-      // the 1000× probe's pair stream is 128·n rows (256M at 2M
-      // vectors); a window sort would materialize and sort every
-      // group, the heap keeps M rows per src per task
-      val knn = graft.plans.TopKPerGroup.perGroup(
-        aSide
-          .join(bSide, col("cid") === col("bcid") && col("src") =!= col("dst"))
-          .select(col("src"), col("dst"),
-            VectorExpressions.cosine_similarity(col("se"), col("de")).as("cos_e")),
-        Seq(col("src")), struct(col("cos_e"), -col("dst")), k = M)
-        .select(col("src"), col("dst"))
-      // upper layers: per-cell hub (argmax cosine-to-centroid), hub
-      // cliques WITHIN each super-cell (cid/128), and the apex clique
-      // over per-super-cell super-hubs. One super-cell at every driver
-      // scale (cells = 16) ⇒ identical to a full hub clique there; at
-      // 1000× this is what keeps the edge table ~n instead of (n/128)²
-      val wHub = Window.partitionBy(col("cid"))
-        .orderBy(col("cos_c").desc, col("vec_id"))
-      val hubs = assigned.withColumn("rn", row_number().over(wHub))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), floor(col("cid") / 128).cast(LongType).as("sc"),
-          col("cos_c"), col("embedding"))
-        .pinned // four readers: entry scan, within-sc clique ×2, apex
-      val hubClique = hubs.select(col("sc"), col("vec_id").as("src"))
-        .join(hubs.select(col("sc"), col("vec_id").as("dst")), Seq("sc"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"))
-      val wSc = Window.partitionBy(col("sc"))
-        .orderBy(col("cos_c").desc, col("vec_id"))
-      val superHubs = hubs.withColumn("rn", row_number().over(wSc))
-        .filter(col("rn") === 1).select(col("vec_id"))
-      val apexClique = superHubs.select(col("vec_id").as("src"))
-        .crossJoin(broadcast(superHubs.select(col("vec_id").as("dst"))))
-        .filter(col("src") =!= col("dst"))
-      // UNDIRECTED base layer (kNN ∪ reverse-kNN — the NSW convention):
-      // reverse edges let a search escape a neighbor whose own top-M
-      // points elsewhere; without them ~1/4 of queries strand at
-      // recall 0 (measured at sf0.01)
-      val edges = knn
-        .union(knn.select(col("dst").as("src"), col("src").as("dst")))
-        .union(hubClique).union(apexClique).distinct().pinned // read H times
+      val (vecs, hubs, edges) = hnBuildGraph(s, d)
       val qvecs = vecs.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      // score a (query_id, cand_id) list: broadcast the beam-bounded
-      // candidates into a corpus-side fetch join on vec_id — the
-      // serve-time shape (fetch vectors by id, never scan the corpus)
-      def score(cands: DataFrame): DataFrame =
-        vecs.select(col("vec_id"), col("embedding").as("ce"))
-          .join(broadcast(cands.join(broadcast(qvecs), Seq("query_id"))),
-            col("vec_id") === col("cand_id"))
-          .select(col("query_id"), col("cand_id"),
-            VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cos_q"))
+      val visited = hnBeamSearch(vecs, hubs, edges)
       val wQ = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_q").desc, col("cand_id"))
       def topOf(df: DataFrame, k: Int): DataFrame =
         df.withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
           .select(col("query_id"), col("cand_id"))
-      // entry scan: hubs carry their embeddings, so the top-layer scan
-      // is hubs × broadcast(32 queries) map-side — it never rescans the
-      // corpus and never broadcasts a corpus-growing candidate list
-      var visited = hubs.select(col("vec_id").as("cand_id"), col("embedding"))
-        .crossJoin(broadcast(qvecs))
-        .select(col("query_id"), col("cand_id"),
-          VectorExpressions.cosine_similarity(col("qe"), col("embedding"))
-            .as("cos_q"))
-        .pinned
-      var beam = topOf(visited, B)
-      for (_ <- 1 to H) {
-        val expd = edges
-          .join(broadcast(beam.withColumnRenamed("cand_id", "cur")),
-            col("src") === col("cur"))
-          .select(col("query_id"), col("dst").as("cand_id")).distinct()
-        visited = visited.union(score(expd)).distinct().pinned
-        beam = topOf(visited, B)
-      }
       val approx = topOf(visited.filter(col("cand_id") =!= col("query_id")), K)
         .withColumn("hit", lit(1))
       val nv = visited.groupBy(col("query_id"))
@@ -1060,6 +1105,69 @@ object IvfQueries {
           (col("n_hits").cast(DoubleType) / col("n_exact")).as("recall"))
         .orderBy("query_id")
     }
+  }
+
+  /** Build + persist the GRAPH index once per (session, sf dir) —
+    * hn02's indexing phase, the graph twin of [[indexDir]] (ivf06's
+    * memoizer): edges, hub entry points (with embeddings), and the
+    * id→vector fetch table land as three parquet tables, and repeated
+    * hn02 calls go straight to read+search. Edges are written
+    * REPARTITIONED BY src — the serving-side fetch is "all out-edges
+    * of the frontier", so src-clustered row groups are the layout a
+    * serving fleet would bucket by. */
+  private val hnDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  def hnIndexDir(s: SparkSession, d: String): String =
+    hnDirs.synchronized {
+      hnDirs.getOrElseUpdate((s, d), {
+        val dir = graft.Scratch.dir("graft_hn02_")
+        graft.Phases.timed("hn02_graph_serving", "write") {
+          val (vecs, hubs, edges) = hnBuildGraph(s, d)
+          edges.repartition(col("src"))
+            .write.mode("overwrite").parquet(s"$dir/edges")
+          hubs.select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$dir/hubs")
+          vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+        }
+        dir
+      })
+    }
+
+  /** Graph-ANN SERVING: hn01's index persisted once (see
+    * [[hnIndexDir]]), then answered from storage — the deployment
+    * split a vector-serving fleet actually runs (index offline, search
+    * online). Output is the per-query top-K id list, not the recall
+    * harness: serving returns neighbors, benchmarking returns recall,
+    * and hn01 keeps the latter. The oracle rebuilds the identical
+    * index inline ([[sqlHnSearchCtes]] — the same CTE text hn01
+    * checks), so a hash match proves the persist/reload loses nothing.
+    * Bench reports the one-time build under `setup_write`, leaving the
+    * timed number the pure search cost. */
+  val hn02GraphServing: GraftQuery = q(
+    "hn02_graph_serving",
+    s"graph-ANN serving: persisted NSW index reloaded from storage, beam search only, top-$HnK ids",
+    s"""$sqlHnSearchCtes,
+       |ranked AS (
+       |  SELECT query_id, cand_id, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+       |  FROM visited$HnH WHERE cand_id <> query_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, cand_id
+       |FROM ranked WHERE rn <= $HnK
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val dir = hnIndexDir(s, d)
+    val edges = s.read.parquet(s"$dir/edges").pinnedLazily // read HnH times
+    val hubs = s.read.parquet(s"$dir/hubs")
+    val vecs = s.read.parquet(s"$dir/vecs")
+    val visited = hnBeamSearch(vecs, hubs, edges)
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("cand_id"))
+    visited.filter(col("cand_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= HnK)
+      .select(col("query_id"), col("rn").cast(LongType).as("rank"),
+        col("cand_id"))
+      .orderBy("query_id", "rank")
   }
 
   /** Product quantization + ADC search (Jégou et al. 2011) — the
@@ -1180,5 +1288,5 @@ object IvfQueries {
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
       ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
-      pq01AdcSearch)
+      hn02GraphServing, pq01AdcSearch)
 }
