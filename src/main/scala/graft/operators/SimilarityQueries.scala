@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
 import graft.plans.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -463,8 +464,120 @@ object SimilarityQueries {
       .orderBy("true_label", "pred_label")
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity leg of the retrieval family (rr01 fuses
+    * rankers, kn01 classifies, MMR de-redundantizes): from each
+    * query's top-20 relevance pool, select 5 results GREEDILY where
+    * each pick maximizes λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s).
+    * The iteration is over SELECTION STEPS (5 rounds — a constant set
+    * by the product surface), not over data size: every round joins
+    * the ≤20-row-per-query pool against the ≤round-row selected set,
+    * penalty sims come from the same bit-exact cosine both engines
+    * compute, and the per-round argmax runs through the k-bounded
+    * TopK operator. At 100 TB the pool build is the only corpus-side
+    * work (one broadcast-queries scan + TopK); the MMR loop's frames
+    * are query-count-sized whatever the corpus. All doubles are
+    * products/sums of the deterministic dot chains, so the oracle
+    * hash-matches bit-for-bit (λ is CAST(0.7 AS DOUBLE) on both
+    * sides). */
+  val rr02MmrRerank: GraftQuery = {
+    val NQ = 8; val P = 20; val S = 5
+    def sqlNormCols(a: String, c: String) = sqlDotCols(a, c, a, c)
+    def selSql(i: Int): String =
+      s"""sel$i AS (
+         |  SELECT query_id, cand_id, $i AS rank, score FROM (
+         |    SELECT t.query_id, t.cand_id, t.score, ROW_NUMBER() OVER (
+         |      PARTITION BY t.query_id ORDER BY t.score DESC, t.cand_id) AS rn
+         |    FROM (
+         |      SELECT p.query_id, p.cand_id,
+         |        CAST(0.7 AS DOUBLE) * p.rel
+         |          - CAST(0.3 AS DOUBLE) * MAX(sp.sim) AS score
+         |      FROM pool p
+         |      JOIN cum${i - 1} c ON c.query_id = p.query_id
+         |      JOIN simp sp ON sp.query_id = p.query_id
+         |        AND sp.x = p.cand_id AND sp.y = c.cand_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM cum${i - 1} cc
+         |        WHERE cc.query_id = p.query_id AND cc.cand_id = p.cand_id)
+         |      GROUP BY p.query_id, p.cand_id, p.rel) t) WHERE rn = 1),
+         |cum$i AS (SELECT * FROM cum${i - 1}
+         |  UNION ALL SELECT * FROM sel$i)""".stripMargin
+    q("rr02_mmr_rerank",
+      s"MMR diversity re-rank: greedy lambda*rel - (1-lambda)*max-sim over the top-$P pool, $S picks per query",
+      s"""WITH qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id < $NQ),
+         |cs AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+         |rel0 AS (
+         |  SELECT q.query_id, c.cand_id,
+         |    ${sqlDotCols("q", "qe", "c", "ce")}
+         |      / (SQRT(${sqlNormCols("q", "qe")}) * SQRT(${sqlNormCols("c", "ce")})) AS rel
+         |  FROM qs q JOIN cs c ON c.cand_id <> q.query_id),
+         |pool AS (
+         |  SELECT query_id, cand_id, rel FROM (
+         |    SELECT query_id, cand_id, rel, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |    FROM rel0) WHERE rn <= $P),
+         |simp AS (
+         |  SELECT a.query_id, a.cand_id AS x, b.cand_id AS y,
+         |    ${sqlDotCols("ax", "ce", "by", "ce")}
+         |      / (SQRT(${sqlNormCols("ax", "ce")}) * SQRT(${sqlNormCols("by", "ce")})) AS sim
+         |  FROM pool a JOIN pool b
+         |    ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+         |  JOIN cs ax ON ax.cand_id = a.cand_id
+         |  JOIN cs by ON by.cand_id = b.cand_id),
+         |sel1 AS (
+         |  SELECT query_id, cand_id, 1 AS rank, rel AS score FROM (
+         |    SELECT query_id, cand_id, rel, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |cum1 AS (SELECT * FROM sel1),
+         |${(2 to S).map(selSql).mkString(",\n")}
+         |SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank, score
+         |FROM cum$S ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      val pool = graft.plans.TopKPerGroup.perGroup(
+        cv.join(broadcast(qv), col("cand_id") =!= col("query_id"))
+          .select(col("query_id"), col("cand_id"),
+            VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("rel")),
+        Seq(col("query_id")), struct(col("rel"), -col("cand_id")), k = P)
+        .select(col("query_id"), col("cand_id"), col("rel"))
+        .pinned // read by every MMR round
+      var selected = graft.plans.TopKPerGroup.perGroup(
+        pool, Seq(col("query_id")), struct(col("rel"), -col("cand_id")), k = 1)
+        .select(col("query_id"), col("cand_id"),
+          lit(1L).as("rank"), col("rel").as("score"))
+        .pinned
+      for (r <- 2 to S) {
+        val rem = pool.join(
+          selected.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        val pen = rem
+          .join(cv, Seq("cand_id"))
+          .join(selected.select(col("query_id"),
+            col("cand_id").as("sel_id")), Seq("query_id"))
+          .join(cv.select(col("cand_id").as("sel_id"),
+            col("ce").as("se")), Seq("sel_id"))
+          .select(col("query_id"), col("cand_id"), col("rel"),
+            VectorExpressions.cosine_similarity(col("ce"), col("se")).as("sim"))
+          .groupBy(col("query_id"), col("cand_id"), col("rel"))
+          .agg(max(col("sim")).as("pen"))
+        val scored = pen.select(col("query_id"), col("cand_id"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("pen")).as("score"))
+        val pick = graft.plans.TopKPerGroup.perGroup(
+          scored, Seq(col("query_id")), struct(col("score"), -col("cand_id")), k = 1)
+          .select(col("query_id"), col("cand_id"),
+            lit(r.toLong).as("rank"), col("score"))
+        selected = selected.unionByName(pick).pinned
+      }
+      selected.orderBy("query_id", "rank")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,
     sm05Int8Quantize, sm06QuantizedTopK, rp01RandomProjection, rr01RrfFusion,
-    kn01KnnClassifier)
+    rr02MmrRerank, kn01KnnClassifier)
 }
