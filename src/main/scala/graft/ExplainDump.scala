@@ -82,6 +82,8 @@ object ExplainDump {
       "Perceptual image dedup: decode + pool + dHash is ONE mapPartitions pass (per-byte linear, embarrassingly parallel); the dedup itself is a single partial-aggregated groupBy on the 64-bit hash — the exact-dedup shape — so the only corpus exchange carries (hash, partial counts).",
     "av01_incremental_agg" ->
       "Aggregate IVM: each γ is a partial-aggregated scan of its slice (map-side combine before the exchange); the ⊕/⊖ merge is a full-outer join of three KEYSPACE-sized frames (≤ |priorities|·|years| rows at any corpus size) — fact rows are touched once per γ and never by the merge; the recompute branch exists only for the EXCEPT ALL audit.",
+    "sy03_storage_partitioned_join" ->
+      "Storage-partitioned join: the custom DSv2 source reports KeyGroupedPartitioning(identity(grp), 97) and every input partition carries its key (HasPartitionKey), so BOTH per-side aggregations and the SortMergeJoin plan with ZERO hash Exchanges - the lake-table co-partitioned join shape, delivered by connector metadata instead of a catalog; the only Exchange is the presentation ORDER BY.",
     "rr02_mmr_rerank" ->
       "MMR diversity re-rank: the pool build is the only corpus-side work (broadcast-queries scan + k-bounded TopK); the 5 greedy rounds join query-count-sized frames (pool <=20/query, selected <=round/query) with the per-round argmax through the TopK operator - selection-step iteration, not data iteration.",
     "hn02_graph_serving" ->

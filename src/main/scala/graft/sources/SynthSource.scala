@@ -54,7 +54,8 @@ class SynthSource extends TableProvider {
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("parts", "8").toInt,
       properties.getOrDefault("batchRows",
-        SynthSource.DEFAULT_BATCH_ROWS.toString).toLong)
+        SynthSource.DEFAULT_BATCH_ROWS.toString).toLong,
+      properties.getOrDefault("layout", "range"))
 }
 
 object SynthSource {
@@ -81,18 +82,20 @@ object SynthSource {
   val SQL_GRP = "id % 97"
 }
 
-final class SynthTable(rows: Long, parts: Int, batchRows: Long)
+final class SynthTable(rows: Long, parts: Int, batchRows: Long,
+    layout: String = "range")
     extends Table with SupportsRead {
   override def name: String = s"graft_synth($rows rows, $parts parts)"
   override def schema: StructType = SynthSource.SCHEMA
   override def capabilities: java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts, batchRows)
+    new SynthScanBuilder(rows, parts, batchRows, layout)
 }
 
 final class SynthScanBuilder(rows: Long, parts: Int,
-    batchRows: Long = SynthSource.DEFAULT_BATCH_ROWS)
+    batchRows: Long = SynthSource.DEFAULT_BATCH_ROWS,
+    layout: String = "range")
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -157,14 +160,77 @@ final class SynthScanBuilder(rows: Long, parts: Int,
         case m: Max => isId(m.column)
         case _ => false
       }
-    if (ok) pushedAggs = aggregation.aggregateExpressions
-    ok
+    if (ok && layout != "grp") pushedAggs = aggregation.aggregateExpressions
+    ok && layout != "grp"
   }
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new SynthAggScan(rows, lo, math.max(lo, hi), parts, pushedAggs)
+    else if (layout == "grp")
+      new SynthGroupedScan(rows, lo, math.max(lo, hi), required)
     else new SynthScan(rows, lo, math.max(lo, hi), parts, required, batchRows)
+}
+
+/** KEY-GROUPED layout (`option("layout", "grp")`): one input partition
+  * per grp value, each declaring its key through [[HasPartitionKey]],
+  * and the scan reporting `KeyGroupedPartitioning(identity(grp), 97)`
+  * — the DSv2 contract behind STORAGE-PARTITIONED JOINS (SPARK-37166):
+  * with `spark.sql.sources.v2.bucketing.enabled`, Catalyst recognizes
+  * two such scans as co-partitioned and plans grp-keyed aggregations
+  * and joins with ZERO shuffle Exchanges — q48's zero-Exchange layout
+  * argument, but delivered by a CUSTOM connector's metadata instead of
+  * a warehouse catalog. Filter pushdown composes: the [lo, hi) band
+  * narrows each key's stride, never the key set (the partitioning
+  * metadata must stay stable or Spark's co-partition check would be
+  * wrong to trust it). */
+final class SynthGroupedScan(rows: Long, lo: Long, hi: Long,
+    required: StructType) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  private val G = 97
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graft-synth grp-keyed [$lo, $hi) $G key-partitions"
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(Expressions.identity("grp")), G)
+  override def planInputPartitions(): Array[InputPartition] =
+    (0L until G.toLong).map(g => SynthGrpPartition(g, lo, hi))
+      .toArray[InputPartition]
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthGrpReaderFactory(required.fieldNames)
+}
+
+final case class SynthGrpPartition(g: Long, lo: Long, hi: Long)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(g)
+}
+
+/** Strided reader: partition g emits exactly the ids ≡ g (mod 97)
+  * inside [lo, hi) — same generator semantics, key-clustered layout. */
+final class SynthGrpReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val SynthGrpPartition(g, lo, hi) = partition
+    new PartitionReader[InternalRow] {
+      // first id >= lo with id % 97 == g, then stride by 97
+      private var cur = lo + ((g - lo % 97 + 97) % 97) - 97
+      override def next(): Boolean = { cur += 97; cur < hi }
+      override def get(): InternalRow = {
+        val values: Array[Any] = cols.map {
+          case "id" => cur
+          case "grp" => SynthSource.grpOf(cur)
+          case "val" => SynthSource.valOf(cur)
+          case "label" => UTF8String.fromString("g" + SynthSource.grpOf(cur))
+        }
+        InternalRow.fromSeq(values.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Scan serving a pushed group-by-less aggregation: same fixed-width
@@ -457,5 +523,41 @@ object SynthQueries {
        |FROM range(25000, 75000) t(id)""".stripMargin),
     "DSv2 aggregate pushdown: closed-form partials from the connector")
 
-  val all: Seq[GraftQuery] = Seq(sy01SynthSource, sy02AggPushdown)
+  /** STORAGE-PARTITIONED JOIN through the connector's own layout
+    * metadata: two grp-keyed synth scans (layout=grp →
+    * KeyGroupedPartitioning) aggregate per grp and join on grp with
+    * ZERO shuffle Exchanges — Catalyst trusts the reported
+    * co-partitioning (SPARK-37166) exactly as it trusts q48's catalog
+    * buckets, but here the layout comes from a CUSTOM DSv2 source.
+    * The only Exchange in the plan is the final presentation ORDER BY
+    * (PlanSpec pins the absence of hashpartitioning). At 100 TB this
+    * is the lake-table join shape: co-partitioned storage, no shuffle
+    * on either fact side. */
+  val sy03StoragePartitionedJoin: GraftQuery = GraftQuery(
+    "sy03_storage_partitioned_join",
+    (s, _) => {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def rd(rows: Int) = s.read.format("graft.sources.SynthSource")
+        .option("rows", rows.toString).option("layout", "grp").load()
+      val ga = rd(100000).groupBy("grp")
+        .agg(count(lit(1)).as("n_a"), sum(col("val")).cast(LongType).as("sum_a"))
+      val gb = rd(50000).groupBy("grp")
+        .agg(sum(col("val")).cast(LongType).as("sum_b"))
+      ga.join(gb, Seq("grp")).orderBy("grp")
+    },
+    Some(s"""WITH a AS (
+       |  SELECT ${SynthSource.SQL_GRP} AS grp, ${SynthSource.SQL_VAL} AS v
+       |  FROM range(0, 100000) t(id)),
+       |b AS (
+       |  SELECT ${SynthSource.SQL_GRP} AS grp, ${SynthSource.SQL_VAL} AS v
+       |  FROM range(0, 50000) t(id)),
+       |ga AS (SELECT grp, COUNT(*) AS n_a, CAST(SUM(v) AS BIGINT) AS sum_a
+       |       FROM a GROUP BY grp),
+       |gb AS (SELECT grp, CAST(SUM(v) AS BIGINT) AS sum_b FROM b GROUP BY grp)
+       |SELECT ga.grp AS grp, n_a, sum_a, sum_b
+       |FROM ga JOIN gb ON gb.grp = ga.grp ORDER BY ga.grp""".stripMargin),
+    "storage-partitioned join: KeyGroupedPartitioning from a custom DSv2 layout, zero-shuffle agg+join")
+
+  val all: Seq[GraftQuery] =
+    Seq(sy01SynthSource, sy02AggPushdown, sy03StoragePartitionedJoin)
 }

@@ -474,6 +474,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("posexplode"), p.take(3000))
   }
 
+  test("sy03: storage-partitioned join plans ZERO hash exchanges — co-partitioning from the connector") {
+    val p = plan("sy03_storage_partitioned_join")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "both aggs and the join must run on the reported KeyGroupedPartitioning\n" + p.take(3000))
+    assert(p.contains("grp-keyed"),
+      "expected the grp-keyed scan description\n" + p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "the join must be a co-partitioned big-big join, not a broadcast\n" + p.take(3000))
+  }
+
   test("mm08: the near-dup candidate join is a block-key equi-join, never a nested loop") {
     val p = plan("mm08_phash_neardup")
     assert(!p.contains("CartesianProduct") &&
