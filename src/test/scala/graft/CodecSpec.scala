@@ -175,4 +175,34 @@ class CodecSpec extends AnyFunSuite {
     assert(h0.zip(h1).count { case (x, y) => x != y } <= 3,
       "a one-cell edit must stay a NEAR duplicate (small hamming distance)")
   }
+
+  test("Y4M round trip: header geometry, frame count, sampled luma stats exact") {
+    import graft.operators.MultimodalQueries.Y4mCodec
+    val w = 10; val h = 6; val nf = 7
+    def lum(f: Int, x: Int, y: Int) = (x * 5 + y * 3 + f * 11) % 256
+    val p = Y4mCodec.encode(w, h, 25, 1, nf,
+      (f, x, y) => (lum(f, x, y), 128, 64))
+    val st = Y4mCodec.stats(42L, p)
+    assert((st.width, st.height, st.n_frames, st.fps_num) == (10L, 6L, 7L, 25L))
+    assert(st.duration_ms == nf * 1000L / 25L)
+    // recompute sampled (f % 3 == 0) luma stats directly
+    val vals = for (f <- 0 until nf if f % 3 == 0; y <- 0 until h; x <- 0 until w)
+      yield lum(f, x, y).toLong
+    assert(st.n_sampled == 3L && st.sum_y == vals.sum &&
+      st.min_y == vals.min && st.max_y == vals.max)
+  }
+
+  test("Y4M decoder rejects wrong magic, non-444 planes, and torn frame markers") {
+    import graft.operators.MultimodalQueries.Y4mCodec
+    val good = Y4mCodec.encode(4, 4, 24, 1, 2, (_, _, _) => (1, 2, 3))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[Exception](Y4mCodec.stats(1L, badMagic))
+    val c420 = new String(good, "ISO-8859-1")
+      .replace("C444", "C420").getBytes("ISO-8859-1")
+    intercept[Exception](Y4mCodec.stats(1L, c420))
+    val torn = good.clone()
+    val fm = new String(good, "ISO-8859-1").indexOf("FRAME")
+    torn(fm) = 'G'.toByte
+    intercept[Exception](Y4mCodec.stats(1L, torn))
+  }
 }
