@@ -687,6 +687,48 @@ object TextQueries {
     * evaluate identically. Map-only: per-row regex work inside
     * whole-stage codegen, zero shuffles before the final ORDER BY —
     * at 100 TB this is a pure scan-transform pass. */
+  /** k-ANONYMITY audit (Sweeney 2002) — the release-side governance
+    * twin of pr01's redaction: rows whose QUASI-IDENTIFIER tuple
+    * (nation, market segment, coarsened balance band) is shared by
+    * fewer than k individuals are re-identifiable by linkage, and a
+    * k-anonymous release must suppress or further generalize them.
+    * The audit is TWO aggregations — equivalence classes (one groupBy
+    * on the quasi tuple), then the class-SIZE histogram with risky-row
+    * and suppression accounting — so the corpus is touched once and
+    * everything after the first groupBy is classes-count-sized. At
+    * 100 TB the class table is bounded by the quasi-identifier domain
+    * (|nations|·|segments|·|bands|), not by rows: this is a map-side-
+    * combinable scan however large the release. k = 5 here; the
+    * generalization lattice step (widen the band, drop a column) is a
+    * parameter change, not a new plan. */
+  val pr02KAnonymity: GraftQuery = q(
+    "pr02_k_anonymity",
+    "k-anonymity audit: quasi-identifier equivalence classes, size histogram, suppression accounting",
+    """WITH classes AS (
+      |  SELECT c_nationkey AS nat, c_mktsegment AS seg,
+      |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+      |    COUNT(*) AS class_size
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT class_size,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN class_size < 5 THEN SUM(class_size) ELSE 0 END AS BIGINT)
+      |    AS n_suppressed
+      |FROM classes GROUP BY class_size
+      |ORDER BY class_size""".stripMargin) { (s, d) =>
+    val classes = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    classes.groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .select(col("class_size"), col("n_classes"), col("n_rows"),
+        when(col("class_size") < 5, col("n_rows")).otherwise(0L)
+          .as("n_suppressed"))
+      .orderBy("class_size")
+  }
+
   val pr01PiiRedact: GraftQuery = q(
     "pr01_pii_redact",
     "structured-PII redaction: injected fake entities, per-type counts, redacted fingerprint",
@@ -861,5 +903,5 @@ object TextQueries {
     tx06BpeTokens, tx07RollingHash, tx08Scrub, tx09CharNgrams, tx10Repetition,
     tx11QualityFunnel, tx12InvertedIndex, tx16LangIdNgram, tx17Chunking,
     tx18Fertility, ng01NativeNgrams, fz01FuzzyJoin, oov01VocabCoverage,
-    bm01Bm25, nu01NfcNormalize, pr01PiiRedact, fh01FeatureHashing)
+    bm01Bm25, nu01NfcNormalize, pr01PiiRedact, pr02KAnonymity, fh01FeatureHashing)
 }
