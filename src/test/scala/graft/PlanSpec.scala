@@ -474,6 +474,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("posexplode"), p.take(3000))
   }
 
+  test("ev18: windowed sketch aggregates partial-merge ObjectHashAggregate, like qs01") {
+    val p = plan("ev18_window_quantiles")
+    assert(p.contains("partial_kll_quantiles") && p.contains("ObjectHashAggregate"),
+      "window sketch states must combine map-side before the exchange\n" + p.take(3000))
+  }
+
   test("sy03: storage-partitioned join plans ZERO hash exchanges — co-partitioning from the connector") {
     val p = plan("sy03_storage_partitioned_join")
     assert(!p.contains("Exchange hashpartitioning"),
