@@ -232,5 +232,6 @@ object Registry {
       graft.operators.SpectralQueries.all ++
       graft.operators.SetSimJoin.all ++
       graft.operators.ManifestSkipping.all ++
+      graft.operators.MvQueries.all ++
       graft.sources.SynthQueries.all
 }

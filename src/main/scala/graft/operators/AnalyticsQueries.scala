@@ -1343,11 +1343,119 @@ object AnalyticsQueries {
     }
   }
 
+  /** HORVITZ–THOMPSON ESTIMATION over a weighted Bernoulli sample —
+    * the estimation half of weighted sampling (wt01 draws the sample;
+    * this query proves you can publish UNBIASED totals from one). Each
+    * order's inclusion probability is class-proportional (p = w/16 for
+    * priority class w ∈ 1..5 — 2^32/16 is exact, so the inclusion test
+    * is a pure integer compare against the Knuth multiplicative hash:
+    * deterministic, reproducible, engine-independent, no RNG state).
+    * The estimator Σ x/p is kept EXACT-INTEGER until the final divide:
+    * prices in cents (exact decimal → bigint), each contribution
+    * scaled by 960/w (960 = 16·lcm(1..5), divisible by every class
+    * weight, so the per-row integer division is exact), one fp divide
+    * at the end — the [[graft.Det]] discipline applied to survey
+    * estimation. Scale: a filter + one keyed aggregation, map-side
+    * partials, no shuffle beyond the 5-group agg — the pattern that
+    * lets a 100 TB pipeline audit a 1% weighted sample against the
+    * fact table in one pass over each. */
+  val ht01HtEstimator: GraftQuery = q(
+    "ht01_ht_estimator",
+    "Horvitz-Thompson totals from a deterministic weighted Bernoulli sample (exact-integer path)",
+    """WITH w AS (
+      |  SELECT 6 - CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS w,
+      |    (o_orderkey * 2654435761) % 4294967296 AS u,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT w, COUNT(*) AS n_pop,
+      |  CAST(SUM(CASE WHEN u < w * 268435456 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN u < w * 268435456 THEN cents * (960 // w) ELSE 0 END) AS DOUBLE)
+      |    / 6000.0 AS est_total,
+      |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS true_total
+      |FROM w GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        expr("6 - cast(substring(o_orderpriority, 1, 1) as int)").as("w"),
+        ((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L)).as("u"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_pop"),
+        sum(when(col("u") < col("w") * 268435456L, 1).otherwise(0))
+          .cast(LongType).as("n_sampled"),
+        (sum(when(col("u") < col("w") * 268435456L,
+            col("cents") * expr("960 div w")).otherwise(0L))
+          .cast(DoubleType) / 6000.0).as("est_total"),
+        (sum(col("cents")).cast(DoubleType) / 100.0).as("true_total"))
+      .orderBy("w")
+  }
+
+  /** DIFFERENTIALLY-PRIVATE COUNTS via the (truncated) GEOMETRIC
+    * MECHANISM (Ghosh–Roughgarden–Sundararajan 2009, the discrete
+    * optimal mechanism for counting queries): per-group counts plus
+    * two-sided geometric noise, P(k) ∝ α^|k| with α = 1/2 (ε = ln 2,
+    * sensitivity 1 — each order contributes to exactly one priority
+    * group). The DISCRETE mechanism is what makes this engine-exact:
+    * Laplace needs a log() draw whose last bits differ across libms,
+    * while the geometric inverse-CDF is a 21-branch integer threshold
+    * ladder — breakpoints floor(CDF(k)·2^32) computed exactly in
+    * BigInt at build time and emitted as the SAME literals into both
+    * the Spark plan and the oracle SQL. Noise is seeded from a hash of
+    * the group key (test determinism; production swaps the seed source
+    * for a secure RNG — the mechanism and plan shape are unchanged).
+    * Truncation at ±10 keeps the ladder finite and costs 2·(1/3)·2⁻¹⁰
+    * ≈ 0.07% tail mass (documented bias; extend the ladder to shrink
+    * it). Scale: one 5-group aggregate; the noise is a per-GROUP
+    * map-side expression after aggregation — DP release of a 100 TB
+    * table's histogram costs exactly the histogram. */
+  val dp01GeometricMechanism: GraftQuery = {
+    val B = 10
+    // floor(2^32 · CDF(k)) with CDF as an exact rational:
+    //   k = -m (m≥1): 1/(3·2^(m-1));  k ≥ 0: (3·2^k − 1)/(3·2^k)
+    def thr(k: Int): Long = {
+      val two32 = BigInt(2).pow(32)
+      val (p, q) =
+        if (k < 0) (BigInt(1), BigInt(3) * BigInt(2).pow(-k - 1))
+        else (BigInt(3) * BigInt(2).pow(k) - 1, BigInt(3) * BigInt(2).pow(k))
+      (two32 * p / q).toLong
+    }
+    val ks = (-B until B).toSeq // ladder; ELSE branch = +B
+    val sqlLadder = ks.map(k => s"WHEN v < ${thr(k)} THEN $k").mkString("\n      |    ")
+    q("dp01_geometric_mechanism",
+      "DP counts: truncated geometric mechanism, exact integer inverse-CDF ladder (eps = ln 2)",
+      s"""WITH c AS (
+         |  SELECT o_orderpriority,
+         |    CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS g,
+         |    COUNT(*) AS n
+         |  FROM orders GROUP BY 1, 2),
+         |seeded AS (
+         |  SELECT o_orderpriority, n,
+         |    (g * 2654435761 + 97531) % 4294967296 AS v
+         |  FROM c)
+         |SELECT o_orderpriority,
+         |  n + CASE
+         |    $sqlLadder
+         |    ELSE $B END AS dp_count
+         |FROM seeded ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val noise = ks.foldRight(lit(B): Column) { (k, rest) =>
+        when(col("v") < thr(k), k).otherwise(rest)
+      }
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          expr("cast(substring(o_orderpriority, 1, 1) as bigint)").as("g"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("v", (col("g") * lit(2654435761L) + lit(97531L)) % lit(4294967296L))
+        .select(col("o_orderpriority"), (col("n") + noise).as("dp_count"))
+        .orderBy("o_orderpriority")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q42Gapfill, q43Unpivot, q44StatsMoments, q45Upsert, q46Scd2, qa01Profile,
     st01StratifiedSample, st02SplitAssign, st03QuotaAlloc, dq01QualityAudit,
     ws01Winsorize, it01Interpolate, it02LocfResample, wt01WeightedSample,
     rs01ReservoirSample, mb01MarketBasket, pit01PointInTime,
     dr01DistributionDrift, pa01Skyline, iv01IncrementalJoin,
-    av01IncrementalAgg, mt01SparseMatmul, mt02BlockedGemm)
+    av01IncrementalAgg, mt01SparseMatmul, mt02BlockedGemm,
+    ht01HtEstimator, dp01GeometricMechanism)
 }

@@ -448,5 +448,162 @@ object GraphQueries {
       .orderBy("rn")
   }
 
-  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs, gr04Triangles, gr05RecursiveBfs)
+  /** CONNECTED COMPONENTS via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log² n)-round algorithm dd08's scaladoc names as
+    * the scale path for adversarial diameters, now a first-class
+    * operator. gr03/gr05's frontier BFS and dd08's label fold both pay
+    * rounds proportional to component DIAMETER; on a 100 TB corpus a
+    * chain-shaped duplicate family (the twin-replica growth probe
+    * makes exactly these) turns that into hundreds of shuffles.
+    * Large-star/small-star instead contracts paths doubly-
+    * exponentially: each large-star hangs every node's neighborhood
+    * off the neighborhood minimum, each small-star re-hangs the
+    * smaller half, and the edge set provably converges to one star
+    * per component (root = component min) while never connecting
+    * distinct components or disconnecting one.
+    *
+    * Graph: the same top-D-sparsified co-purchase edges as gr04
+    * (bounded degrees at any corpus density — the sparsifier is what
+    * makes the edge list 100×-safe; see gr04's scaladoc). Edges are
+    * kept CANONICAL (child > parent) between rounds, so each round is
+    * two groupBy-min shuffles plus two equi-joins on vertex keys —
+    * never all-pairs, never a window over whole components.
+    *
+    * Convergence is detected STRUCTURALLY, not by heuristic deltas:
+    * the edge set is a union of stars iff no parent also appears as a
+    * child (one semi-join count per round). A star-state edge set has
+    * the same components as the input (both operations preserve
+    * connectivity), so stars ⇒ done, with labels = star roots —
+    * no hash-equality or label-sum shortcut that could stop early.
+    *
+    * Oracle: min-label propagation over the identical sparsified edge
+    * set, unrolled 40 single-hop rounds (diameter at every tested SF
+    * is far below that; labels are monotone non-increasing so extra
+    * rounds are identity) — the oracle mirrors the SEMANTICS (min
+    * reachable id), not the algorithm, which is the point: two
+    * different fixpoint procedures agreeing on the answer. */
+  val gr06ConnectedComponents: GraftQuery = {
+    val ROUNDS = 40
+    def lblSql(k: Int): String =
+      s""",
+         |l$k AS MATERIALIZED (
+         |  SELECT node, MIN(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM l${k - 1}
+         |    UNION ALL
+         |    SELECT und.u AS node, l.lbl FROM und JOIN l${k - 1} l ON und.v = l.node
+         |  ) t GROUP BY node)""".stripMargin
+    q("gr06_connected_components",
+      "large-star/small-star connected components on the sparsified co-purchase graph",
+      s"""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |undw AS (
+         |  SELECT a AS src, b AS dst, n FROM e0
+         |  UNION ALL SELECT b, a, n FROM e0),
+         |topd AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rk
+         |    FROM undw) t WHERE rk <= 20),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM topd),
+         |und AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM und)
+         |${(1 to ROUNDS).map(lblSql).mkString}
+         |SELECT node AS part, lbl AS comp FROM l$ROUNDS ORDER BY part""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val ia = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      val ib = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
+      val e0 = ia.join(ib, col("l_orderkey") === col("ok2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      val undw = e0.select(col("a").as("src"), col("b").as("dst"), col("n_co"))
+        .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("n_co")))
+      val wTop = Window.partitionBy(col("src")).orderBy(col("n_co").desc, col("dst"))
+      // canonical (child u > parent v) from the start
+      var edges = undw.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 20)
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .distinct()
+        .pinned
+
+      val (labels, _) = starContraction(edges)
+      labels.select(col("node").as("part"), col("comp")).orderBy("part")
+    }
+  }
+
+  /** The large-star/small-star contraction loop, reusable over any
+    * canonical (u > v) distinct edge frame. Returns (labels, rounds):
+    * labels = one (node, comp) row per vertex with comp = component
+    * min; rounds = alternation count until the star fixpoint.
+    * GraphSpec drives this over an adversarial 2^k-node PATH graph —
+    * the diameter shape where per-hop propagation (gr03, dd08's fold)
+    * pays Θ(n) rounds — and pins the logarithmic round count. */
+  def starContraction(edges0: DataFrame): (DataFrame, Int) = {
+    // large-star: hang every strictly-larger neighbor off the
+    // neighborhood min. One groupBy-min + one equi-join; output
+    // stays canonical because m <= u < v for every emitted (v, m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      und.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    // small-star: re-hang each node and its smaller neighbors off
+    // the min of the smaller neighborhood. Input/output canonical.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      e.join(m, "u")
+        .select(col("v").as("child"), col("m").as("parent"))
+        .unionAll(m.select(col("u").as("child"), col("m").as("parent")))
+        .filter(col("child") =!= col("parent"))
+        .select(col("child").as("u"), col("parent").as("v"))
+        .distinct()
+    }
+    // Unlike the engine's other iterative loops (gr01's rank chain,
+    // dd08's label fold — each round references the previous frame
+    // ONCE, so persist keeps the logical plan linear), star contraction
+    // references the evolving edge frame ~5× per round (e + reversed in
+    // large-star, und + the min join, then small-star again): without
+    // lineage TRUNCATION the logical tree grows ~5^rounds and planning
+    // itself OOMs near round 8. Truncation is therefore mandatory, not
+    // an opt-in: reliable `checkpoint` when a checkpoint dir is set
+    // (the cluster deployment — GraphFrames' connectedComponents ships
+    // the same discipline), `localCheckpoint` otherwise (local mode;
+    // executor-loss recovery does not apply to a single JVM).
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var edges = edges0
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = truncate(smallStar(largeStar(edges)))
+      // star test: converged iff no parent is also a child (then the
+      // edge set is a union of stars, whose components equal the
+      // input graph's — both ops preserve connectivity)
+      converged = next.select(col("v").as("p")).distinct()
+        .join(next.select(col("u")), col("p") === col("u"), "left_semi")
+        .isEmpty
+      edges = next
+      rounds += 1
+    }
+    val labels = edges.select(col("u").as("node"), col("v").as("comp"))
+      .unionAll(edges.select(col("v").as("node"), col("v").as("comp")).distinct())
+      .distinct()
+    (labels, rounds)
+  }
+
+  val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs, gr04Triangles,
+    gr05RecursiveBfs, gr06ConnectedComponents)
 }

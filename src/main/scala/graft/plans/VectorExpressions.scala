@@ -252,5 +252,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in logical rewrite (spark.graft.approxDistinct=true):
     // exact COUNT(DISTINCT) -> constant-state HLL++ sketch
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    // opt-in transparent materialized-view rewrite
+    // (spark.graft.mv.lineitemAgg=<path>): matching fact-table
+    // aggregates served from the pre-aggregated summary table
+    e.injectOptimizerRule(_ => MvRewrite)
   }
 }

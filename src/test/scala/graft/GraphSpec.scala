@@ -95,4 +95,54 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("UnionLoop"),
       "WITH RECURSIVE must plan as an engine loop\n" + plan.take(2000))
   }
+
+  test("star contraction: adversarial path graphs get exact components in logarithmic rounds") {
+    import org.apache.spark.sql.functions._
+    // two path components — the diameter worst case where per-hop
+    // propagation (gr03's frontier, dd08's label fold) pays Θ(n) rounds
+    val e1 = spark.range(127).select((col("id") + 1).as("u"), col("id").as("v"))
+    val e2 = spark.range(63)
+      .select((col("id") + 1001).as("u"), (col("id") + 1000).as("v"))
+    val (labels, rounds) =
+      graft.operators.GraphQueries.starContraction(e1.unionAll(e2))
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 128 + 64, s"every vertex labeled once, got ${got.size}")
+    (0L to 127L).foreach(n => assert(got(n) == 0L, s"node $n -> ${got(n)}"))
+    (1000L to 1063L).foreach(n => assert(got(n) == 1000L, s"node $n -> ${got(n)}"))
+    assert(rounds <= 10,
+      s"128-node path must contract logarithmically (BFS-style would need ~64), took $rounds")
+  }
+
+  test("gr06 component labels agree with a per-hop reference fold on the real graph") {
+    // independent re-derivation: min-label propagation to fixpoint over
+    // the same sparsified edges, per-hop (the semantics, not the algorithm)
+    import org.apache.spark.sql.functions._
+    val gr06 = Registry.all.find(_.name == "gr06_connected_components").get
+      .build(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // rebuild the edge frame exactly as gr06 does
+    val items = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    val ia = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val ib = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("b"))
+    val e0 = ia.join(ib, col("l_orderkey") === col("ok2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_co")).filter(col("n_co") >= 2)
+    val undw = e0.select(col("a").as("src"), col("b").as("dst"), col("n_co"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst"), col("n_co")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("n_co").desc, col("dst"))
+    val edges = undw.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+      .select(col("src").as("u"), col("dst").as("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find over the small sf0.001 edge list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    // union-find roots are component minima only after a min-fold; normalize
+    val minOf = want.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    assert(gr06.size == want.size)
+    want.foreach { case (n, r) => assert(gr06(n) == minOf(r), s"node $n") }
+  }
 }
