@@ -1334,6 +1334,78 @@ object DedupQueries {
     }
   }
 
+  /** dd08's clustering semantics through the gr06 ALGORITHM: near-dup
+    * clusters as large-star/small-star star contraction
+    * ([[GraphQueries.starContraction]]) over a BUCKET-STAR REDUCTION
+    * of the doc↔bucket incidence — each shared bucket contributes one
+    * edge per member to the bucket's MIN member doc (one groupBy-min +
+    * one equi-join; never the per-bucket quadratic pair set). The
+    * reduction preserves components exactly (bucket co-membership ⇔
+    * connected through the bucket min) and yields a doc-only graph, so
+    * the component minimum is a doc id and labels match dd08's
+    * min-reachable-doc; the oracle is the same 30-round incidence fold.
+    *
+    * Why carry BOTH dd08 and this: dd08's doc→bucket→doc min fold pays
+    * rounds proportional to half the component DIAMETER — fine for the
+    * blob-shaped duplicate families LSH usually makes, Θ(n) shuffles
+    * for a CHAIN of near-dups (doc i ~ doc i+1 via band 1, i+1 ~ i+2
+    * via band 2, ...), which template-drift corpora produce (and the
+    * key-shifted twin replicas grow in SIZE). Star contraction pays
+    * O(log) alternations on an edge set bounded by the incidence size
+    * (≤ 2 rows per doc), so the worst-case family costs log-many
+    * shuffles instead. Same answer, different fixpoint procedure;
+    * SCALING.md carries the measured trade (dd08 is the cheaper
+    * constant on today's blob-shaped corpus, dd20 the bounded-round
+    * guarantee — GraphSpec's path-graph law is the shape that flips it). */
+  val dd20StarComponents: GraftQuery = q(
+    "dd20_star_components",
+    "near-dup clusters via large-star/small-star over the doc-bucket incidence",
+    // identical semantics to dd08's oracle: min-label propagation over
+    // the shared-bucket incidence, 30 unrolled rounds, MATERIALIZED
+    // CTEs (see dd08's oracle-cost note)
+    (s"""WITH tok AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    MIN(md5('0:' || w)) AS s0, MIN(md5('1:' || w)) AS s1,
+       |    MIN(md5('2:' || w)) AS s2, MIN(md5('3:' || w)) AS s3
+       |  FROM tok GROUP BY doc_id),
+       |inc0 AS MATERIALIZED (
+       |  SELECT doc_id, '1:' || md5(s0 || s1) AS bucket FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, '2:' || md5(s2 || s3) AS bucket FROM sig),
+       |shared AS MATERIALIZED (SELECT bucket FROM inc0 GROUP BY bucket HAVING COUNT(*) > 1),
+       |inc AS MATERIALIZED (SELECT i.doc_id, i.bucket FROM inc0 i JOIN shared USING (bucket)),
+       |l0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS lbl FROM inc)"""
+      + (1 to 30).map(k =>
+        s""",
+       |b$k AS MATERIALIZED (SELECT i.bucket, MIN(l.lbl) AS blbl
+       |  FROM inc i JOIN l${k - 1} l USING (doc_id) GROUP BY i.bucket),
+       |l$k AS MATERIALIZED (SELECT i.doc_id, MIN(b.blbl) AS lbl
+       |  FROM inc i JOIN b$k b USING (bucket) GROUP BY i.doc_id)""").mkString
+      + s"""
+       |SELECT doc_id, lbl AS cluster_id FROM l30 ORDER BY doc_id""").stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val inc0 = docs
+      .select(col("doc_id"), explode(array(
+        concat(lit("1:"), TextFunctions.lshBand(col("text"), 0, 2)),
+        concat(lit("2:"), TextFunctions.lshBand(col("text"), 2, 4)))).as("bucket"))
+    val shared = inc0.groupBy("bucket").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") > 1).select("bucket")
+    val inc = inc0.join(shared, "bucket").select(col("doc_id"), col("bucket"))
+    // bucket-star reduction: every member hangs off the bucket's min
+    // member; edges are born canonical (u = member > v = bucket min)
+    val bmin = inc.groupBy("bucket").agg(min("doc_id").as("m"))
+    val edges = inc.join(bmin, "bucket")
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("u"), col("m").as("v"))
+      .distinct().pinned
+    val (labels, _) = GraphQueries.starContraction(edges)
+    labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     dd01ExactGroups, dd02KeepFirst, dd03JaccardPairs,
     dd04MinhashSignatures, dd05LshBuckets, dd06EmbeddingNearDup, dd07Simhash,
@@ -1341,5 +1413,5 @@ object DedupQueries {
     dd11RepeatedNgrams,
     dd12IncrementalAdmission, dd13BoilerplateScrub, dd14LshQuality,
     dd15SortedNeighborhood, dd16SubstringSpans, dd17SimhashHamming,
-    dd18EvolvingAdmission, rb01RepetitionBudget, pd01ChunkDedup)
+    dd18EvolvingAdmission, dd20StarComponents, rb01RepetitionBudget, pd01ChunkDedup)
 }

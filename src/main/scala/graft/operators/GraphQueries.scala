@@ -580,6 +580,14 @@ object GraphQueries {
     // (the cluster deployment — GraphFrames' connectedComponents ships
     // the same discipline), `localCheckpoint` otherwise (local mode;
     // executor-loss recovery does not apply to a single JVM).
+    // eager=true is load-bearing, measured both ways at sf0.1: the
+    // star-test probe reads `next` TWICE (both semi-join sides), and a
+    // lazy checkpoint lets the two consumers race to compute the same
+    // partitions before they're stored (and a short-circuiting probe
+    // additionally leaves the checkpoint partial, re-deriving missing
+    // partitions through the whole round chain next iteration). One
+    // eager full pass per round, then every later read hits stored
+    // blocks.
     def truncate(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
@@ -594,7 +602,7 @@ object GraphQueries {
       // input graph's — both ops preserve connectivity)
       converged = next.select(col("v").as("p")).distinct()
         .join(next.select(col("u")), col("p") === col("u"), "left_semi")
-        .isEmpty
+        .count() == 0L
       edges = next
       rounds += 1
     }
