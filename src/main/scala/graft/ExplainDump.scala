@@ -99,7 +99,11 @@ object ExplainDump {
     "mt02_blocked_gemm" ->
       "Blocked dense GEMM: k-block slicing + ×1000 int64 quantization ride ONE map-side posexplode (a vector's 4 blocks never leave its partition); the B side is 4 broadcast tiles (fixed 64×8 model width — broadcast is correct at any corpus scale, unlike mt01's corpus-growing vocab); the 16-term block contraction runs INSIDE a higher-order expression so the k dimension never becomes rows; per-vector C assembles via 8 map-side-combinable sums (complete before the single n-row exchange), and the census is 8 rows.",
     "mt01_sparse_matmul" ->
-      "Distributed sparse GEMM: the contraction C=A·B is ONE shuffle equi-join on the contraction key (term) — A (corpus-sized tf triples) is touched by exactly that join, B (vocab-scale) rides the same shuffle and is never broadcast (the corpus-growing-vocabulary rule), fanning each triple by exactly 8 so a hot term cannot skew-amplify; C's partial sums combine map-side before the (doc, topic) exchange, the per-doc argmax runs through the k-bounded TopK operator (k=1, no window sort), and the report is an 8-row census. Bucketing both triple stores by term makes the contraction zero-Exchange at cluster scale (q48's layout argument applied to matrices)."
+      "Distributed sparse GEMM: the contraction C=A·B is ONE shuffle equi-join on the contraction key (term) — A (corpus-sized tf triples) is touched by exactly that join, B (vocab-scale) rides the same shuffle and is never broadcast (the corpus-growing-vocabulary rule), fanning each triple by exactly 8 so a hot term cannot skew-amplify; C's partial sums combine map-side before the (doc, topic) exchange, the per-doc argmax runs through the k-bounded TopK operator (k=1, no window sort), and the report is an 8-row census. Bucketing both triple stores by term makes the contraction zero-Exchange at cluster scale (q48's layout argument applied to matrices).",
+    "mv01_mv_rewrite" ->
+      "Transparent materialized-view serving: the ONLY scan in the plan is the 6-row summary table (graft_mv_*) — lineitem never appears. The injected MvRewrite optimizer rule replaced the fact scan with a partial-state merge (COUNT -> SUM(cnt), SUM -> SUM(partial)) at optimization time; the query text is an ordinary fact-table aggregate. Measured scale-free: flat ~0.5 s while the fact table grew 100x (SCALING.md).",
+    "mv03_mv_filtered" ->
+      "MV rewrite under a predicate: the dim-only filter (l_returnflag <> 'A') selects whole grain groups, so the rule replays it verbatim over the summary scan — Filter sits above the 6-row MV relation, and the fact table is untouched. A predicate on any pre-aggregated column (q01's l_shipdate) structurally disqualifies the rewrite instead."
   )
 
   def main(args: Array[String]): Unit = {

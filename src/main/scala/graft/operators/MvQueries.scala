@@ -83,5 +83,22 @@ object MvQueries {
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
     "MV roll-up: coarser-grain aggregate merged from the MV's partial states")
 
-  val all: Seq[GraftQuery] = Seq(mv01Rewrite, mv02Rollup)
+  val mv03FilteredRollup: GraftQuery = GraftQuery(
+    "mv03_mv_filtered",
+    (s: SparkSession, d: String) => {
+      withMv(s, d)
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") =!= "A")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem WHERE l_returnflag <> 'A'
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "MV rewrite under a dim-only predicate: the filter selects whole groups, so it replays over the MV")
+
+  val all: Seq[GraftQuery] = Seq(mv01Rewrite, mv02Rollup, mv03FilteredRollup)
 }

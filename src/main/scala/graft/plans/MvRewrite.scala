@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DecimalType
@@ -27,10 +27,14 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scope contract (documented, enforced structurally — anything
   * outside it is left untouched):
-  *  - the child must be the bare lineitem scan (optionally behind the
-  *    column-pruning Project) — a Filter between aggregate and scan
-  *    disqualifies the plan, since the MV pre-aggregated unfiltered
-  *    rows. Relations here are path-identified (`lineitem.parquet`),
+  *  - the child must be the lineitem scan behind any stack of
+  *    column-pruning Projects and AT MOST dimension-only Filters: a
+  *    predicate that references only MV grain columns commutes with
+  *    the grain aggregation (σ_dims ∘ γ_dims = γ_dims ∘ σ_dims — it
+  *    selects whole groups), so it is replayed verbatim over the MV;
+  *    any predicate touching a non-dim column (a measure, a date)
+  *    disqualifies the plan, since the MV pre-aggregated those rows
+  *    away. Relations here are path-identified (`lineitem.parquet`),
   *    the honest analog of catalog-table identity for a path-based
   *    corpus;
   *  - grouping keys ⊆ {l_returnflag, l_linestatus}, non-empty (a
@@ -62,18 +66,23 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (mvPath.isEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(groups, _, child, _)
-          if groups.nonEmpty && isLineitemScan(child) =>
+          if groups.nonEmpty && destructure(child).isDefined =>
         rewrite(agg, mvPath).getOrElse(agg)
     }
   }
 
-  /** The bare fact scan, optionally behind pure column pruning. */
-  private def isLineitemScan(p: LogicalPlan): Boolean = p match {
-    case lr: LogicalRelation => isLineitemRelation(lr)
-    case Project(projList, lr: LogicalRelation)
+  /** Unwrap the fact scan from any stack of attribute-only Projects
+    * and Filters, collecting filter conditions on the way down.
+    * Returns None unless the leaf is the lineitem relation. Whether
+    * the collected conditions are dim-only (hence replayable over the
+    * MV) is the caller's check — it needs the attribute names. */
+  private def destructure(p: LogicalPlan): Option[Seq[Expression]] = p match {
+    case lr: LogicalRelation if isLineitemRelation(lr) => Some(Nil)
+    case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      isLineitemRelation(lr)
-    case _ => false
+      destructure(child)
+    case Filter(cond, child) => destructure(child).map(cond +: _)
+    case _ => None
   }
 
   private def isLineitemRelation(lr: LogicalRelation): Boolean =
@@ -85,6 +94,11 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, mvPath: String): Option[Aggregate] = {
     val childOutput = agg.child.outputSet
+    // every collected filter condition must touch ONLY grain columns —
+    // those select whole groups, so they replay verbatim over the MV
+    val conds = destructure(agg.child).get
+    if (!conds.forall(_.references.forall(a => Dims.contains(a.name))))
+      return None
     // fresh relation over the summary table; attribute ids are new, so
     // every original output is re-derived under its ORIGINAL exprId
     val mvPlan = SparkSession.active.read.parquet(mvPath)
@@ -140,7 +154,13 @@ object MvRewrite extends Rule[LogicalPlan] {
               if (Dims.contains(a.name)) mvOut(a.name) else throw NoRewrite
           }.asInstanceOf[NamedExpression]
       }
-      Some(Aggregate(newGroups, newAggExprs, mvPlan))
+      val newChild =
+        if (conds.isEmpty) mvPlan
+        else Filter(
+          conds.map(_.transform {
+            case a: AttributeReference => mvOut(a.name)
+          }).reduce(And), mvPlan)
+      Some(Aggregate(newGroups, newAggExprs, newChild))
     } catch {
       case NoRewrite => None
     }

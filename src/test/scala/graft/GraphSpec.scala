@@ -113,6 +113,30 @@ class GraphSpec extends AnyFunSuite {
       s"128-node path must contract logarithmically (BFS-style would need ~64), took $rounds")
   }
 
+  test("incremental contraction: warm start from base labels + delta equals cold full run") {
+    import org.apache.spark.sql.functions._
+    val full = spark.range(63).select((col("id") + 1).as("u"), col("id").as("v"))
+    val base = full.filter((col("u") + col("v")) % 3 =!= 0)
+    val delta = full.filter((col("u") + col("v")) % 3 === 0)
+    val (bl, _) = graft.operators.GraphQueries.starContraction(base)
+    val warm = bl.filter(col("node") =!= col("comp"))
+      .select(col("node").as("u"), col("comp").as("v"))
+      .unionAll(delta).distinct()
+    val (wl, warmRounds) = graft.operators.GraphQueries.starContraction(warm)
+    val (cl, _) = graft.operators.GraphQueries.starContraction(full)
+    val got = wl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = cl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, "warm-start labels must equal the cold recompute")
+    // the warm input is stars-plus-stitches, not 63 raw hops
+    assert(warmRounds <= 8, s"warm start should converge fast, took $warmRounds")
+  }
+
+  test("gr07 warm-start labels equal gr06 cold labels on the real graph") {
+    def rows(name: String) = Registry.all.find(_.name == name).get
+      .build(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("gr07_incremental_components") == rows("gr06_connected_components"))
+  }
+
   test("gr06 component labels agree with a per-hop reference fold on the real graph") {
     // independent re-derivation: min-label propagation to fixpoint over
     // the same sparsified edges, per-hop (the semantics, not the algorithm)

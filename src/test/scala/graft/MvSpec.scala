@@ -51,10 +51,19 @@ class MvSpec extends AnyFunSuite {
     } finally spark.conf.set(flag, graft.operators.MvQueries.mvPath(spark, sf))
   }
 
+  test("mv03: a dim-only predicate replays over the MV (filter commutes with grain agg)") {
+    val df = q("mv03_mv_filtered").build(spark, sf)
+    val p = planOf(df)
+    assert(p.contains("graft_mv_"), p.take(3000))
+    assert(!p.contains("lineitem.parquet"), p.take(3000))
+    // and the predicate actually survived onto the MV side
+    assert(p.contains("l_returnflag"), "dim predicate must be replayed\n" + p.take(3000))
+  }
+
   test("non-matching plans stay on the fact scan with the conf on") {
     spark.conf.set(flag, graft.operators.MvQueries.mvPath(spark, sf))
-    // (1) a Filter between aggregate and scan disqualifies — q01 is the
-    // registry's flagship filtered aggregate over the same grouping
+    // (1) a NON-dim Filter between aggregate and scan disqualifies —
+    // q01 filters on l_shipdate, which the MV pre-aggregated away
     val q01 = planOf(q("q01_pricing_summary").build(spark, sf))
     assert(q01.contains("lineitem.parquet") && !q01.contains("graft_mv_"),
       "filtered aggregate must NOT be served from the unfiltered MV\n" + q01.take(3000))
