@@ -667,24 +667,42 @@ object GraphQueries {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    var edges = edges0
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val next = truncate(smallStar(largeStar(edges)))
-      // star test: converged iff no parent is also a child (then the
-      // edge set is a union of stars, whose components equal the
-      // input graph's — both ops preserve connectivity)
-      converged = next.select(col("v").as("p")).distinct()
-        .join(next.select(col("u")), col("p") === col("u"), "left_semi")
-        .count() == 0L
-      edges = next
-      rounds += 1
-    }
-    val labels = edges.select(col("u").as("node"), col("v").as("comp"))
-      .unionAll(edges.select(col("v").as("node"), col("v").as("comp")).distinct())
-      .distinct()
-    (labels, rounds)
+    // Size the loop's exchanges to the edge frame, not the session
+    // default: each round is ~8 shuffle stages over a frame the
+    // callers BOUND (top-D sparsification, ≤2-per-doc incidence), and
+    // at the session's fact-table partition count the fixed per-stage
+    // scheduling overhead dominates — measured 3.9 s/round over 3.6k
+    // edges at 32 partitions vs sub-second sized. One count up front
+    // (callers pass pinned/cheap frames); the conf is restored after
+    // the loop, so only the loop's own actions plan under the reduced
+    // width. This is the session-level analog of AQE's coalescing —
+    // AQE can't reach here because each round's eager checkpoint
+    // materializes at the configured width.
+    val spark = edges0.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts =
+      math.max(1L, math.min(prevParts.toLong, edges0.count() / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      var edges = edges0
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val next = truncate(smallStar(largeStar(edges)))
+        // star test: converged iff no parent is also a child (then the
+        // edge set is a union of stars, whose components equal the
+        // input graph's — both ops preserve connectivity)
+        converged = next.select(col("v").as("p")).distinct()
+          .join(next.select(col("u")), col("p") === col("u"), "left_semi")
+          .count() == 0L
+        edges = next
+        rounds += 1
+      }
+      val labels = edges.select(col("u").as("node"), col("v").as("comp"))
+        .unionAll(edges.select(col("v").as("node"), col("v").as("comp")).distinct())
+        .distinct()
+      (labels, rounds)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val all: Seq[GraftQuery] = Seq(gr01PageRank, gr02Hits, gr03Bfs, gr04Triangles,
