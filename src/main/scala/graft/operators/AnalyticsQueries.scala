@@ -1362,21 +1362,36 @@ object AnalyticsQueries {
   val ht01HtEstimator: GraftQuery = q(
     "ht01_ht_estimator",
     "Horvitz-Thompson totals from a deterministic weighted Bernoulli sample (exact-integer path)",
-    """WITH w AS (
+    """WITH k AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    o_orderkey % 4294967296 AS k32 FROM orders),
+      |w AS (
       |  SELECT 6 - CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS w,
-      |    (o_orderkey * 2654435761) % 4294967296 AS u,
+      |    ((((k32 // 65536) * 2654435761) % 65536) * 65536
+      |      + (k32 % 65536) * 2654435761) % 4294967296 AS u,
       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-      |  FROM orders)
+      |  FROM k)
       |SELECT w, COUNT(*) AS n_pop,
       |  CAST(SUM(CASE WHEN u < w * 268435456 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
       |  CAST(SUM(CASE WHEN u < w * 268435456 THEN cents * (960 // w) ELSE 0 END) AS DOUBLE)
       |    / 6000.0 AS est_total,
       |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS true_total
       |FROM w GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+    // Knuth multiplicative hash mod 2^32, computed OVERFLOW-SAFE: a
+    // direct o_orderkey * 2654435761 exceeds int64 once keys pass
+    // ~3.47e9 (SF ≳ ~575 / large key-shifted replicas), where Spark
+    // would wrap silently while DuckDB raises — cross-engine
+    // divergence in a query documented as engine-exact. Splitting the
+    // 32-bit key into 16-bit halves keeps every intermediate ≤ ~2e14:
+    // (k·C) mod 2^32 = ((hi·C mod 2^16)·2^16 + lo·C) mod 2^32, and the
+    // value is bit-identical to the naive form for all non-wrapping
+    // keys (same u at every current SF).
     Tables.orders(s, d)
+      .withColumn("k32", col("o_orderkey") % lit(4294967296L))
       .select(
         expr("6 - cast(substring(o_orderpriority, 1, 1) as int)").as("w"),
-        ((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L)).as("u"),
+        expr("""((((k32 div 65536) * 2654435761) % 65536) * 65536
+                + (k32 % 65536) * 2654435761) % 4294967296""").as("u"),
         (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
           .cast(LongType).as("cents"))
       .groupBy("w")

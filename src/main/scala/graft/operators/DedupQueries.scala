@@ -422,6 +422,12 @@ object DedupQueries {
             element_at(col("sig"), j + 1)): _*)).as("bkey"))): _*)).as("e"))
         .select(col("doc_id"), col("e.band_idx").as("band_idx"), col("e.bkey").as("bkey"))
         .pinned
+      // fail fast on twin-heavy corpora BEFORE the Θ(copies²) pair
+      // join materializes: one bucket-histogram aggregate over the
+      // pinned band frame bounds the output exactly (SCALING.md
+      // documents the unguarded 100× twin-heavy OOM)
+      PairGuard.check(bands, Seq(col("band_idx"), col("bkey")),
+        "dd10_production_lsh", "dd19_twin_safe_lsh")
       val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("bkey"))
         .join(bands.select(col("doc_id").as("doc_b"),
           col("band_idx").as("bi"), col("bkey").as("bk")),

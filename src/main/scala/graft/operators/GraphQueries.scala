@@ -335,28 +335,48 @@ object GraphQueries {
       // level, so its true bound is 4·|V| rows: at the 100× replica
       // (1.5M customers) a single BFS level legitimately exceeds the
       // default and the guard, not the algorithm, kills the query.
-      // Raise it; the depth guard remains the real terminator.
+      // Raise it FOR THIS QUERY ONLY: UnionLoop reads the conf at
+      // execution, not build, so restoring it requires executing the
+      // recursion eagerly inside the raised window (starContraction's
+      // truncate discipline — reliable checkpoint on a cluster, local
+      // in local mode); the conf then goes back in a finally instead
+      // of leaving every later query in the session with a 100×
+      // weaker runaway-recursion guard (ContractSpec sweeps this).
+      // The eager frame is the ≤5-row (d, counts) aggregate, so the
+      // materialization itself is free.
+      // getOption would report the registered DEFAULT (1M) as if it
+      // had been set, and "restoring" it would pin the default as an
+      // explicit session value — getAll carries only explicit settings
+      val prevLimit = s.conf.getAll.get("spark.sql.cteRecursionRowLimit")
       s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-      val eb = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
-      eb.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
-        .unionByName(eb.select(
-          (col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-        .pinned
-        .createOrReplaceTempView("edges_rc")
-      s.sql(
-        """WITH RECURSIVE walk(node, d) AS (
-          |  SELECT CAST(2 AS BIGINT) AS node, 0 AS d
-          |  UNION ALL
-          |  SELECT DISTINCT e.dst AS node, w.d + 1 AS d
-          |  FROM walk w JOIN edges_rc e ON e.src = w.node
-          |  WHERE w.d < 4)
-          |SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n_nodes,
-          |  MIN(node) AS min_node, MAX(node) AS max_node
-          |FROM (SELECT node, MIN(d) AS d FROM walk GROUP BY node)
-          |GROUP BY d ORDER BY d""".stripMargin)
+      try {
+        val eb = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        eb.select((col("c") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+          .unionByName(eb.select(
+            (col("sp") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+          .pinned
+          .createOrReplaceTempView("edges_rc")
+        val out = s.sql(
+          """WITH RECURSIVE walk(node, d) AS (
+            |  SELECT CAST(2 AS BIGINT) AS node, 0 AS d
+            |  UNION ALL
+            |  SELECT DISTINCT e.dst AS node, w.d + 1 AS d
+            |  FROM walk w JOIN edges_rc e ON e.src = w.node
+            |  WHERE w.d < 4)
+            |SELECT CAST(d AS BIGINT) AS d, COUNT(*) AS n_nodes,
+            |  MIN(node) AS min_node, MAX(node) AS max_node
+            |FROM (SELECT node, MIN(d) AS d FROM walk GROUP BY node)
+            |GROUP BY d ORDER BY d""".stripMargin)
+        if (s.sparkContext.getCheckpointDir.isDefined)
+          out.checkpoint(eager = true)
+        else out.localCheckpoint(eager = true)
+      } finally prevLimit match {
+        case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
+        case None => s.conf.unset("spark.sql.cteRecursionRowLimit")
+      }
     }
   }
 
@@ -698,6 +718,17 @@ object GraphQueries {
         edges = next
         rounds += 1
       }
+      // The 50-round cap is a runaway backstop, not a soft budget:
+      // labels derived from a NON-star edge set are silently wrong
+      // (a child still pointing at a non-root parent gets that parent,
+      // not the component min) and would flow unflagged into every
+      // caller (gr06/gr07/dd20). Alternation halves component height
+      // per round, so 50 rounds covers > 2^50 nodes — hitting the cap
+      // means a broken input (or a bug), and the only safe output is
+      // none.
+      require(converged,
+        s"starContraction did not reach the star fixpoint in $rounds rounds; " +
+          "refusing to derive component labels from a non-star edge set")
       val labels = edges.select(col("u").as("node"), col("v").as("comp"))
         .unionAll(edges.select(col("v").as("node"), col("v").as("comp")).distinct())
         .distinct()

@@ -7,54 +7,92 @@ import org.apache.spark.sql.functions._
 /** Query faces for the transparent materialized-view rewrite
   * ([[graft.plans.MvRewrite]], injected via GraftExtensions).
   *
-  * mv01 hits the MV at its exact grain; mv02 ROLLS UP to a coarser
-  * grain (l_returnflag only), proving the rewrite is algebraic — it
-  * merges partial states (SUM of counts, SUM of partial sums) rather
-  * than memoizing one query's answer. Both oracles aggregate the raw
-  * fact table directly in DuckDB, so the driver's hash compare is
-  * exactly the MV-consistency property: rewritten plan ≡ fact scan.
+  * TWO summary tables are registered per (JVM, sf-dir) — the registry
+  * form, not round-10's single hard-coded MV:
+  *  - `fs`:   grain (l_returnflag, l_linestatus), 6 rows, partials
+  *            cnt / sum_qty / sum_price — the dashboard MV;
+  *  - `date`: grain (l_shipdate), ~|distinct ship dates| rows,
+  *            partials cnt / sum_qty — the time-series MV.
+  * mv01 hits `fs` at its exact grain; mv02 ROLLS UP to a coarser grain
+  * (l_returnflag only), proving the rewrite is algebraic — it merges
+  * partial states (SUM of counts, SUM of partial sums) rather than
+  * memoizing one query's answer; mv03 replays a dim-only predicate
+  * over the MV; mv04 groups by l_shipdate and must be served from
+  * `date` (MvSpec pins the SELECTION: each query reads its own MV and
+  * never the other's, so dims-coverage — not registry order — picks
+  * the candidate). All oracles aggregate the raw fact table directly
+  * in DuckDB, so the driver's hash compare is exactly the
+  * MV-consistency property: rewritten plan ≡ fact scan.
   *
-  * The summary table is built once per (JVM, sf-dir) into a Scratch
-  * dir (6 rows: the returnflag × linestatus grain, with cnt/sum_qty/
-  * sum_price partial states); `spark.graft.mv.lineitemAgg` then opts
-  * the session into the rewrite. The conf is set by the query build
-  * and stays on for the session — safe by construction, because the
-  * rule only fires on plans whose rewrite is semantics-preserving
-  * (PlanSpec pins that q01's filtered aggregate is untouched with the
-  * conf set). The MV build itself clears the conf while writing: its
-  * own aggregate matches the rewrite pattern, and in a multi-corpus
-  * JVM a stale conf from another sf-dir must not feed the new MV.
-  * Freshness/invalidation on fact-table updates is out of scope for a
-  * static corpus (a production deployment would tie the conf to the
-  * table's snapshot version). */
+  * `spark.graft.mv.registry` carries `mvPath|factPath|dims|measures`
+  * specs (see [[graft.plans.MvRewrite]]); the factPath ties each MV to
+  * the EXACT fact table it was built from, so a multi-corpus JVM never
+  * serves sf-dir B's query from sf-dir A's MV. The conf is set by the
+  * query build and stays on for the session — safe by construction,
+  * because the rule only fires on plans whose rewrite is
+  * semantics-preserving (PlanSpec pins that q01's filtered aggregate
+  * is untouched with the conf set). The MV build itself clears the
+  * conf while writing: its own aggregate matches the rewrite pattern,
+  * and the build must always read the fact table. Freshness /
+  * invalidation on fact-table updates is out of scope for a static
+  * corpus (a production deployment would tie the conf to the table's
+  * snapshot version). */
 object MvQueries {
+
+  /** grain columns + (fact column → MV partial-sum column) measures */
+  private final case class MvDef(
+      id: String, dims: Seq[String], measures: Map[String, String])
+
+  private val defs = Seq(
+    MvDef("fs", Seq("l_returnflag", "l_linestatus"),
+      Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price")),
+    MvDef("date", Seq("l_shipdate"), Map("l_quantity" -> "sum_qty")))
+
+  // key = s"$d#$id" → written MV path (build-once per JVM+dir+grain)
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Build-once-per-(JVM, sf-dir) summary table; returns its path. */
-  def mvPath(s: SparkSession, d: String): String =
-    built.computeIfAbsent(d, _ => {
-      val p = Scratch.dir("graft_mv_")
-      val prev = s.conf.getOption("spark.graft.mv.lineitemAgg")
-      s.conf.unset("spark.graft.mv.lineitemAgg")
-      try Phases.timed("mv01_mv_rewrite", "setup_write") {
+  private def buildMv(s: SparkSession, d: String, mv: MvDef,
+      trigger: String): String =
+    built.computeIfAbsent(s"$d#${mv.id}", _ => {
+      val p = Scratch.dir(s"graft_mv_${mv.id}_")
+      // the build's own aggregate matches the rewrite pattern; it must
+      // read the FACT table, never an MV from an earlier corpus dir
+      val prev = s.conf.getOption("spark.graft.mv.registry")
+      s.conf.unset("spark.graft.mv.registry")
+      // phase-attributed to the query that actually triggered the
+      // one-time write (the bench reports a warm-up-only phase as
+      // setup_write, so the artifact shows who paid the build)
+      try Phases.timed(trigger, "write") {
         Tables.lineitem(s, d)
-          .groupBy("l_returnflag", "l_linestatus")
+          .groupBy(mv.dims.map(col): _*)
           .agg(count(lit(1)).as("cnt"),
-            sum(Det.dec2(col("l_quantity"))).as("sum_qty"),
-            sum(Det.dec2(col("l_extendedprice"))).as("sum_price"))
-          .coalesce(1) // 6-row grain: one file
+            mv.measures.toSeq.sortBy(_._2).map { case (src, dst) =>
+              sum(Det.dec2(col(src))).as(dst)
+            }: _*)
+          .coalesce(1) // grain-sized output: one file
           .write.mode("overwrite").parquet(p)
-      } finally prev.foreach(v => s.conf.set("spark.graft.mv.lineitemAgg", v))
+      } finally prev.foreach(v => s.conf.set("spark.graft.mv.registry", v))
       p
     })
 
-  private def withMv(s: SparkSession, d: String): Unit =
-    s.conf.set("spark.graft.mv.lineitemAgg", mvPath(s, d))
+  /** Build (once) and register both MVs for this sf-dir; returns the
+    * registry conf value. Visible for MvSpec. */
+  def registryConf(s: SparkSession, d: String, trigger: String): String =
+    defs.map { mv =>
+      val p = buildMv(s, d, mv, trigger)
+      val fact = s"$d/lineitem.parquet"
+      val meas = mv.measures.toSeq.sortBy(_._2)
+        .map { case (k, v) => s"$k:$v" }.mkString(",")
+      s"$p|$fact|${mv.dims.mkString(",")}|$meas"
+    }.mkString(";")
+
+  private def withMv(s: SparkSession, d: String, trigger: String): Unit =
+    s.conf.set("spark.graft.mv.registry", registryConf(s, d, trigger))
 
   val mv01Rewrite: GraftQuery = GraftQuery(
     "mv01_mv_rewrite",
     (s: SparkSession, d: String) => {
-      withMv(s, d)
+      withMv(s, d, "mv01_mv_rewrite")
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"),
@@ -71,7 +109,7 @@ object MvQueries {
   val mv02Rollup: GraftQuery = GraftQuery(
     "mv02_mv_rollup",
     (s: SparkSession, d: String) => {
-      withMv(s, d)
+      withMv(s, d, "mv02_mv_rollup")
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -86,7 +124,7 @@ object MvQueries {
   val mv03FilteredRollup: GraftQuery = GraftQuery(
     "mv03_mv_filtered",
     (s: SparkSession, d: String) => {
-      withMv(s, d)
+      withMv(s, d, "mv03_mv_filtered")
       Tables.lineitem(s, d)
         .filter(col("l_returnflag") =!= "A")
         .groupBy("l_linestatus")
@@ -100,5 +138,21 @@ object MvQueries {
            |GROUP BY 1 ORDER BY 1""".stripMargin),
     "MV rewrite under a dim-only predicate: the filter selects whole groups, so it replays over the MV")
 
-  val all: Seq[GraftQuery] = Seq(mv01Rewrite, mv02Rollup, mv03FilteredRollup)
+  val mv04DateGrain: GraftQuery = GraftQuery(
+    "mv04_mv_date_grain",
+    (s: SparkSession, d: String) => {
+      withMv(s, d, "mv04_mv_date_grain")
+      Tables.lineitem(s, d)
+        .groupBy("l_shipdate")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_shipdate")
+    },
+    Some("""SELECT l_shipdate, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+    "MV selection: the ship-date time series is served from the date-grain MV, not the 6-row dashboard MV")
+
+  val all: Seq[GraftQuery] =
+    Seq(mv01Rewrite, mv02Rollup, mv03FilteredRollup, mv04DateGrain)
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fail-fast budget for pair-emitting self-joins.
+  *
+  * dd10 (doc-level LSH) and ss01 (exact prefix-filtered set-sim) are
+  * CORRECTNESS contracts: they emit every qualifying pair, so a
+  * twin-heavy corpus makes their OUTPUT Θ(copies²) — no candidate
+  * scheme escapes that, and at the 100× twin-heavy replica the pair
+  * set heap-OOMs the executors (SCALING.md fourth-decade table). The
+  * scale-safe dedup route is the representative-collapse twins
+  * (dd19 / ss03), which cap per-group output at the group size.
+  *
+  * This guard turns that documented cliff from a raw
+  * `java.lang.OutOfMemoryError` minutes in into an immediate,
+  * actionable diagnostic: before the pair join runs, ONE cheap keyed
+  * aggregate over the already-pinned key frame computes the exact
+  * upper bound Σ_key c·(c−1)/2 on emitted pairs (every pair must
+  * collide on at least one key — that is what makes the key a
+  * candidate key), and the query aborts naming the twin-safe
+  * alternative when the bound exceeds the budget.
+  *
+  * Budget conf: `spark.graft.pairGuard.maxPairs` (default 20M pairs ≈
+  * low-GB of pair rows; 0 disables). The aggregate costs one
+  * key-sized shuffle over a frame the caller already materialized —
+  * measured noise next to the pair join it protects.
+  */
+object PairGuard {
+  val ConfKey = "spark.graft.pairGuard.maxPairs"
+  val Default = 20000000L
+
+  /** Abort with a diagnostic if Σ_key c·(c−1)/2 over `keyed` grouped
+    * by `keys` exceeds the budget. `query` names the caller in the
+    * message; `alternative` names the scale-safe variant to use. */
+  def check(keyed: DataFrame, keys: Seq[Column], query: String,
+      alternative: String): Unit = {
+    val budget = keyed.sparkSession.conf.get(ConfKey, Default.toString).toLong
+    if (budget <= 0) return
+    val est = keyed.groupBy(keys: _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("p2"))
+      .head().getLong(0) / 2
+    if (est > budget) throw new IllegalStateException(
+      s"$query: candidate-pair upper bound $est exceeds the pair budget " +
+        s"$budget ($ConfKey). This query's contract emits EVERY qualifying " +
+        s"pair — Θ(copies²) output on a duplicate-heavy corpus, which no " +
+        s"candidate scheme can bound. For dedup at scale use $alternative " +
+        s"(representative collapse: per-group output capped at group size), " +
+        s"or raise the budget explicitly if the full pair set is intended.")
+  }
+}

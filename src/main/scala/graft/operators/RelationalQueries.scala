@@ -1098,8 +1098,14 @@ object RelationalQueries {
       def bucket(j: Int, t: Column) =
         conv(substring(md5(concat(lit(s"$j:"), t)), 1, 8), 16, 10)
           .cast(LongType) % WIDTH
+      // The token explosion feeds TWO independent subtrees of one plan
+      // (the sketch build and the exact top-20): unpinned, Spark
+      // computes the full corpus explode twice per run. Pin it — the
+      // engine's standard multi-reader discipline — so the corpus is
+      // scanned and exploded once.
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
+        .pinned
       val entries = toks.select(explode(array((0 until DEPTH).map(j =>
         struct(lit(j).as("row_j"), bucket(j, col("term")).as("bucket"))): _*)).as("e"))
         .select(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
@@ -1977,6 +1983,51 @@ object RelationalQueries {
       ORDER BY variant""")
   }
 
+  /** The SCALE-SAFE form of q55's NOT IN — [[NullAwareAnti.notIn]]
+    * run over all three 3VL branches (empty subquery / null-free /
+    * null-bearing) and cross-checked against DuckDB's native NOT IN.
+    * q55 documents the broadcast-only ceiling of Spark's null-aware
+    * anti join; this is the rewrite that removes it: one 1-row stats
+    * aggregate + a plain shuffle-able LEFT ANTI equi-join. The probe
+    * side carries NULL keys too (c_custkey % 97 = 0 → NULL), so the
+    * "x IS NULL never passes a non-empty NOT IN" branch is exercised,
+    * not just the subquery-side null. PlanSpec pins the no-broadcast
+    * claim: with autoBroadcastJoinThreshold −1 the plan is SMJ
+    * LeftAnti — no BroadcastNestedLoopJoin, no isNullAwareAntiJoin. */
+  val nj01ScaleSafeNotIn: GraftQuery = q(
+    "nj01_scale_safe_not_in",
+    "scale-safe NOT IN: stats-gate + shuffle anti join, all three 3VL branches vs native NOT IN",
+    """WITH probe AS (
+      |  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+      |  FROM customer WHERE c_custkey < 500),
+      |sub AS (
+      |  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END AS j
+      |  FROM orders WHERE o_totalprice > 400000)
+      |SELECT 'empty_sub' AS variant, COUNT(*) AS n FROM probe
+      |  WHERE k NOT IN (SELECT j FROM sub WHERE 1 = 0)
+      |UNION ALL
+      |SELECT 'null_free', COUNT(*) FROM probe
+      |  WHERE k NOT IN (SELECT j FROM sub WHERE j IS NOT NULL)
+      |UNION ALL
+      |SELECT 'with_nulls', COUNT(*) FROM probe
+      |  WHERE k NOT IN (SELECT j FROM sub)
+      |ORDER BY variant""".stripMargin) { (s, d) =>
+    val probe = Tables.customer(s, d).filter(col("c_custkey") < 500)
+      .select(when(col("c_custkey") % 97 === 0, lit(null))
+        .otherwise(col("c_custkey")).as("k"))
+    val sub = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(when(col("o_orderstatus") === "P", lit(null))
+        .otherwise(col("o_custkey")).as("j"))
+    def variant(label: String, subVariant: DataFrame) =
+      NullAwareAnti.notIn(probe, "k", subVariant, "j")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(label).as("variant"), col("n"))
+    variant("empty_sub", sub.filter(lit(1) === 0))
+      .unionAll(variant("null_free", sub.filter(col("j").isNotNull)))
+      .unionAll(variant("with_nulls", sub))
+      .orderBy("variant")
+  }
+
   /** Rank-statistics window family beyond q41's rank/dense_rank:
     * ntile (equi-depth batching — the planner behind lb01's buckets),
     * percent_rank ((rank−1)/(n−1)) and cume_dist (rows≤current / n).
@@ -2007,7 +2058,8 @@ object RelationalQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    df01SnapshotDiff, q54OrcRoundtrip, q55NullAwareAnti, q56RankStats,
+    df01SnapshotDiff, q54OrcRoundtrip, q55NullAwareAnti, nj01ScaleSafeNotIn,
+    q56RankStats,
     cdc01Scd2Merge,
     ap01ApproxQuantiles, qs01KllQuantiles,
     q47WriteRoundtrip, q48BucketedJoin, q49Compaction,

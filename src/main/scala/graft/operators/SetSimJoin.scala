@@ -72,7 +72,7 @@ object SetSimJoin {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), 3)).as("tok")),
-      tNum = 3, tDen = 5)
+      tNum = 3, tDen = 5, guardAs = "ss01_setsim_join")
   }
 
   /** Each document collapsed to ONE row: its rare-first-sorted rank
@@ -108,7 +108,9 @@ object SetSimJoin {
     * element table (doc_id, tok) — tok multiplicities must already be
     * deduplicated per doc. Factored from ss01 so specs can drive it
     * with crafted sets (threshold edges, containment pairs). */
-  def setsimJoin(elements: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def setsimJoin(elements: DataFrame, tNum: Int, tDen: Int,
+      guardAs: String = "setsimJoin",
+      guardAlt: String = "ss03_setsim_representatives"): DataFrame = {
     // per-doc array form read 3× (candidates + both verify sides)
     val byDoc = rankedDocs(elements, tNum, tDen).pinned
     // prefix entries with their 1-based rare-first position (for the
@@ -125,6 +127,11 @@ object SetSimJoin {
     //  inter·(tNum+tDen) ≥ tNum·(sa+sb) — a qualifying pair always
     //  passes at its first collision, so keeping pairs where ANY
     //  collision passes drops no true pair (Xiao et al., WWW 2008)
+    // fail fast on twin-heavy inputs BEFORE the Θ(copies²) candidate
+    // join materializes: the prefix-key histogram bounds emitted
+    // candidates exactly (every qualifying pair collides on a prefix
+    // shingle — the filter's own guarantee)
+    PairGuard.check(pref, Seq(col("srank")), guardAs, guardAlt)
     val cand = pref.as("pa").join(pref.as("pb"),
         col("pa.srank") === col("pb.srank") &&
           col("pa.doc_id") < col("pb.doc_id") &&
@@ -322,7 +329,11 @@ object SetSimJoin {
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
     val repTok = tok.join(
       grp.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    setsimJoin(repTok, tNum = 3, tDen = 5)
+    setsimJoin(repTok, tNum = 3, tDen = 5,
+      guardAs = "ss03_setsim_representatives",
+      guardAlt = "a raised spark.graft.pairGuard.maxPairs (the input is " +
+        "already representative-collapsed; a trip here means genuinely " +
+        "huge non-duplicate candidate volume)")
       .join(grp.select(col("rep").as("a_id"), col("n_copies").as("a_copies")),
         Seq("a_id"))
       .join(grp.select(col("rep").as("b_id"), col("n_copies").as("b_copies")),

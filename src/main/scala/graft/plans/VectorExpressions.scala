@@ -253,7 +253,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // exact COUNT(DISTINCT) -> constant-state HLL++ sketch
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     // opt-in transparent materialized-view rewrite
-    // (spark.graft.mv.lineitemAgg=<path>): matching fact-table
+    // (spark.graft.mv.registry=<specs>): matching fact-table
     // aggregates served from the pre-aggregated summary table
     e.injectOptimizerRule(_ => MvRewrite)
   }

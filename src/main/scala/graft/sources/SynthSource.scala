@@ -536,8 +536,12 @@ object SynthQueries {
   val sy03StoragePartitionedJoin: GraftQuery = GraftQuery(
     "sy03_storage_partitioned_join",
     (s, _) => {
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      def rd(rows: Int) = s.read.format("graft.sources.SynthSource")
+      // child session (ad02's idiom): same SparkContext + extensions,
+      // but the SPJ planner opt-in can't leak into later queries —
+      // ConfHygieneSpec sweeps every registry query for exactly this
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def rd(rows: Int) = s2.read.format("graft.sources.SynthSource")
         .option("rows", rows.toString).option("layout", "grp").load()
       val ga = rd(100000).groupBy("grp")
         .agg(count(lit(1)).as("n_a"), sum(col("val")).cast(LongType).as("sum_a"))

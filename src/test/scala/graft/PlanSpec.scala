@@ -16,6 +16,27 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("nj01: scale-safe NOT IN survives a disabled broadcast threshold (no BNLJ, no null-aware anti)") {
+    // the whole point of the rewrite: q55's native NOT IN NEEDS a
+    // broadcast build side (isNullAwareAntiJoin) — nj01 must plan and
+    // run with broadcasting effectively off, as plain shuffle anti
+    // joins, except the 1-row stats frame which is broadcast by hint
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df = SparkEntry.queries("nj01_scale_safe_not_in")(s2, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("isNullAwareAntiJoin"), p.take(3000))
+    assert("(SortMergeJoin|ShuffledHashJoin) \\[?.*LeftAnti".r
+      .findFirstIn(p).isDefined,
+      "anti join must be a shuffle join under threshold -1\n" + p.take(3000))
+    // and it still computes the right branches in that mode
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("empty_sub") > rows("null_free"),
+      "empty subquery keeps ALL probe rows incl. NULL keys")
+    assert(rows("with_nulls") == 0L, "a NULL in the subquery empties NOT IN")
+  }
+
   test("q02: predicates and projection pushed to the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
