@@ -295,10 +295,19 @@ object CorpusQueries {
          |  UNION ALL ${stageSql(5, "near_dedup", "s5")}
          |  UNION ALL ${stageSql(6, "decontaminated", "s6")})
          |ORDER BY stage_id""".stripMargin) { (s, d) =>
+      // ONE corpus scan for the whole funnel: the six stage counts (and
+      // the eval/corpus splits) all descend from s1, which unpinned
+      // re-reads documents per consumer (ScanAudit: 8 scans/run). The
+      // pinned frame is compact — the token ARRAY collapses to its
+      // length here (stages only ever sum it; the shingle stages
+      // re-derive what they need from `text`) — so the materialized
+      // state is ~the corpus text, paid once.
       val s1 = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).as("n_ws"))
+        .pinned
       val s2 = s1.filter(col("doc_id") % 50 =!= 0)
-      val s3 = s2.filter(size(col("ws")) >= 40)
+      val s3 = s2.filter(col("n_ws") >= 40)
       // keepers/dominated are tiny doc_id sets, but their lineages are
       // the two expensive shuffles (full-text groupBy; band self-join).
       // Six stage counts re-traverse the funnel, so pin each set once —
@@ -325,7 +334,7 @@ object CorpusQueries {
             col("db") < col("da"))
         .select(col("da").as("doc_id")).distinct().pinned
       val s5 = s4.join(dominated, Seq("doc_id"), "left_anti")
-      val ev = s1.filter(col("doc_id") % 50 === 0).filter(size(col("ws")) >= 3)
+      val ev = s1.filter(col("doc_id") % 50 === 0).filter(col("n_ws") >= 3)
         .select(explode(TextFunctions.shingles(col("text"), 3)).as("sh"))
         .distinct().withColumn("hit", lit(1))
       val cs = shDf.join(s5.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -338,7 +347,7 @@ object CorpusQueries {
       val s6 = s5.join(clean, Seq("doc_id"), "left_semi")
       def stage(id: Int, name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("ws"))).cast(LongType).as("n_tokens"))
+          sum(col("n_ws")).cast(LongType).as("n_tokens"))
           .select(lit(id).as("stage_id"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
       stage(1, "raw", s1)

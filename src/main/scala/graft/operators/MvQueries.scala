@@ -59,10 +59,7 @@ object MvQueries {
       // read the FACT table, never an MV from an earlier corpus dir
       val prev = s.conf.getOption("spark.graft.mv.registry")
       s.conf.unset("spark.graft.mv.registry")
-      // phase-attributed to the query that actually triggered the
-      // one-time write (the bench reports a warm-up-only phase as
-      // setup_write, so the artifact shows who paid the build)
-      try Phases.timed(trigger, "write") {
+      try {
         Tables.lineitem(s, d)
           .groupBy(mv.dims.map(col): _*)
           .agg(count(lit(1)).as("cnt"),
@@ -76,15 +73,24 @@ object MvQueries {
     })
 
   /** Build (once) and register both MVs for this sf-dir; returns the
-    * registry conf value. Visible for MvSpec. */
-  def registryConf(s: SparkSession, d: String, trigger: String): String =
-    defs.map { mv =>
+    * registry conf value. Visible for MvSpec. The one-time writes are
+    * phase-attributed COLLECTIVELY to the query that triggered them
+    * (mv02/mv03/mv04 can be first — the bench reports a warm-up-only
+    * phase as setup_write, so the artifact shows who paid the build
+    * without implying every timed run did). */
+  def registryConf(s: SparkSession, d: String, trigger: String): String = {
+    def specs() = defs.map { mv =>
       val p = buildMv(s, d, mv, trigger)
       val fact = s"$d/lineitem.parquet"
       val meas = mv.measures.toSeq.sortBy(_._2)
         .map { case (k, v) => s"$k:$v" }.mkString(",")
       s"$p|$fact|${mv.dims.mkString(",")}|$meas"
-    }.mkString(";")
+    }
+    val needsBuild = defs.exists(mv => !built.containsKey(s"$d#${mv.id}"))
+    val entries = if (needsBuild) Phases.timed(trigger, "write")(specs())
+                  else specs()
+    entries.mkString(";")
+  }
 
   private def withMv(s: SparkSession, d: String, trigger: String): Unit =
     s.conf.set("spark.graft.mv.registry", registryConf(s, d, trigger))
