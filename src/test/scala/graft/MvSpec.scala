@@ -121,6 +121,13 @@ class MvSpec extends AnyFunSuite {
       "outer filtered aggregate must keep the fact scan\n" + p6.take(3000))
   }
 
+  test("mv05: the incrementally-refreshed MV serves the full-fact aggregate") {
+    val p = planOf(q("mv05_mv_incremental_refresh").build(spark, sf))
+    assert(p.contains("graft_mv_inc_"),
+      "refreshed MV must serve\n" + p.take(3000))
+    assert(!p.contains("lineitem.parquet"), p.take(3000))
+  }
+
   test("a foreign corpus' fact table is NEVER served from this corpus' MV") {
     // registry built from sf0.001; the same aggregate over sf0.01's
     // lineitem must stay on its own fact scan — path identity, not
