@@ -159,9 +159,13 @@ object MvRewrite extends Rule[LogicalPlan] {
 
     // structural checks passed: NOW pay the MV read (schema from the
     // summary table's footer; a fresh read per rewrite keeps exprIds
-    // unique if one query matches twice)
-    val mvPlan = SparkSession.active.read.parquet(spec.mvPath)
-      .queryExecution.analyzed
+    // unique if one query matches twice). A stale registration — the
+    // MV file deleted while the conf still points at it — must degrade
+    // to the fact scan, not fail the user's query: an optimizer rule
+    // may improve a plan, never break one.
+    val mvPlan =
+      try SparkSession.active.read.parquet(spec.mvPath).queryExecution.analyzed
+      catch { case _: Exception => return None }
     val mvOut: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
     def mvCol(name: String): Attribute = mvOut.getOrElse(name, throw NoRewrite)
 

@@ -128,6 +128,20 @@ class MvSpec extends AnyFunSuite {
     assert(!p.contains("lineitem.parquet"), p.take(3000))
   }
 
+  test("a STALE registration (deleted MV file) degrades to the fact scan, never fails the query") {
+    val s2 = spark.newSession()
+    s2.conf.set(flag,
+      s"/tmp/graft_mv_gone_${System.nanoTime()}|$sf/lineitem.parquet|" +
+        "l_returnflag,l_linestatus|l_quantity:sum_qty")
+    val df = Tables.lineitem(s2, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem.parquet") && !p.contains("graft_mv_"),
+      "stale MV registration must fall back to the fact scan\n" + p.take(2000))
+    assert(df.count() > 0, "and the query must still RUN")
+  }
+
   test("a foreign corpus' fact table is NEVER served from this corpus' MV") {
     // registry built from sf0.001; the same aggregate over sf0.01's
     // lineitem must stay on its own fact scan — path identity, not
