@@ -1345,7 +1345,10 @@ object IvfQueries {
          |JOIN neg n ON n.aid = a.aid AND n.rn = 1
          |ORDER BY anchor_id""".stripMargin) { (s, d) =>
       val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val assigned = assignedDf(s, d)
+      // the assignment feeds the anchor filter AND the candidate side
+      // (and labels join both) — pin it or the centroid argmax pass
+      // re-runs per consumer (ScanAudit: 15 embeddings scans unpinned)
+      val assigned = assignedDf(s, d).pinned
       val anch = assigned.filter(col("vec_id") < NA)
         .join(lab, Seq("vec_id"))
         .select(col("vec_id").as("aid"), col("embedding").as("ae"),
@@ -1358,6 +1361,7 @@ object IvfQueries {
           Seq("cand_id"))
         .select(col("aid"), col("label"), col("cand_id"), col("clabel"),
           VectorExpressions.cosine_similarity(col("ae"), col("ce")).as("cosine"))
+        .pinned // read by BOTH extreme aggregates (pos and neg)
       // per-anchor extremes as struct aggregates: min picks (lowest
       // cosine, lowest id), max picks (highest cosine, highest id) —
       // the oracle's two ROW_NUMBER orders, without a window over the
