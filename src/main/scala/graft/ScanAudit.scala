@@ -12,6 +12,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * TRIAGE, not a gate — pinned frames appear as InMemoryTableScan, so
   * a query that already shares its scan shows one FileSourceScan here.
   *
+  * Known undercount (accepted for a triage tool): only the TOP-LEVEL
+  * AQE wrapper is unwrapped — scans inside subquery expressions,
+  * nested AdaptiveSparkPlanExec, or beneath InMemoryTableScan are not
+  * traversed. A clean report therefore doesn't prove zero duplicate
+  * scans; a non-empty one is always real.
+  *
   * Usage: runMain graft.ScanAudit [sfDir]
   */
 object ScanAudit {

@@ -47,7 +47,15 @@ object NullAwareAnti {
     * a BroadcastNestedLoopJoin, which the nj01 pin bans outright to
     * keep the no-BNLJ contract unconditional. The aggregate's scan of
     * S is work every variant pays anyway (the anti join's build side
-    * reads S too); the driver state is exactly two longs. */
+    * reads S too); the driver state is exactly two longs.
+    *
+    * BUILD-TIME GATE (static-input contract): the (count, non-null)
+    * stats action runs when this method is CALLED, so constructing the
+    * returned frame runs a Spark job, and the empty/null-bearing
+    * branch decision is frozen at build time. Over the static testdata
+    * corpus that is exactly right; callers feeding a mutable `sub`
+    * must rebuild via this method after the input changes — the
+    * returned frame does not re-evaluate the 3VL branch on re-execute. */
   def notIn(probe: DataFrame, probeKey: String, sub: DataFrame,
       subKey: String): DataFrame = {
     val stats = sub.agg(

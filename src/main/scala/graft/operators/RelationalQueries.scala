@@ -2057,9 +2057,152 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** TPC-H Q21 shape — the hardest decorrelation stress in the suite:
+    * one fact table referenced THREE times with mixed quantifiers
+    * (base + correlated EXISTS + correlated NOT EXISTS, each with an
+    * extra non-equi conjunct `l2.suppkey <> l1.suppkey`). Adapted to
+    * this corpus's columns: a "fault" line is l_returnflag = 'R'; the
+    * query finds suppliers who were the SOLE faulting supplier on a
+    * multi-supplier finished order. Spark plans the quantifiers as a
+    * left-semi and a left-anti join, each an equi-join on l_orderkey
+    * with the suppkey inequality as a post-join condition — shuffle
+    * hash/SMJ-able, never a nested loop, because the equi key carries
+    * the join. At 100 TB all three lineitem legs co-partition on
+    * l_orderkey, so AQE folds them into one exchange of the fact. */
+  val q58SoleFaultSupplier: GraftQuery = q(
+    "q58_sole_fault_supplier",
+    "Q21-style: base + EXISTS + NOT EXISTS on the same fact, suppkey inequality conjunct",
+    """WITH l1 AS (
+      |  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"))
+    l1.join(l2, col("l2_ok") === col("l_orderkey")
+        && col("l2_sk") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_ok") === col("l_orderkey")
+        && col("l3_sk") =!= col("l_suppkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q15 shape — a view over an aggregate, re-read by the outer
+    * query's scalar-MAX subquery: "which supplier(s) earned the
+    * quarter's maximum revenue". The equality join against the max is
+    * on the EXACT decimal revenue (never the cast double), so ties and
+    * the argmax row set are bit-identical cross-engine; the double
+    * appears only in the output projection. The revenue view is pinned
+    * — it feeds both the MAX and the equality probe, and without the
+    * pin the fact scan + aggregation would run twice (the cm01 shape
+    * ScanAudit exists to catch). The MAX collapses to one broadcast
+    * row, so the probe is a map-side filter, not a join shuffle. */
+  val q59TopRevenueSupplier: GraftQuery = q(
+    "q59_top_revenue_supplier",
+    "Q15-style: aggregate view + scalar-MAX equality probe on exact decimals",
+    s"""WITH revenue0 AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    SUM(${sqlPrice("l_extendedprice")} * (1 - ${sqlRate("l_discount")})) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+       |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val revenue0 = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+        && col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(price(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount")))).as("total_revenue"))
+      .pinned // read twice: MAX + equality probe
+    val top = revenue0.agg(max(col("total_revenue")).as("max_rev"))
+    revenue0.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast(DoubleType).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22 shape — substring-derived group key, a scalar-AVG
+    * threshold subquery over the SAME prefiltered set, and an anti
+    * join against the fact: "well-funded customers in target country
+    * codes who never ordered". The country code here is the last two
+    * digits of c_name (this corpus has no phone column). The threshold
+    * is [[Det.davg]] — exact decimal sum / exact count, one IEEE
+    * divide — so the > comparison can't flip near-threshold rows
+    * cross-engine. The prefiltered customer set is pinned (threshold
+    * pass + probe pass); the AVG is a 1-row broadcast so the
+    * comparison is map-side; the NOT EXISTS is a shuffle anti join on
+    * o_custkey, the only corpus-sized movement in the plan. (Q22's
+    * "no orders at all" is vacuous on this corpus — every sf0.01
+    * customer has orders — so the anti join excludes customers with a
+    * HIGH-VALUE order, keeping the shape and a non-empty answer.) */
+  val q60CountryCodeProspects: GraftQuery = q(
+    "q60_country_code_prospects",
+    "Q22-style: substring prefilter + scalar-AVG threshold + anti join on the fact",
+    s"""WITH cust AS (
+       |  SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+       |  FROM customer
+       |  WHERE substring(c_name, 17, 2) IN ('01','12','23','34','45','56','67')),
+       |thr AS (
+       |  SELECT ${sqlDavg("c_acctbal")} AS ab FROM cust WHERE c_acctbal > 0.0)
+       |SELECT cntrycode, COUNT(*) AS numcust,
+       |  ${sqlDsum("c_acctbal")} AS totacctbal
+       |FROM cust, thr
+       |WHERE c_acctbal > ab
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+       |GROUP BY cntrycode
+       |ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .select(substring(col("c_name"), 17, 2).as("cntrycode"),
+        col("c_acctbal"), col("c_custkey"))
+      .filter(col("cntrycode")
+        .isin("01", "12", "23", "34", "45", "56", "67"))
+      .pinned // read twice: threshold aggregate + probe
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("ab"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     df01SnapshotDiff, q54OrcRoundtrip, q55NullAwareAnti, nj01ScaleSafeNotIn,
-    q56RankStats,
+    q56RankStats, q58SoleFaultSupplier, q59TopRevenueSupplier,
+    q60CountryCodeProspects,
     cdc01Scd2Merge,
     ap01ApproxQuantiles, qs01KllQuantiles,
     q47WriteRoundtrip, q48BucketedJoin, q49Compaction,

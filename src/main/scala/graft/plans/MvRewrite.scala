@@ -79,12 +79,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     conf.split(';').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { entry =>
       entry.split('|') match {
         case Array(mv, fact, dims, meas) =>
-          Some(MvSpec(mv, normalize(fact),
+          val kvs = meas.split(',').map(_.trim).filter(_.nonEmpty)
+            .map(_.split(':'))
+          // a measure token that isn't exactly alias:agg poisons the
+          // whole entry — skip it rather than bind a half-parsed spec
+          if (kvs.exists(_.length != 2)) None
+          else Some(MvSpec(mv, normalize(fact),
             dims.split(',').map(_.trim).filter(_.nonEmpty).toSet,
-            meas.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
-              val Array(k, v) = kv.split(':')
-              k -> v
-            }.toMap))
+            kvs.map(a => a(0) -> a(1)).toMap))
         case _ => None // malformed entry: skip, never crash planning
       }
     }

@@ -32,6 +32,16 @@ class PlanSpec extends AnyFunSuite {
       "anti join must be a shuffle join under threshold -1\n" + p.take(3000))
     // and it still computes the right branches in that mode
     val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // guard the guard: the strict > below silently assumes the
+    // null-free subquery matches something at this SF — if the filter
+    // ever decays to empty, empty-S semantics make the counts TIE and
+    // the assert would fail looking like a branch regression
+    val subN = s2.read.parquet(s"$sf/orders.parquet")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      .count()
+    assert(subN > 0L,
+      "fixture decay: null-free subquery (o_totalprice > 400000) is empty " +
+        "at this SF — retune the filter before reading the branch asserts")
     assert(rows("empty_sub") > rows("null_free"),
       "empty subquery keeps ALL probe rows incl. NULL keys")
     assert(rows("with_nulls") == 0L, "a NULL in the subquery empties NOT IN")
