@@ -1929,6 +1929,37 @@ object RelationalQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Avro round trip — the ROW-oriented interop format (parquet/ORC
+    * cover columnar in q47/q54; Avro is what streams and row pipelines
+    * exchange). No spark-avro module ships on this classpath, so the
+    * write goes through Avro's own Hadoop OutputFormat binding
+    * ([[graft.sources.AvroIO]] — committer-correct on DFS) and the
+    * read through the splittable AvroInputFormat (container sync
+    * markers = many tasks per big file). The read-back aggregates to
+    * the totals the oracle computes from the parquet original, so a
+    * hash match proves the format hop loses nothing. Write recorded as
+    * a bench phase like q54's. */
+  val q57AvroRoundtrip: GraftQuery = q(
+    "q57_avro_roundtrip",
+    "Avro write + splittable read-back via Hadoop formats: row-format fidelity vs parquet oracle",
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows,
+       |  ${Det.sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY o_orderstatus, o_orderpriority
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    val out = graft.Scratch.dir("graft_q57_") + "/orders_avro"
+    val subset = Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+    graft.Phases.timed("q57_avro_roundtrip", "write") {
+      graft.sources.AvroIO.write(subset, out)
+    }
+    graft.sources.AvroIO.read(s, out, subset.schema)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** NULL-aware anti join — SQL's most notorious three-valued-logic
     * trap, demonstrated and cross-checked: `x NOT IN (S)` is never
     * TRUE when S contains a NULL (x = NULL is UNKNOWN, so the NOT IN
@@ -2200,7 +2231,8 @@ object RelationalQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    df01SnapshotDiff, q54OrcRoundtrip, q55NullAwareAnti, nj01ScaleSafeNotIn,
+    df01SnapshotDiff, q54OrcRoundtrip, q57AvroRoundtrip, q55NullAwareAnti,
+    nj01ScaleSafeNotIn,
     q56RankStats, q58SoleFaultSupplier, q59TopRevenueSupplier,
     q60CountryCodeProspects,
     cdc01Scd2Merge,

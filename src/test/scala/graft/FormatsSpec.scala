@@ -28,6 +28,31 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("avro roundtrip via Hadoop formats: values exact, type subset enforced") {
+    import graft.sources.AvroIO
+    val src = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"), (col("s_suppkey") % 2 === 0).as("even"))
+    val dir = Files.createTempDirectory("graft-avro").toString + "/out"
+    AvroIO.write(src, dir)
+    val back = AvroIO.read(spark, dir, src.schema)
+    assert(back.schema == src.schema)
+    // exact value compare via symmetric except (long/int/string/bool
+    // round-trip bit-exactly; doubles are IEEE pass-through in Avro)
+    assert(back.exceptAll(src).count() == 0L)
+    assert(src.exceptAll(back).count() == 0L)
+    // container files are .avro task parts from the Hadoop committer
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.nonEmpty, "expected committed .avro part files")
+    // unsupported type (timestamp) fails fast at schema mapping
+    val bad = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")
+    val e = intercept[IllegalArgumentException] {
+      AvroIO.avroSchemaJson(bad.schema)
+    }
+    assert(e.getMessage.contains("o_orderdate"))
+  }
+
   test("partitionBy layout enables partition pruning on read-back") {
     val src = Tables.orders(spark, sf)
       .withColumn("status", col("o_orderstatus"))
