@@ -78,6 +78,13 @@ object DedupQueries {
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val tok = Tables.documents(s, d).filter(col("doc_id") < 60)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .pinned // four readers: guard, cnt, both pair-join sides
+    // the pair join emits one row per shared word per doc pair —
+    // Θ(copies²·words) on a twin-heavy cohort; same fail-fast
+    // discipline as dd10's banded stage (token histogram bounds the
+    // join output exactly: every emitted row collides on its word)
+    PairGuard.check(tok, Seq(col("w")), "dd03_jaccard_pairs",
+      "dd19_twin_safe_lsh")
     val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val a = tok.select(col("doc_id").as("doc_a"), col("w"))
     val b = tok.select(col("doc_id").as("doc_b"), col("w").as("wb"))
@@ -1323,6 +1330,14 @@ object DedupQueries {
               .as("bv"))): _*)).as("e"))
         .select(col("rep"), col("h"), col("n_copies"),
           col("e.b").as("b"), col("e.bv").as("bv"))
+        .pinned // guard + both self-join sides read it; one simhash pass
+      // twins can't trip this (fam collapsed them), but hamming-BALL
+      // density can: a dense near-dup ball puts its whole family set
+      // in shared block buckets and the candidate output goes
+      // Θ(ball²). Block-key histogram bounds it exactly; the pair-free
+      // route is cluster labels (star contraction), not pair rows.
+      PairGuard.check(blocks, Seq(col("b"), col("bv")),
+        "dd17_simhash_hamming", "dd20_star_components")
       val cand = blocks.as("ba").join(blocks.as("bb"),
           col("ba.b") === col("bb.b") && col("ba.bv") === col("bb.bv") &&
             col("ba.rep") < col("bb.rep"))

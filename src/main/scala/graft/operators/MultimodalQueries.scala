@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1052,6 +1053,13 @@ object MultimodalQueries {
             substring(col("phash"), 1 + b * 16, 16).as("bv"))): _*)).as("e"))
         .select(col("rep"), col("phash"), col("n_copies"),
           col("e.b").as("b"), col("e.bv").as("bv"))
+        .pinned // one decode+hash pass feeds guard + both join sides
+      // dd17's guard discipline on the perceptual variant: exact-hash
+      // twins collapsed in fam, but a dense perceptual ball (burst of
+      // near-identical frames/crops) makes the block-bucket candidate
+      // set Θ(ball²); bound it before the join materializes
+      PairGuard.check(blocks, Seq(col("b"), col("bv")),
+        "mm08_phash_neardup", "dd20_star_components")
       val cand = blocks.as("ba").join(blocks.as("bb"),
           col("ba.b") === col("bb.b") && col("ba.bv") === col("bb.bv") &&
             col("ba.rep") < col("bb.rep"))

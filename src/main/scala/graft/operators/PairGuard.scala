@@ -45,8 +45,27 @@ object PairGuard {
       s"$query: candidate-pair upper bound $est exceeds the pair budget " +
         s"$budget ($ConfKey). This query's contract emits EVERY qualifying " +
         s"pair — Θ(copies²) output on a duplicate-heavy corpus, which no " +
-        s"candidate scheme can bound. For dedup at scale use $alternative " +
-        s"(representative collapse: per-group output capped at group size), " +
+        s"candidate scheme can bound. At scale use $alternative " +
+        s"(bounded per-row output instead of pair rows), " +
         s"or raise the budget explicitly if the full pair set is intended.")
+  }
+
+  /** Cross-product variant for query-against-corpus scoring contracts
+    * (sm01's brute-force baseline): the pair stream is |L|·|R| by
+    * construction — no key histogram exists to bound it tighter — and
+    * a per-query window sort additionally materializes |R| rows in ONE
+    * partition per query. Two bounded count jobs (both sides are
+    * frames the caller scans anyway). */
+  def checkCross(left: DataFrame, right: DataFrame, query: String,
+      alternative: String): Unit = {
+    val budget = left.sparkSession.conf.get(ConfKey, Default.toString).toLong
+    if (budget <= 0) return
+    val est = BigInt(left.count()) * BigInt(right.count())
+    if (est > BigInt(budget)) throw new IllegalStateException(
+      s"$query: brute-force pair stream |L|x|R| = $est exceeds the pair " +
+        s"budget $budget ($ConfKey). Every (query, candidate) pair is " +
+        s"scored and each query's candidates sort in one partition. At " +
+        s"scale use $alternative (bucketed candidates bound the per-query " +
+        s"stream), or raise the budget if the exhaustive scan is intended.")
   }
 }

@@ -70,6 +70,12 @@ object SimilarityQueries {
     val qv = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    // the baseline's contract IS the exhaustive |Q|x|C| scan (that is
+    // what makes it ground truth) — fail fast when that product blows
+    // the budget instead of letting 3 single-partition window sorts
+    // churn; the bounded-candidate routes are the bucketed/IVF family
+    PairGuard.checkCross(qv.select("query_id"), cv.select("cand_id"),
+      "sm01_cosine_topk", "sm02_simhash_buckets")
     val cosine = cosineExpr("qe", "ce")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("cand_id"))
     broadcast(qv).join(cv, col("cand_id") =!= col("query_id"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import graft.Pin.PinOps
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -504,6 +505,13 @@ object TextQueries {
       "transform(sequence(0, length(w) - 1)," +
         " i -> concat(substring(w, 1, i), substring(w, i + 2)))")).as("v"))
     val vars = words.select(col("w"), col("w").as("v")).unionByName(dels)
+      .pinned // guard + both candidate-join sides
+    // deletion-variant buckets go quadratic on dense neighborhoods
+    // (short-word vocabularies: every length-k word shares variants
+    // with ~k·|Σ| others) — bound the candidate join like dd10's
+    // bands; the pair-free route is cluster labels over the buckets
+    PairGuard.check(vars, Seq(col("v")), "fz01_fuzzy_join",
+      "dd20_star_components")
     val cand = vars.select(col("w").as("wa"), col("v"))
       .join(vars.select(col("w").as("wb"), col("v").as("vb")),
         col("v") === col("vb") && col("wa") < col("wb"))

@@ -51,8 +51,85 @@ class PairGuardSpec extends AnyFunSuite {
   }
 
   test("the guard does not fire on a healthy corpus at the default budget") {
-    assert(q("dd10_production_lsh").build(spark, sf).count() >= 0)
-    assert(q("ss01_setsim_join").build(spark, sf).count() >= 0)
+    // every pair-emitting contract in the registry, guarded this round:
+    // the default 20M budget must pass the real sf0.001 corpus clean
+    Seq("dd10_production_lsh", "ss01_setsim_join", "dd03_jaccard_pairs",
+      "dd17_simhash_hamming", "mm08_phash_neardup", "fz01_fuzzy_join",
+      "sm01_cosine_topk").foreach { name =>
+      assert(q(name).build(spark, sf).count() >= 0, name)
+    }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
+  test("dd03 aborts on a twin-heavy cohort (word histogram bounds the pair join)") {
+    val s2 = spark.newSession()
+    s2.conf.set(graft.operators.PairGuard.ConfKey, "10000")
+    // 60 identical 8-word docs inside dd03's doc_id<60 cohort:
+    // bound = 8 words x 60*59/2 = 14,160 > 10,000
+    val e = intercept[IllegalStateException] {
+      q("dd03_jaccard_pairs").build(s2, twinDir(300)).count()
+    }
+    assert(e.getMessage.contains("dd19_twin_safe_lsh"), e.getMessage)
+  }
+
+  test("dd17 aborts on a dense hamming ball (block-key histogram)") {
+    val s2 = spark.newSession()
+    s2.conf.set(graft.operators.PairGuard.ConfKey, "100")
+    // twins can't trip dd17 (families collapse first) — the exposure
+    // is many DISTINCT simhashes colliding on 15-bit blocks. 1500
+    // single-word docs give ~1500 near-uniform 60-bit hashes; expected
+    // block collisions 4*C(1500,2)/2^15 ≈ 137 pairs > 100 (fixed word
+    // list + md5 → deterministic)
+    val dir = Scratch.dir("pair_guard_dd17_")
+    spark.range(1500)
+      .select(col("id").as("doc_id"),
+        concat(lit("uniqueword"), col("id")).as("text"),
+        lit(12L).as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException] {
+      q("dd17_simhash_hamming").build(s2, dir).count()
+    }
+    assert(e.getMessage.contains("dd20_star_components"), e.getMessage)
+  }
+
+  test("mm08 aborts when the perceptual block buckets exceed the budget") {
+    val s2 = spark.newSession()
+    // mm08's raster workload is fixed (doc_id < 360); constant-gradient
+    // dHash rows make block collisions certain, so a tight budget
+    // proves the guard sits before the candidate join
+    s2.conf.set(graft.operators.PairGuard.ConfKey, "1")
+    val e = intercept[IllegalStateException] {
+      q("mm08_phash_neardup").build(s2, twinDir(360)).count()
+    }
+    assert(e.getMessage.contains("dd20_star_components"), e.getMessage)
+  }
+
+  test("fz01 aborts on a dense deletion neighborhood") {
+    val s2 = spark.newSession()
+    s2.conf.set(graft.operators.PairGuard.ConfKey, "1000")
+    // vocabulary a0..a99: every word's digit-deletion collides on "a"
+    // -> one bucket of 100 variants -> bound >= 4950 > 1000
+    val dir = Scratch.dir("pair_guard_fz01_")
+    spark.range(1)
+      .select(lit(1L).as("p_partkey"),
+        lit((0 until 100).map(i => s"a$i").mkString(" ")).as("p_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val e = intercept[IllegalStateException] {
+      q("fz01_fuzzy_join").build(s2, dir).count()
+    }
+    assert(e.getMessage.contains("dd20_star_components"), e.getMessage)
+  }
+
+  test("sm01 aborts when |Q|x|C| exceeds the budget (cross-product guard)") {
+    val s2 = spark.newSession()
+    s2.conf.set(graft.operators.PairGuard.ConfKey, "100")
+    // sf0.001 embeddings: 3 queries x ~1k candidates > 100
+    val e = intercept[IllegalStateException] {
+      q("sm01_cosine_topk").build(s2, sf).count()
+    }
+    assert(e.getMessage.contains("sm02_simhash_buckets"), e.getMessage)
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
