@@ -176,34 +176,44 @@ object MvQueries {
     * once ever (the initial build); every refresh costs the delta. */
   private val incBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** γ: partial states at the (l_returnflag, l_linestatus) grain —
+    * the fold kernel shared by mv05 (one batch refresh), mv06's
+    * snapshot chain, and the streaming face
+    * ([[graft.streaming.EventStreams.mvRefresh]]). */
+  def gammaPartials(df: DataFrame): DataFrame = df
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(count(lit(1)).as("cnt"),
+      sum(Det.dec2(col("l_quantity"))).as("sum_qty"),
+      sum(Det.dec2(col("l_extendedprice"))).as("sum_price"))
+
+  /** Grain-keyed merge of two partial-state frames: γ(A) ⊕ γ(B) ≡
+    * γ(A ∪ B). Both sides are grain-sized; one full-outer join. */
+  def mergePartials(base: DataFrame, delta: DataFrame): DataFrame =
+    base.select(col("l_returnflag"), col("l_linestatus"),
+        col("cnt").as("cb"), col("sum_qty").as("qb"), col("sum_price").as("pb"))
+      .join(delta.select(col("l_returnflag"), col("l_linestatus"),
+        col("cnt").as("cd"), col("sum_qty").as("qd"), col("sum_price").as("pd")),
+        Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (coalesce(col("cb"), lit(0L)) + coalesce(col("cd"), lit(0L))).as("cnt"),
+        (coalesce(col("qb"), lit(0).cast(DecimalType(12, 2))) +
+          coalesce(col("qd"), lit(0).cast(DecimalType(12, 2)))).as("sum_qty"),
+        (coalesce(col("pb"), lit(0).cast(DecimalType(12, 2))) +
+          coalesce(col("pd"), lit(0).cast(DecimalType(12, 2)))).as("sum_price"))
+
   private def incMvPath(s: SparkSession, d: String): String =
     incBuilt.computeIfAbsent(d, _ => {
       val p = Scratch.dir("graft_mv_inc_")
       val prev = s.conf.getOption("spark.graft.mv.registry")
       s.conf.unset("spark.graft.mv.registry")
       try Phases.timed("mv05_mv_incremental_refresh", "write") {
-        def gamma(df: DataFrame) = df
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(count(lit(1)).as("cnt"),
-            sum(Det.dec2(col("l_quantity"))).as("sum_qty"),
-            sum(Det.dec2(col("l_extendedprice"))).as("sum_price"))
         val li = Tables.lineitem(s, d)
-        val base = gamma(li.filter(col("l_orderkey") % 9 =!= 0))
-        val delta = gamma(li.filter(col("l_orderkey") % 9 === 0))
+        val base = gammaPartials(li.filter(col("l_orderkey") % 9 =!= 0))
+        val delta = gammaPartials(li.filter(col("l_orderkey") % 9 === 0))
         // grain-keyed merge of partial states — the refresh step; both
         // sides are grain-sized (≤ 6 rows), the fact table is touched
         // only by the two γ passes above
-        base.select(col("l_returnflag"), col("l_linestatus"),
-            col("cnt").as("cb"), col("sum_qty").as("qb"), col("sum_price").as("pb"))
-          .join(delta.select(col("l_returnflag"), col("l_linestatus"),
-            col("cnt").as("cd"), col("sum_qty").as("qd"), col("sum_price").as("pd")),
-            Seq("l_returnflag", "l_linestatus"), "full_outer")
-          .select(col("l_returnflag"), col("l_linestatus"),
-            (coalesce(col("cb"), lit(0L)) + coalesce(col("cd"), lit(0L))).as("cnt"),
-            (coalesce(col("qb"), lit(0).cast(DecimalType(12, 2))) +
-              coalesce(col("qd"), lit(0).cast(DecimalType(12, 2)))).as("sum_qty"),
-            (coalesce(col("pb"), lit(0).cast(DecimalType(12, 2))) +
-              coalesce(col("pd"), lit(0).cast(DecimalType(12, 2)))).as("sum_price"))
+        mergePartials(base, delta)
           .coalesce(1)
           .write.mode("overwrite").parquet(p)
       } finally prev.foreach(v => s.conf.set("spark.graft.mv.registry", v))
@@ -230,7 +240,62 @@ object MvQueries {
            |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "incremental MV refresh: γ(base) ⊕ γ(Δ) registered and served — hash-checked against the fact truth")
 
+  /** Streaming MV refresh, batch twin: the MV is born EMPTY (v_0 —
+    * no initial fact scan at all) and the fact arrives as four
+    * sequential ingest batches, each folded by the same
+    * [[gammaPartials]]/[[mergePartials]] kernel the streaming face
+    * ([[graft.streaming.EventStreams.mvRefresh]]) runs per
+    * micro-batch, writing the dd18-style versioned snapshot chain
+    * v_0 → v_4. The FINAL snapshot is then registered for the full
+    * fact path and must serve the fact aggregate (MvSpec pins the
+    * scan); the driver's hash compare against DuckDB's direct fact
+    * aggregate is the fold-consistency law ⊕ᵢ γ(Δᵢ) ≡ γ(∪Δᵢ). The
+    * streaming face replays the identical chain from a checkpointed
+    * query with restart (StreamingSpec) — this query is its
+    * oracle-checked twin, the dd18/ev18 discipline applied to MVs. */
+  private val streamBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamMvPath(s: SparkSession, d: String): String =
+    streamBuilt.computeIfAbsent(d, _ => {
+      val root = Scratch.dir("graft_mv_stream_")
+      val prev = s.conf.getOption("spark.graft.mv.registry")
+      s.conf.unset("spark.graft.mv.registry")
+      val K = 4
+      try Phases.timed("mv06_mv_streaming_refresh", "write") {
+        val li = Tables.lineitem(s, d)
+        gammaPartials(li.filter(lit(false))) // empty v_0, grain schema
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/v_0")
+        for (i <- 0 until K) {
+          val state = s.read.parquet(s"$root/v_$i")
+          mergePartials(state,
+              gammaPartials(li.filter(col("l_orderkey") % K === i)))
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/v_${i + 1}")
+        }
+      } finally prev.foreach(v => s.conf.set("spark.graft.mv.registry", v))
+      s"$root/v_$K"
+    })
+
+  val mv06StreamingRefresh: GraftQuery = GraftQuery(
+    "mv06_mv_streaming_refresh",
+    (s: SparkSession, d: String) => {
+      val p = streamMvPath(s, d)
+      s.conf.set("spark.graft.mv.registry",
+        s"$p|$d/lineitem.parquet|l_returnflag,l_linestatus|" +
+          "l_quantity:sum_qty,l_extendedprice:sum_price")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+           |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "streaming MV refresh (batch twin): empty-born MV folded over 4 ingest batches, served for the fact path")
+
   val all: Seq[GraftQuery] =
     Seq(mv01Rewrite, mv02Rollup, mv03FilteredRollup, mv04DateGrain,
-      mv05IncrementalRefresh)
+      mv05IncrementalRefresh, mv06StreamingRefresh)
 }

@@ -557,6 +557,34 @@ object EventStreams {
     * micro-batch split or arrival order (StreamingSpec pins both).
     *
     * Callers pre-filter docs to ≥ 3 words, as in dd12/dd18. */
+  /** Streaming MV refresh — mv05's partial-state fold run continuously
+    * on a live ingest: each arriving micro-batch of fact rows is
+    * γ-aggregated and grain-merged into the registered MV, so a
+    * continuously-ingesting corpus keeps serving MV rewrites without
+    * ever rescanning the fact history. State is the [[cdcApply]] /
+    * [[evolvingAdmission]] versioned-snapshot chain (`mvRoot/v_<n>`,
+    * batch n reads v_n and deterministically rewrites v_{n+1}) —
+    * exactly-once MV state through crash/replay without a
+    * transactional format; a real deployment swaps the chain for
+    * MERGE INTO on the lakehouse summary table with the identical
+    * merge plan. The per-batch cost is O(|Δ| + grain): the micro-batch
+    * aggregates map-side into ≤ grain rows, and the merge join touches
+    * only grain-sized frames. The fold kernel and the registration
+    * path are EXACTLY the oracle-checked mv06 batch twin's
+    * ([[graft.operators.MvQueries.gammaPartials]] /
+    * [[graft.operators.MvQueries.mergePartials]]); StreamingSpec pins
+    * stream ≡ batch through a checkpointed restart. */
+  def mvRefresh(factRows: DataFrame, mvRoot: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    factRows.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val state = spark.read.parquet(s"$mvRoot/v_$id")
+      graft.operators.MvQueries.mergePartials(state,
+          graft.operators.MvQueries.gammaPartials(batch))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$mvRoot/v_${id + 1}")
+    }
+
   def evolvingAdmission(deltaDocs: DataFrame, stateRoot: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     deltaDocs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>

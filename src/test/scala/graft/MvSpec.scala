@@ -128,6 +128,13 @@ class MvSpec extends AnyFunSuite {
     assert(!p.contains("lineitem.parquet"), p.take(3000))
   }
 
+  test("mv06: the stream-folded MV serves the full-fact aggregate") {
+    val p = planOf(q("mv06_mv_streaming_refresh").build(spark, sf))
+    assert(p.contains("graft_mv_stream_"),
+      "stream-refreshed MV must serve\n" + p.take(3000))
+    assert(!p.contains("lineitem.parquet"), p.take(3000))
+  }
+
   test("a STALE registration (deleted MV file) degrades to the fact scan, never fails the query") {
     val s2 = spark.newSession()
     s2.conf.set(flag,

@@ -628,6 +628,61 @@ class StreamingSpec extends AnyFunSuite {
     delta.unpersist(); docs.unpersist()
   }
 
+  test("streaming MV refresh: foreachBatch γ-merges ≡ batch γ of all ingested rows; restart-safe") {
+    val root = Files.createTempDirectory("graft-mvstream").toString
+    val li = Tables.lineitem(spark, sf).cache()
+    // three ingest files by a deterministic key class; middle class
+    // staged first — the grain merge is order-insensitive, so the
+    // final snapshot must equal one γ over everything regardless
+    def stage(i: Int): Unit = {
+      li.filter(col("l_orderkey") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      Thread.sleep(5)
+    }
+    graft.operators.MvQueries.gammaPartials(li.filter(lit(false)))
+      .coalesce(1).write.parquet(s"$root/mv/v_0") // MV born empty
+    stage(1); stage(0)
+    def run(): Unit = {
+      val src = spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = EventStreams.mvRefresh(src, s"$root/mv")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // batches 0, 1
+    stage(2)
+    run() // RESTART from checkpoint: only the new file folds
+    assert(new java.io.File(s"$root/mv/v_3").exists(), "three batches → v_3")
+    assert(!new java.io.File(s"$root/mv/v_4").exists(),
+      "restart must not refold committed batches")
+    val got = spark.read.parquet(s"$root/mv/v_3")
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val want = graft.operators.MvQueries.gammaPartials(li)
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(got == want, s"streamed MV diverged: $got vs $want")
+    // and the snapshot SERVES: register v_3 for the full fact path,
+    // the rewritten aggregate must equal the direct fact aggregate.
+    // (unpersist first: the shared CacheManager would otherwise swap
+    // the fact scan for the cached frame and hide the file path the
+    // rewrite matches on)
+    val direct = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    li.unpersist(blocking = true)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.mv.registry",
+      s"$root/mv/v_3|$sf/lineitem.parquet|l_returnflag,l_linestatus|" +
+        "l_quantity:sum_qty,l_extendedprice:sum_price")
+    val served = s2.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assert(served.queryExecution.executedPlan.toString.contains("v_3"),
+      "registered stream snapshot must serve the rewrite")
+    assert(served.collect().toSeq == direct)
+  }
+
   test("streaming CDC (cdc01 composed with streaming): foreachBatch SCD2 merges ≡ sequential batch merges") {
     // Two change files → two microbatches folded into the versioned
     // dimension; the final snapshot must equal applying scd2Merge
