@@ -1187,6 +1187,327 @@ object IvfQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------- hn03
+  // Multi-layer HNSW-style ladder (Malkov & Yashunin 2016, re-expressed
+  // for deterministic distributed construction): hn01's 2-tier hub
+  // shape generalized to a LOG-LAYER ladder.
+  //  - level(v): hash-geometric with p = 1/4 — the largest l ≤ LMAX
+  //    with h(v) ≡ 0 (mod 4^l), h = first 16 md5 bits of vec_id. Every
+  //    engine (and the SQL oracle) re-derives the same levels; no
+  //    sequential random insert.
+  //  - LMAX = ⌈log₄(ncells)⌉, so the TOP layer's merged bucket spans
+  //    the whole cell space (global connectivity) while every layer's
+  //    expected bucket population stays ~128: layer l keeps n/4^l
+  //    nodes and merges 4^l base cells per bucket (cid div 4^l) —
+  //    the populations cancel. Σ_l (nodes_l × bucket_l) ≈ 128·n·4/3:
+  //    the whole ladder builds LINEAR in the corpus.
+  //  - layer edges: within-bucket kNN top-M (k-bounded heap operator)
+  //    ∪ reverse — the NSW convention per layer; layer 0 is the plain
+  //    within-cell kNN graph.
+  //  - search: greedy DESCENT from the global entry point (max level,
+  //    min id) — 2 hops per layer from LMAX down to 1, keeping the
+  //    single best candidate (HNSW's ef=1 upper-layer search) — then
+  //    hn01's B=8 × H=3 beam at the base over layer ≤ 1 edges (the
+  //    layer-1 union is the cross-cell escape hatch the hub cliques
+  //    provided in hn01). Every candidate scored during the descent
+  //    joins the visited set, so the recall readout counts the true
+  //    work. At the driver scales ncells = 16 ⇒ LMAX = 2 — fixed, so
+  //    the oracle unrolls the identical ladder in SQL; at the 1000×
+  //    probe (2M vectors, 15,625 cells) LMAX = 7 and the descent is
+  //    17 constant-size rounds — the log ladder is exactly what keeps
+  //    serving cost flat while the corpus grows 1000×.
+  private val H3Hops = 2 // greedy hops per upper layer
+  private def h3Lmax(cells: Long): Int = {
+    var l = 0
+    var c = 1L
+    while (c < cells) { c *= 4; l += 1 }
+    math.max(1, l)
+  }
+
+  /** First 16 md5 bits of the vec id — the shared level hash. */
+  private def h3HashCol: Column =
+    conv(substring(md5(col("vec_id").cast(StringType)), 1, 4), 16, 10)
+      .cast(LongType)
+
+  private def sqlH3Hash: String =
+    (0 until 4).map(i =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1L << (4 * (3 - i))}")
+      .mkString("(", " + ", ")")
+
+  /** Build + persist the ladder once per (session, sf dir): edges
+    * partitioned BY LAYER (each descent round prunes to one layer's
+    * partition), the entry point, the id→vector fetch table, and the
+    * brute-force exact top-K ground truth (same fixture discipline as
+    * [[hnIndexDir]]). */
+  private val h3Dirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  def h3IndexDir(s: SparkSession, d: String): String =
+    h3Dirs.synchronized {
+      h3Dirs.getOrElseUpdate((s, d), {
+        val dir = graft.Scratch.dir("graft_hn03_")
+        graft.Phases.timed("hn03_hnsw_ann", "write") {
+          val cells = dynCells(s, d)
+          val lmax = h3Lmax(cells)
+          val assigned = assignedDfHier(s, d, cells)
+            .withColumn("h", h3HashCol)
+            // build the CASE chain inside-out so the HIGHEST level's
+            // test sits outermost (h ≡ 0 mod 16 implies mod 4 — the
+            // weaker test must not shadow the stronger)
+            .withColumn("lvl", (1 to lmax).foldLeft(lit(0)) {
+              case (els, l) =>
+                when(col("h") % math.pow(4, l).toLong === 0, lit(l))
+                  .otherwise(els)
+            })
+            .pinned // every layer's node set reads it
+          val layerEdges = (0 to lmax).map { l =>
+            val div = math.pow(4, l).toLong
+            val nodes = assigned.filter(col("lvl") >= l)
+              .select(col("vec_id"), col("embedding"),
+                floor(col("cid") / div).cast(LongType).as("bkt"))
+            val a = nodes.select(col("bkt"), col("vec_id").as("src"),
+              col("embedding").as("se"))
+            val b = nodes.select(col("bkt").as("bb"),
+              col("vec_id").as("dst"), col("embedding").as("de"))
+            val knn = graft.plans.TopKPerGroup.perGroup(
+              a.join(b, col("bkt") === col("bb") && col("src") =!= col("dst"))
+                .select(col("src"), col("dst"),
+                  VectorExpressions.cosine_similarity(col("se"), col("de"))
+                    .as("cos_e")),
+              Seq(col("src")), struct(col("cos_e"), -col("dst")), k = HnM)
+              .select(col("src"), col("dst"))
+            knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+              .distinct()
+              .withColumn("layer", lit(l))
+          }
+          layerEdges.reduce(_ unionByName _)
+            .write.mode("overwrite").partitionBy("layer")
+            .parquet(s"$dir/edges")
+          assigned.orderBy(col("lvl").desc, col("vec_id")).limit(1)
+            .select(col("vec_id")).write.mode("overwrite")
+            .parquet(s"$dir/entry")
+          val vecs = assigned.select(col("vec_id"), col("embedding"))
+          vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+          val qvecs = vecs.filter(col("vec_id") < HnNQ)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+          graft.plans.TopKPerGroup.perGroup(
+            vecs.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+              .join(broadcast(qvecs), col("cand_id") =!= col("query_id"))
+              .select(col("query_id"), col("cand_id"),
+                VectorExpressions.cosine_similarity(col("qe"), col("ce"))
+                  .as("cos_q")),
+            Seq(col("query_id")), struct(col("cos_q"), -col("cand_id")),
+            k = HnK)
+            .select(col("query_id"), col("cand_id"))
+            .write.mode("overwrite").parquet(s"$dir/exact")
+        }
+        dir
+      })
+    }
+
+  private def sqlH3LayerEdges(l: Int): String = {
+    val div = math.pow(4, l).toLong
+    s"""ln$l AS (
+       |  SELECT a.vec_id, a.cid // $div AS bkt FROM assigned a
+       |  JOIN lvl ON lvl.vec_id = a.vec_id AND lvl.lvl >= $l),
+       |lp$l AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${sqlDot("an", "bn")} / (an.nrm * bn.nrm) AS cos_e
+       |  FROM ln$l a JOIN ln$l b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+       |  JOIN normed an ON an.vec_id = a.vec_id
+       |  JOIN normed bn ON bn.vec_id = b.vec_id),
+       |lk$l AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (
+       |      PARTITION BY src ORDER BY cos_e DESC, dst) AS rn
+       |    FROM lp$l) WHERE rn <= $HnM),
+       |e$l AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM lk$l
+       |    UNION ALL SELECT dst AS src, src AS dst FROM lk$l))""".stripMargin
+  }
+
+  /** One greedy descent step j at layer l: expand the current best's
+    * layer-l out-edges (plus itself), score, keep the argmax. */
+  private def sqlH3Step(j: Int, l: Int): String =
+    s"""dexp$j AS (
+       |  SELECT query_id, cand_id FROM dcur${j - 1}
+       |  UNION
+       |  SELECT c.query_id, e.dst AS cand_id
+       |  FROM dcur${j - 1} c JOIN e$l e ON e.src = c.cand_id),
+       |dsc$j AS (
+       |  SELECT x.query_id, x.cand_id,
+       |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cos_q
+       |  FROM dexp$j x JOIN normed qn ON qn.vec_id = x.query_id
+       |  JOIN normed cn ON cn.vec_id = x.cand_id),
+       |dcur$j AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+       |    FROM dsc$j) WHERE rn = 1)""".stripMargin
+
+  val hn03HnswAnn: GraftQuery = {
+    val LMAX = 2 // == h3Lmax(16): ncells is 16 at every driver scale
+    val steps = (1 to LMAX * H3Hops).map { j =>
+      val l = LMAX - (j - 1) / H3Hops
+      sqlH3Step(j, l)
+    }
+    val nSteps = LMAX * H3Hops
+    val descVisited = (1 to nSteps).map(j => s"SELECT query_id, cand_id, cos_q FROM dsc$j")
+      .mkString("\n    UNION ALL ")
+    def hopSql(i: Int): String =
+      s"""exp$i AS (
+         |  SELECT DISTINCT b.query_id, e.dst AS cand_id
+         |  FROM beam${i - 1} b JOIN se e ON e.src = b.cand_id),
+         |sc$i AS (
+         |  SELECT x.query_id, x.cand_id,
+         |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cos_q
+         |  FROM exp$i x JOIN normed qn ON qn.vec_id = x.query_id
+         |  JOIN normed cn ON cn.vec_id = x.cand_id),
+         |visited$i AS (
+         |  SELECT DISTINCT query_id, cand_id, cos_q FROM (
+         |    SELECT query_id, cand_id, cos_q FROM visited${i - 1}
+         |    UNION ALL SELECT query_id, cand_id, cos_q FROM sc$i)),
+         |beam$i AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+         |    FROM visited$i) WHERE rn <= $HnB)""".stripMargin
+    q("hn03_hnsw_ann",
+      s"multi-layer HNSW ladder: hash-geometric levels, per-layer NSW edges, greedy descent + beam-$HnB base, recall@$HnK",
+      s"""WITH $sqlAssignDyn,
+         |lvl AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM (SELECT vec_id, $sqlH3Hash AS h FROM normed)),
+         |${(0 to LMAX).map(sqlH3LayerEdges).mkString(",\n")},
+         |entry AS (
+         |  SELECT l.vec_id FROM lvl l ORDER BY l.lvl DESC, l.vec_id LIMIT 1),
+         |qs AS (SELECT vec_id AS query_id FROM normed WHERE vec_id < $HnNQ),
+         |dcur0 AS (
+         |  SELECT q.query_id, e.vec_id AS cand_id FROM qs q CROSS JOIN entry e),
+         |${steps.mkString(",\n")},
+         |se AS (
+         |  SELECT src, dst FROM e0 UNION SELECT src, dst FROM e1),
+         |visited0 AS (
+         |  SELECT DISTINCT query_id, cand_id, cos_q FROM (
+         |    $descVisited)),
+         |beam0 AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+         |    FROM visited0) WHERE rn <= $HnB),
+         |${(1 to HnH).map(hopSql).mkString(",\n")},
+         |approx AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+         |    FROM visited$HnH WHERE cand_id <> query_id) WHERE rn <= $HnK),
+         |nv AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_visited
+         |  FROM visited$HnH GROUP BY query_id),
+         |exact0 AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    ${sqlDot("qn", "c")} / (qn.nrm * c.nrm) AS cos_q
+         |  FROM qs q JOIN normed qn ON qn.vec_id = q.query_id
+         |  JOIN normed c ON c.vec_id <> q.query_id),
+         |exact AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
+         |    FROM exact0) WHERE rn <= $HnK),
+         |hits AS (
+         |  SELECT e.query_id,
+         |    CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM exact e LEFT JOIN approx a
+         |    ON e.query_id = a.query_id AND e.cand_id = a.cand_id)
+         |SELECT h.query_id, nv.n_visited,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+         |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+         |FROM hits h JOIN nv ON nv.query_id = h.query_id
+         |GROUP BY h.query_id, nv.n_visited
+         |ORDER BY h.query_id""".stripMargin) { (s, d) =>
+      val dir = h3IndexDir(s, d)
+      val lmax = h3Lmax(dynCells(s, d))
+      val edges = s.read.parquet(s"$dir/edges").pinnedLazily
+      val vecs = s.read.parquet(s"$dir/vecs")
+      val entry = s.read.parquet(s"$dir/entry")
+      val qvecs = vecs.filter(col("vec_id") < HnNQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      def score(cands: DataFrame): DataFrame =
+        vecs.select(col("vec_id"), col("embedding").as("ce"))
+          .join(broadcast(cands.join(broadcast(qvecs), Seq("query_id"))),
+            col("vec_id") === col("cand_id"))
+          .select(col("query_id"), col("cand_id"),
+            VectorExpressions.cosine_similarity(col("qe"), col("ce"))
+              .as("cos_q"))
+      val wQ = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_q").desc, col("cand_id"))
+      def topOf(df: DataFrame, k: Int): DataFrame =
+        df.withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
+          .select(col("query_id"), col("cand_id"))
+      // Per-round lineage TRUNCATION, not just persist: each round
+      // references the previous round's frame from THREE subtrees
+      // (expansion, visited union, argmax), so the logical tree grows
+      // ~3^rounds — at 7+ rounds (17 at the 1000× probe's LMAX=7)
+      // planning alone took 18 s / 32 MB task binaries with plain
+      // persist. Same mandatory-truncation rationale as
+      // starContraction's loop; reliable checkpoint when a dir is set.
+      def truncate(df: DataFrame): DataFrame =
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+        else df.localCheckpoint(true)
+      // greedy descent: ef=1 from the entry, 2 hops per layer, top→1;
+      // every scored candidate joins the visited set (it was real work)
+      var cur = qvecs.select(col("query_id"))
+        .crossJoin(broadcast(entry.select(col("vec_id").as("cand_id"))))
+      var visited: DataFrame = null
+      for (l <- lmax to 1 by -1; _ <- 1 to H3Hops) {
+        // no distinct here: per-layer edges are already distinct and a
+        // cur-duplicate row cannot change the argmax or the (later
+        // deduped) visited set — one shuffle less per round
+        val exp = edges.filter(col("layer") === l)
+          .join(broadcast(cur.withColumnRenamed("cand_id", "cr")),
+            col("src") === col("cr"))
+          .select(col("query_id"), col("dst").as("cand_id"))
+          .union(cur)
+        val scored = truncate(score(exp)) // round-sized plan, 3 readers
+        visited = if (visited == null) scored else visited.union(scored)
+        cur = topOf(scored, 1)
+      }
+      // base beam over layer ≤ 1 edges (layer-1 union = the cross-cell
+      // escape hatch), seeded with everything the descent scored
+      val se = edges.filter(col("layer") <= 1).pinnedLazily
+      visited = truncate(visited.distinct())
+      // the beam loop is hn01's (fixed HnH=3 rounds, ~2 refs per
+      // round): with its base truncated above, lazy persist bounds the
+      // plan at ~2³ subtrees — no eager job per beam round needed
+      var beam = topOf(visited, HnB)
+      for (_ <- 1 to HnH) {
+        val expd = se
+          .join(broadcast(beam.withColumnRenamed("cand_id", "cr")),
+            col("src") === col("cr"))
+          .select(col("query_id"), col("dst").as("cand_id")).distinct()
+        visited = visited.union(score(expd)).distinct().pinned
+        beam = topOf(visited, HnB)
+      }
+      val approx = topOf(visited.filter(col("cand_id") =!= col("query_id")),
+        HnK).withColumn("hit", lit(1))
+      val nv = visited.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_visited"))
+      val exact = s.read.parquet(s"$dir/exact")
+      exact.join(approx, Seq("query_id", "cand_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hits"))
+        .join(nv, Seq("query_id"))
+        .select(col("query_id"), col("n_visited"), col("n_exact"),
+          col("n_hits"),
+          (col("n_hits").cast(DoubleType) / col("n_exact")).as("recall"))
+        .orderBy("query_id")
+    }
+  }
+
   /** Product quantization + ADC search (Jégou et al. 2011) — the
     * memory-cheapening axis IVF doesn't cover: each vector's 64 dims
     * split into M=4 subspaces of 16; every subspace has its own
@@ -1404,5 +1725,5 @@ object IvfQueries {
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
       ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
-      hn02GraphServing, pq01AdcSearch, tm01TripletMining)
+      hn02GraphServing, hn03HnswAnn, pq01AdcSearch, tm01TripletMining)
 }
