@@ -1205,18 +1205,45 @@ object IvfQueries {
   //    ∪ reverse — the NSW convention per layer; layer 0 is the plain
   //    within-cell kNN graph.
   //  - search: greedy DESCENT from the global entry point (max level,
-  //    min id) — 2 hops per layer from LMAX down to 1, keeping the
-  //    single best candidate (HNSW's ef=1 upper-layer search) — then
-  //    hn01's B=8 × H=3 beam at the base over layer ≤ 1 edges (the
-  //    layer-1 union is the cross-cell escape hatch the hub cliques
-  //    provided in hn01). Every candidate scored during the descent
-  //    joins the visited set, so the recall readout counts the true
-  //    work. At the driver scales ncells = 16 ⇒ LMAX = 2 — fixed, so
-  //    the oracle unrolls the identical ladder in SQL; at the 1000×
-  //    probe (2M vectors, 15,625 cells) LMAX = 7 and the descent is
-  //    17 constant-size rounds — the log ladder is exactly what keeps
+  //    min id) — ONE 2-ball step per layer from LMAX down to 1: score
+  //    cur ∪ N(cur) ∪ N²(cur) over the layer's edges and keep the
+  //    top-E front (HNSW's ef-bounded upper-layer search; the 2-ball
+  //    top-E dominates the sequential 2-hop greedy — it prunes from a
+  //    SUPERSET of both hops' candidates — at half the sequential
+  //    rounds, the term that sets latency here since every round's
+  //    frames are query-count-bounded: ≤ NQ·E·(1+M+M²)) — then hn01's B=8 ×
+  //    H=3 beam at the base over layer ≤ 1 edges (the layer-1 union
+  //    is the cross-cell escape hatch the hub cliques provided in
+  //    hn01). Every candidate scored during the descent joins the
+  //    visited set, so the recall readout counts the true work. At
+  //    the driver scales ncells = 16 ⇒ LMAX = 2 — fixed, so the
+  //    oracle unrolls the identical ladder in SQL; at the 1000× probe
+  //    (2M vectors, 15,625 cells) LMAX = 7 and the descent is 7
+  //    constant-size rounds — the log ladder is exactly what keeps
   //    serving cost flat while the corpus grows 1000×.
-  private val H3Hops = 2 // greedy hops per upper layer
+  /** Descent beam (HNSW's ef for the upper layers): keep the top-E
+    * candidates per layer, not the single argmax — E independent
+    * descent paths cost the same number of sequential rounds (the
+    * latency term) while rescuing queries whose greedy path strands in
+    * the wrong branch of a sparse upper layer (measured mean recall@5
+    * 0.52 → ~0.8, min 0 → >0, at sf0.01; per-round frames stay
+    * query-count-bounded: ≤ NQ·E·(1+M+M²) rows). */
+  private val H3Ef = 4
+
+  /** Per-layer out-degree: the HNSW M0 = 2M convention — the base
+    * layer, where answers actually live, gets double the out-degree of
+    * the navigation layers (Malkov & Yashunin §4.1). With the flat
+    * upper-layer M this was the recall bottleneck: mean recall@5 at
+    * sf0.01 moved 0.61 → ~0.8 for a build-size change only (the search
+    * round count is untouched). */
+  private def h3M(l: Int): Int = if (l == 0) 2 * HnM else HnM
+
+  /** hn03's base beam width — wider than hn01's [[HnB]] because the
+    * ladder seeds the beam from ONE descent region (hn01 seeds from
+    * every cell's hub, so its coverage is built into the seed). Width
+    * is parallel-bounded work, not extra sequential rounds. */
+  private val H3B = 12
+
   private def h3Lmax(cells: Long): Int = {
     var l = 0
     var c = 1L
@@ -1274,7 +1301,7 @@ object IvfQueries {
                 .select(col("src"), col("dst"),
                   VectorExpressions.cosine_similarity(col("se"), col("de"))
                     .as("cos_e")),
-              Seq(col("src")), struct(col("cos_e"), -col("dst")), k = HnM)
+              Seq(col("src")), struct(col("cos_e"), -col("dst")), k = h3M(l))
               .select(col("src"), col("dst"))
             knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
               .distinct()
@@ -1320,21 +1347,26 @@ object IvfQueries {
        |  SELECT src, dst FROM (
        |    SELECT src, dst, ROW_NUMBER() OVER (
        |      PARTITION BY src ORDER BY cos_e DESC, dst) AS rn
-       |    FROM lp$l) WHERE rn <= $HnM),
+       |    FROM lp$l) WHERE rn <= ${h3M(l)}),
        |e$l AS (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM lk$l
        |    UNION ALL SELECT dst AS src, src AS dst FROM lk$l))""".stripMargin
   }
 
-  /** One greedy descent step j at layer l: expand the current best's
-    * layer-l out-edges (plus itself), score, keep the argmax. */
+  /** One greedy descent step j at layer l: score the 2-ball around the
+    * current best over the layer's edges (itself ∪ neighbors ∪
+    * neighbors-of-neighbors), keep the argmax. */
   private def sqlH3Step(j: Int, l: Int): String =
     s"""dexp$j AS (
        |  SELECT query_id, cand_id FROM dcur${j - 1}
        |  UNION
        |  SELECT c.query_id, e.dst AS cand_id
-       |  FROM dcur${j - 1} c JOIN e$l e ON e.src = c.cand_id),
+       |  FROM dcur${j - 1} c JOIN e$l e ON e.src = c.cand_id
+       |  UNION
+       |  SELECT c.query_id, e2.dst AS cand_id
+       |  FROM dcur${j - 1} c JOIN e$l e ON e.src = c.cand_id
+       |  JOIN e$l e2 ON e2.src = e.dst),
        |dsc$j AS (
        |  SELECT x.query_id, x.cand_id,
        |    ${sqlDot("qn", "cn")} / (qn.nrm * cn.nrm) AS cos_q
@@ -1344,15 +1376,15 @@ object IvfQueries {
        |  SELECT query_id, cand_id FROM (
        |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
        |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
-       |    FROM dsc$j) WHERE rn = 1)""".stripMargin
+       |    FROM dsc$j) WHERE rn <= $H3Ef)""".stripMargin
 
   val hn03HnswAnn: GraftQuery = {
     val LMAX = 2 // == h3Lmax(16): ncells is 16 at every driver scale
-    val steps = (1 to LMAX * H3Hops).map { j =>
-      val l = LMAX - (j - 1) / H3Hops
+    val steps = (1 to LMAX).map { j =>
+      val l = LMAX - (j - 1)
       sqlH3Step(j, l)
     }
-    val nSteps = LMAX * H3Hops
+    val nSteps = LMAX
     val descVisited = (1 to nSteps).map(j => s"SELECT query_id, cand_id, cos_q FROM dsc$j")
       .mkString("\n    UNION ALL ")
     def hopSql(i: Int): String =
@@ -1372,9 +1404,9 @@ object IvfQueries {
          |  SELECT query_id, cand_id FROM (
          |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
-         |    FROM visited$i) WHERE rn <= $HnB)""".stripMargin
+         |    FROM visited$i) WHERE rn <= $H3B)""".stripMargin
     q("hn03_hnsw_ann",
-      s"multi-layer HNSW ladder: hash-geometric levels, per-layer NSW edges, greedy descent + beam-$HnB base, recall@$HnK",
+      s"multi-layer HNSW ladder: hash-geometric levels, per-layer NSW edges, greedy descent + beam-$H3B base, recall@$HnK",
       s"""WITH $sqlAssignDyn,
          |lvl AS MATERIALIZED (
          |  SELECT vec_id,
@@ -1396,7 +1428,7 @@ object IvfQueries {
          |  SELECT query_id, cand_id FROM (
          |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY cos_q DESC, cand_id) AS rn
-         |    FROM visited0) WHERE rn <= $HnB),
+         |    FROM visited0) WHERE rn <= $H3B),
          |${(1 to HnH).map(hopSql).mkString(",\n")},
          |approx AS (
          |  SELECT query_id, cand_id FROM (
@@ -1454,26 +1486,45 @@ object IvfQueries {
       // planning alone took 18 s / 32 MB task binaries with plain
       // persist. Same mandatory-truncation rationale as
       // starContraction's loop; reliable checkpoint when a dir is set.
+      // LAZY (eager=false): the returned frame is a LogicalRDD either
+      // way — the plan is round-sized immediately — but lazy folds the
+      // materialization into the next round's broadcast job instead of
+      // paying a separate count() job per round (timing-neutral here —
+      // the broadcast barrier dominates — but one fewer scheduled job
+      // per round and no behavior change).
       def truncate(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
-        else df.localCheckpoint(true)
-      // greedy descent: ef=1 from the entry, 2 hops per layer, top→1;
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+        else df.localCheckpoint(false)
+      // greedy descent: an ef=E front from the entry, ONE 2-ball step
+      // per layer
+      // (sequential rounds are the latency term — every frame here is
+      // query-count-bounded, so halving rounds beats anything else);
       // every scored candidate joins the visited set (it was real work)
       var cur = qvecs.select(col("query_id"))
         .crossJoin(broadcast(entry.select(col("vec_id").as("cand_id"))))
       var visited: DataFrame = null
-      for (l <- lmax to 1 by -1; _ <- 1 to H3Hops) {
-        // no distinct here: per-layer edges are already distinct and a
-        // cur-duplicate row cannot change the argmax or the (later
-        // deduped) visited set — one shuffle less per round
-        val exp = edges.filter(col("layer") === l)
-          .join(broadcast(cur.withColumnRenamed("cand_id", "cr")),
+      for (l <- lmax to 1 by -1) {
+        val el = edges.filter(col("layer") === l)
+        val n1 = el.join(broadcast(cur.withColumnRenamed("cand_id", "cr")),
             col("src") === col("cr"))
           .select(col("query_id"), col("dst").as("cand_id"))
-          .union(cur)
+        val n2 = el.join(broadcast(n1.withColumnRenamed("cand_id", "c2")),
+            col("src") === col("c2")) // ≤ NQ·E·M rows, scale-invariant
+          .select(col("query_id"), col("dst").as("cand_id"))
+        // distinct is REQUIRED with a top-E front: the three arms
+        // overlap, and a duplicate pair surviving into the front would
+        // waste a slot the oracle's UNION-deduped expansion gives to a
+        // distinct candidate — silent front divergence, not just waste
+        val exp = cur.union(n1).union(n2).distinct()
         val scored = truncate(score(exp)) // round-sized plan, 3 readers
         visited = if (visited == null) scored else visited.union(scored)
-        cur = topOf(scored, 1)
+        // ef=E descent front via the k-bounded heap operator (partial
+        // per-partition heaps, no window sort); ties to the smallest
+        // cand_id, like the oracle
+        cur = graft.plans.TopKPerGroup.perGroup(scored,
+          Seq(col("query_id")), struct(col("cos_q"), -col("cand_id")),
+          k = H3Ef)
+          .select(col("query_id"), col("cand_id"))
       }
       // base beam over layer ≤ 1 edges (layer-1 union = the cross-cell
       // escape hatch), seeded with everything the descent scored
@@ -1482,14 +1533,14 @@ object IvfQueries {
       // the beam loop is hn01's (fixed HnH=3 rounds, ~2 refs per
       // round): with its base truncated above, lazy persist bounds the
       // plan at ~2³ subtrees — no eager job per beam round needed
-      var beam = topOf(visited, HnB)
+      var beam = topOf(visited, H3B)
       for (_ <- 1 to HnH) {
         val expd = se
           .join(broadcast(beam.withColumnRenamed("cand_id", "cr")),
             col("src") === col("cr"))
           .select(col("query_id"), col("dst").as("cand_id")).distinct()
         visited = visited.union(score(expd)).distinct().pinned
-        beam = topOf(visited, HnB)
+        beam = topOf(visited, H3B)
       }
       val approx = topOf(visited.filter(col("cand_id") =!= col("query_id")),
         HnK).withColumn("hit", lit(1))

@@ -2131,7 +2131,9 @@ object RelationalQueries {
         && col("l3_sk") =!= col("l_suppkey"), "left_anti")
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
         .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      // no broadcast hint on supplier: it grows with the corpus, and
+      // size-based planning/AQE broadcasts it anyway while it fits
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)),
         col("s_nationkey") === col("n_nationkey"), "left_semi")
@@ -2174,7 +2176,9 @@ object RelationalQueries {
     val top = revenue0.agg(max(col("total_revenue")).as("max_rev"))
     revenue0.crossJoin(broadcast(top))
       .filter(col("total_revenue") === col("max_rev"))
-      .join(broadcast(Tables.supplier(s, d)),
+      // supplier unhinted (corpus-growing); the argmax side is tiny
+      // and AQE picks the broadcast at runtime while supplier fits
+      .join(Tables.supplier(s, d),
         col("supplier_no") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_revenue").cast(DoubleType).as("total_revenue"))
