@@ -88,6 +88,8 @@ object ExplainDump {
       "MMR diversity re-rank: the pool build is the only corpus-side work (broadcast-queries scan + k-bounded TopK); the 5 greedy rounds join query-count-sized frames (pool <=20/query, selected <=round/query) with the per-round argmax through the TopK operator - selection-step iteration, not data iteration.",
     "hn02_graph_serving" ->
       "Graph-ANN serving: the NSW index (edges repartitioned by src, hubs with embeddings, id->vector fetch table) persists ONCE per session/dir (bench reports it as setup_write) and the timed plan is pure search — hub entry scan x broadcast(queries), HnH beam rounds whose every join broadcasts only beam-bounded candidate lists against storage-side fetch joins. The serving fleet shape: index offline, answer online.",
+    "hn03_hnsw_ann" ->
+      "Multi-layer HNSW serving: the ladder's edges persist partitioned BY LAYER, so every descent round's scan is one layer partition (partition pruning on `layer`); each of the log₄(cells) descent rounds joins that slice against a BROADCAST front of ≤ NQ·E candidates and scores via storage-side fetch joins (vecs looked up by id, the corpus is never rescanned); per-round frames are LogicalRDD-truncated so round-N plans stay round-sized. Search cost follows ladder depth, not corpus size — measured 6.2 → 13.7 s across a 1000× corpus growth (BENCH_1000X_hn03_r12.json).",
     "mm09_video_decode" ->
       "Real video container walk: Y4M header tags, FRAME markers, planar reads and every-3rd-frame sampling all inside ONE mapPartitions pass (per-byte linear, one parser per partition); only the final ORDER BY exchanges - a 2-hour video contributes its sampled frames, never 200k rows.",
     "mm08_phash_neardup" ->
