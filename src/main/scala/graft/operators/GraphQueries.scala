@@ -659,7 +659,7 @@ object GraphQueries {
     gr07Dirs.synchronized {
       gr07Dirs.getOrElseUpdate((s, d), {
         val dir = graft.Scratch.dir("graft_gr07_")
-        graft.Phases.timed("gr07_incremental_components", "write") {
+        graft.Phases.timed("gr07_incremental_components", "setup") {
           val edges = sparsifiedEdges(s, d).pinned
           edges.filter((col("u") + col("v")) % 7 === 0)
             .write.mode("overwrite").parquet(s"$dir/delta")

@@ -414,7 +414,7 @@ object IvfQueries {
         val dir = graft.Scratch.dir("graft_ivf06_")
         // train + layout-write is the indexing phase; recorded so the
         // bench reports it apart from the serving-side read+search
-        graft.Phases.timed("ivf06_persisted_index", "write") {
+        graft.Phases.timed("ivf06_persisted_index", "setup") {
           val qv = quantizedDf(s, d)
           assignToCells(qv, kmeansTrain(qv, CELLS, TRAIN_ITERS))
             .write.mode("overwrite").partitionBy("cid").parquet(dir)
@@ -1127,7 +1127,7 @@ object IvfQueries {
     hnDirs.synchronized {
       hnDirs.getOrElseUpdate((s, d), {
         val dir = graft.Scratch.dir("graft_hn_")
-        graft.Phases.timed(trigger, "write") {
+        graft.Phases.timed(trigger, "setup") {
           val (vecs, hubs, edges) = hnBuildGraph(s, d)
           edges.repartition(col("src"))
             .write.mode("overwrite").parquet(s"$dir/edges")
@@ -1273,7 +1273,7 @@ object IvfQueries {
     h3Dirs.synchronized {
       h3Dirs.getOrElseUpdate((s, d), {
         val dir = graft.Scratch.dir("graft_hn03_")
-        graft.Phases.timed("hn03_hnsw_ann", "write") {
+        graft.Phases.timed("hn03_hnsw_ann", "setup") {
           val cells = dynCells(s, d)
           val lmax = h3Lmax(cells)
           val assigned = assignedDfHier(s, d, cells)
@@ -1559,6 +1559,224 @@ object IvfQueries {
     }
   }
 
+  // ---------------------------------------------------------- hn04
+  // Incremental HNSW-ladder UPSERT — IVM for the ANN index, the ivf07
+  // discipline applied to hn03's ladder. Under a FROZEN quantizer
+  // (training never reruns on ingest — the 16 smallest BASE ids, as
+  // ivf07) and hash-geometric levels (a pure function of vec_id, so a
+  // node's level never depends on who else is in the corpus), the
+  // ladder's per-layer edge set is a DETERMINISTIC per-bucket function
+  // of the bucket's membership. Ingesting a delta therefore only
+  // changes the buckets a delta node lands in: recompute layer-l kNN
+  // edges for AFFECTED buckets (≥1 delta member at that layer) over
+  // base∪delta members, carry every other bucket's stored edges
+  // verbatim — and the result is EXACTLY the full rebuild, which is
+  // what the oracle computes (per-layer edge count + order-independent
+  // edge checksum over the from-scratch ladder). The delta is SPARSE
+  // (vec_id % 211 — a handful of nodes): with ivf07's 10% split every
+  // one of the 16 harness cells had a delta member and the carry path
+  // was vacuously empty; at ~0.5% the census proves carried buckets
+  // outnumber recomputed ones (n_affected < n_buckets), i.e. the
+  // incremental path is actually exercised. Deployed cost is
+  // O(|affected buckets| · bucket_pop · M) per layer, never the
+  // corpus; the harness freezes CELLS=16 so the oracle shares the
+  // quantizer text with ivf07, while a production ladder freezes
+  // hn03's count-calibrated cells (bucket populations ~128 at every
+  // layer), keeping the recompute term constant per affected bucket.
+  private val h4Dirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Frozen 2-level ladder: LMAX = h3Lmax(CELLS=16) = 2 at every SF. */
+  private val H4Lmax = 2
+
+  private def h4LevelCol: Column =
+    (1 to H4Lmax).foldLeft(lit(0)) { case (els, l) =>
+      when(h3HashCol % math.pow(4, l).toLong === 0, lit(l)).otherwise(els)
+    }
+
+  private def h4Argmax(cents: Column, emb: Column): Column =
+    array_max(transform(cents, c =>
+      struct(
+        VectorExpressions.cosine_similarity(emb, c.getField("cemb"))
+          .as("cos_c"),
+        (-c.getField("cid")).as("neg_cid"),
+        c.getField("cid").as("cid"))))
+
+  /** The frozen 16-centroid broadcast array (ivf07's quantizer). */
+  private def h4CentArr(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 211 =!= 0).orderBy("vec_id").limit(CELLS)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cemb")))).as("cents"))
+
+  /** Per-bucket layer-l NSW edges (top-[[h3M]] kNN ∪ reverse,
+    * distinct) over `nodes(vec_id, embedding, bkt)` — the one edge
+    * function setup, recompute, and the oracle all share. */
+  private def h4LayerEdges(nodes: DataFrame, l: Int): DataFrame = {
+    val a = nodes.select(col("bkt"), col("vec_id").as("src"),
+      col("embedding").as("se"))
+    val b = nodes.select(col("bkt").as("bb"), col("vec_id").as("dst"),
+      col("embedding").as("de"))
+    val knn = graft.plans.TopKPerGroup.perGroup(
+      a.join(b, col("bkt") === col("bb") && col("src") =!= col("dst"))
+        .select(col("bkt"), col("src"), col("dst"),
+          VectorExpressions.cosine_similarity(col("se"), col("de"))
+            .as("cos_e")),
+      Seq(col("src")), struct(col("cos_e"), -col("dst")), k = h3M(l))
+      .select(col("bkt"), col("src"), col("dst"))
+    knn.union(knn.select(col("bkt"), col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+  }
+
+  /** Build + persist the BASE ladder once per (session, sf dir): base
+    * nodes (id, embedding, frozen cell, level) and per-layer edges
+    * keyed by bucket, partitioned by layer — the stored index the
+    * timed upsert carries unaffected buckets from. */
+  def h4IndexDir(s: SparkSession, d: String): String =
+    h4Dirs.synchronized {
+      h4Dirs.getOrElseUpdate((s, d), {
+        val dir = graft.Scratch.dir("graft_hn04_")
+        graft.Phases.timed("hn04_hnsw_upsert", "setup") {
+          VectorExpressions.register(s)
+          val e = Tables.embeddings(s, d)
+          e.filter(col("vec_id") % 211 =!= 0)
+            .select(col("vec_id"), col("embedding"))
+            .crossJoin(broadcast(h4CentArr(e)))
+            .withColumn("best", h4Argmax(col("cents"), col("embedding")))
+            .select(col("vec_id"), col("embedding"),
+              col("best.cid").as("cid"))
+            .withColumn("lvl", h4LevelCol)
+            .write.mode("overwrite").parquet(s"$dir/nodes")
+          val nodes = s.read.parquet(s"$dir/nodes")
+          (0 to H4Lmax).map { l =>
+            val div = math.pow(4, l).toLong
+            h4LayerEdges(nodes.filter(col("lvl") >= l)
+              .withColumn("bkt",
+                floor(col("cid") / div).cast(LongType)), l)
+              .withColumn("layer", lit(l))
+          }.reduce(_ unionByName _)
+            .write.mode("overwrite").partitionBy("layer")
+            .parquet(s"$dir/edges")
+        }
+        dir
+      })
+    }
+
+  val hn04HnswUpsert: GraftQuery = {
+    def censusSql(l: Int): String = {
+      val div = math.pow(4, l).toLong
+      s"""c$l AS (
+         |  SELECT $l AS layer,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ln$l) AS n_nodes,
+         |    (SELECT CAST(COUNT(DISTINCT bkt) AS BIGINT) FROM ln$l) AS n_buckets,
+         |    (SELECT CAST(COUNT(DISTINCT a.cid // $div) AS BIGINT)
+         |     FROM assigned a JOIN lvl ON lvl.vec_id = a.vec_id
+         |       AND lvl.lvl >= $l
+         |     WHERE a.vec_id % 211 = 0) AS n_affected,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$l) AS n_edges,
+         |    (SELECT CAST(SUM(src * 1000003 + dst) AS BIGINT) FROM e$l)
+         |      AS edge_sum)""".stripMargin
+    }
+    q("hn04_hnsw_upsert",
+      "incremental HNSW-ladder upsert: delta levels+cells under a frozen quantizer, per-layer edge rebuild only in affected buckets ≡ full rebuild (edge checksum)",
+      s"""WITH normed AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, SQRT(${sqlNorm2("e")}) AS nrm
+         |  FROM embeddings e),
+         |centroids AS MATERIALIZED (
+         |  SELECT vec_id AS cid, embedding, nrm AS cnrm FROM normed
+         |  WHERE vec_id % 211 <> 0 ORDER BY vec_id LIMIT $CELLS),
+         |scored0 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ${sqlDot("v", "c")} / (v.nrm * c.cnrm) AS cos_c
+         |  FROM normed v CROSS JOIN centroids c),
+         |scored AS (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_c DESC, cid) AS rc
+         |  FROM scored0),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM scored WHERE rc = 1),
+         |lvl AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM (SELECT vec_id, $sqlH3Hash AS h FROM normed)),
+         |${(0 to H4Lmax).map(sqlH3LayerEdges).mkString(",\n")},
+         |${(0 to H4Lmax).map(censusSql).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT * FROM c0 UNION ALL SELECT * FROM c1
+         |  UNION ALL SELECT * FROM c2)
+         |ORDER BY layer""".stripMargin) { (s, d) =>
+      VectorExpressions.register(s)
+      val dir = h4IndexDir(s, d)
+      val e = Tables.embeddings(s, d)
+      // the genuinely-new work: assign + level the DELTA under the
+      // frozen quantizer (16-row broadcast, map-side argmax)
+      val delta = e.filter(col("vec_id") % 211 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(h4CentArr(e)))
+        .withColumn("best", h4Argmax(col("cents"), col("embedding")))
+        .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
+        .withColumn("lvl", h4LevelCol)
+      // ONE plan for all layers (the per-layer Scala loop cost 5 s in
+      // pure stage barriers at sf0.1 — 3 layers × ~6 tiny stages):
+      // a node at level L participates in layers 0..L, so explode by
+      // layer once and let (layer, bkt) be the bucket key everywhere.
+      def byLayer(df: DataFrame): DataFrame =
+        df.withColumn("layer", explode(sequence(lit(0), col("lvl"))))
+          .withColumn("bkt",
+            floor(col("cid") / expr("shiftleft(1L, layer * 2)"))
+              .cast(LongType))
+          .select(col("layer"), col("bkt"), col("vec_id"), col("embedding"))
+      val lnD = byLayer(delta)
+      val ln = byLayer(s.read.parquet(s"$dir/nodes")).unionByName(lnD)
+        .pinnedLazily // members semi-join + node census read it
+      val affected = lnD.select(col("layer"), col("bkt")).distinct()
+      // recompute ONLY affected buckets, over base∪delta members —
+      // per (layer, src) top-h3M(layer): M0=2M at the base layer
+      val members = ln.join(broadcast(affected),
+        Seq("layer", "bkt"), "left_semi")
+      val pairs = members
+        .select(col("layer"), col("bkt"), col("vec_id").as("src"),
+          col("embedding").as("se"))
+        .join(members.select(col("layer").as("lb"), col("bkt").as("bb"),
+            col("vec_id").as("dst"), col("embedding").as("de")),
+          col("layer") === col("lb") && col("bkt") === col("bb")
+            && col("src") =!= col("dst"))
+        .select(col("layer"), col("bkt"), col("src"), col("dst"),
+          VectorExpressions.cosine_similarity(col("se"), col("de"))
+            .as("cos_e"))
+      val w = Window.partitionBy(col("layer"), col("src"))
+        .orderBy(col("cos_e").desc, col("dst"))
+      val knn = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= when(col("layer") === 0, 2 * HnM)
+          .otherwise(HnM))
+        .select(col("layer"), col("bkt"), col("src"), col("dst"))
+      val rec = knn.union(knn.select(col("layer"), col("bkt"),
+        col("dst").as("src"), col("src").as("dst"))).distinct()
+      // carry every unaffected bucket's stored edges verbatim
+      val carried = s.read.parquet(s"$dir/edges")
+        .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
+        .select(col("layer"), col("bkt"), col("src"), col("dst"))
+      val edges = carried.unionByName(rec)
+      val eAgg = edges.groupBy(col("layer"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("src") * lit(1000003L) + col("dst"))
+            .cast(LongType).as("edge_sum"))
+      val nAgg = ln.groupBy(col("layer"))
+        .agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("bkt")).as("n_buckets"))
+      val aAgg = affected.groupBy(col("layer"))
+        .agg(count(lit(1)).as("n_affected"))
+      // left join + fill: a layer can legitimately have ZERO affected
+      // buckets (no delta node drew that level) — carried-only there
+      nAgg.join(eAgg, Seq("layer"))
+        .join(aAgg, Seq("layer"), "left")
+        .na.fill(0L, Seq("n_affected"))
+        .select(col("layer"), col("n_nodes"), col("n_buckets"),
+          col("n_affected"), col("n_edges"), col("edge_sum"))
+        .orderBy("layer")
+    }
+  }
+
   /** Product quantization + ADC search (Jégou et al. 2011) — the
     * memory-cheapening axis IVF doesn't cover: each vector's 64 dims
     * split into M=4 subspaces of 16; every subspace has its own
@@ -1776,5 +1994,6 @@ object IvfQueries {
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
       ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
-      hn02GraphServing, hn03HnswAnn, pq01AdcSearch, tm01TripletMining)
+      hn02GraphServing, hn03HnswAnn, hn04HnswUpsert, pq01AdcSearch,
+      tm01TripletMining)
 }

@@ -88,7 +88,7 @@ object MvQueries {
       s"$p|$fact|${mv.dims.mkString(",")}|$meas"
     }
     val needsBuild = defs.exists(mv => !built.containsKey(s"$d#${mv.id}"))
-    val entries = if (needsBuild) Phases.timed(trigger, "write")(specs())
+    val entries = if (needsBuild) Phases.timed(trigger, "setup")(specs())
                   else specs()
     entries.mkString(";")
   }
