@@ -146,4 +146,26 @@ class IvfSpec extends AnyFunSuite {
     assert(rows.length == 15, "3 queries x top-5")
     assert(rows.forall(_.getLong(2) >= 0L), "ADC distances are non-negative")
   }
+
+  test("hn04: the upsert's carry path is real — some buckets carried, census self-consistent") {
+    // the VALUES are oracle-checked (census ≡ full rebuild); this pins
+    // the harness property the oracle cannot see: if the delta split
+    // ever widens so every bucket has a delta member again (the
+    // vacuous-carry regression the %10 split had), n_affected ==
+    // n_buckets and the incremental path silently degrades to a full
+    // rebuild while staying green
+    val rows = SparkEntry.queries("hn04_hnsw_upsert")(spark, sf).collect()
+    assert(rows.length == 3, "one census row per ladder layer")
+    val base = rows.find(_.getInt(0) == 0).get
+    assert(base.getLong(3) < base.getLong(2),
+      s"base layer must CARRY some buckets (affected ${base.getLong(3)} " +
+        s"of ${base.getLong(2)}) — a delta touching every bucket makes " +
+        "the upsert a disguised full rebuild")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        "affected buckets are a subset of the layer's buckets")
+      assert(r.getLong(1) >= r.getLong(2),
+        "at least one node per non-empty bucket")
+    }
+  }
 }
