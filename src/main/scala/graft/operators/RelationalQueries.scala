@@ -2234,11 +2234,71 @@ object RelationalQueries {
       .orderBy("cntrycode")
   }
 
+  /** TPC-H Q2 shape — a correlated scalar-MIN subquery over a derived
+    * table the outer query ALSO reads ("the region's cheapest supplier
+    * per part"), driven through the SQL-PARSER path (temp views +
+    * `spark.sql`) so Catalyst's decorrelation is what's under test:
+    * the correlated `= (SELECT MIN(..) WHERE e2.partkey = e.partkey)`
+    * must rewrite to an aggregate + equi-join, never a per-row
+    * subplan. Numerics are exact by construction: MIN over doubles is
+    * order-independent (no accumulation), so the equality probe can't
+    * drift cross-engine. */
+  val q61MinCostSupplier: GraftQuery = {
+    def text(li: String, su: String, na: String, re: String) =
+      s"""WITH supply AS (
+         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         |    MIN(l_extendedprice) AS cost
+         |  FROM $li GROUP BY 1, 2),
+         |esupply AS (
+         |  SELECT sp.partkey, sp.suppkey, sp.cost, s.s_name
+         |  FROM supply sp JOIN $su s ON s.s_suppkey = sp.suppkey
+         |  JOIN $na n ON n.n_nationkey = s.s_nationkey
+         |  JOIN $re r ON r.r_regionkey = n.n_regionkey
+         |    AND r.r_name = 'EUROPE')
+         |SELECT partkey, suppkey, s_name, CAST(cost AS DOUBLE) AS cost
+         |FROM esupply e
+         |WHERE e.cost = (SELECT MIN(e2.cost) FROM esupply e2
+         |                WHERE e2.partkey = e.partkey)
+         |ORDER BY partkey, suppkey""".stripMargin
+    q("q61_min_cost_supplier",
+      "Q2-style: correlated scalar-MIN over a twice-read derived table, SQL-parser path (decorrelation under test)",
+      text("lineitem", "supplier", "nation", "region")
+        .replace("esupply AS (", "esupply AS MATERIALIZED (")) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q2")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q2")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q2")
+      Tables.region(s, d).createOrReplaceTempView("region_q2")
+      // Spark INLINES a multi-referenced WITH clause into each reader
+      // (ScanAudit: every input x2, lineitem aggregated twice — 2.2 s
+      // at sf0.1 for a 0.7 s query), so the shared derived table is
+      // pinned ONCE behind a view — the cm01 discipline; DuckDB's
+      // MATERIALIZED keyword is the oracle-side twin. The correlated
+      // scalar-MIN probe still goes through the parser: decorrelation
+      // to an aggregate + equi-join is the planner shape under test.
+      s.sql(
+        """SELECT sp.partkey, sp.suppkey, sp.cost, s.s_name
+          |FROM (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+          |        MIN(l_extendedprice) AS cost
+          |      FROM lineitem_q2 GROUP BY 1, 2) sp
+          |JOIN supplier_q2 s ON s.s_suppkey = sp.suppkey
+          |JOIN nation_q2 n ON n.n_nationkey = s.s_nationkey
+          |JOIN region_q2 r ON r.r_regionkey = n.n_regionkey
+          |  AND r.r_name = 'EUROPE'""".stripMargin)
+        .pinned.createOrReplaceTempView("esupply_q2")
+      s.sql(
+        """SELECT partkey, suppkey, s_name, CAST(cost AS DOUBLE) AS cost
+          |FROM esupply_q2 e
+          |WHERE e.cost = (SELECT MIN(e2.cost) FROM esupply_q2 e2
+          |                WHERE e2.partkey = e.partkey)
+          |ORDER BY partkey, suppkey""".stripMargin)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     df01SnapshotDiff, q54OrcRoundtrip, q57AvroRoundtrip, q55NullAwareAnti,
     nj01ScaleSafeNotIn,
     q56RankStats, q58SoleFaultSupplier, q59TopRevenueSupplier,
-    q60CountryCodeProspects,
+    q60CountryCodeProspects, q61MinCostSupplier,
     cdc01Scd2Merge,
     ap01ApproxQuantiles, qs01KllQuantiles,
     q47WriteRoundtrip, q48BucketedJoin, q49Compaction,
