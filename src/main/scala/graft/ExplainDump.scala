@@ -90,6 +90,10 @@ object ExplainDump {
       "Graph-ANN serving: the NSW index (edges repartitioned by src, hubs with embeddings, id->vector fetch table) persists ONCE per session/dir (bench reports it as setup_write) and the timed plan is pure search — hub entry scan x broadcast(queries), HnH beam rounds whose every join broadcasts only beam-bounded candidate lists against storage-side fetch joins. The serving fleet shape: index offline, answer online.",
     "hn03_hnsw_ann" ->
       "Multi-layer HNSW serving: the ladder's edges persist partitioned BY LAYER, so every descent round's scan is one layer partition (partition pruning on `layer`); each of the log₄(cells) descent rounds joins that slice against a BROADCAST front of ≤ NQ·E candidates and scores via storage-side fetch joins (vecs looked up by id, the corpus is never rescanned); per-round frames are LogicalRDD-truncated so round-N plans stay round-sized. Search cost follows ladder depth, not corpus size — measured 6.2 → 13.7 s across a 1000× corpus growth (BENCH_1000X_hn03_r12.json).",
+    "hn04_hnsw_upsert" ->
+      "Incremental ladder upsert as ONE fused plan: the delta assigns+levels against a 16-row broadcast codebook map-side; nodes explode to their layers once and (layer, bucket) keys every join; the affected-bucket recompute is a semi-join-bounded self-join, the carry is a broadcast ANTI join against the stored per-layer edges (partition-pruned by layer), and the census is two 3-row groupBys — the corpus is never rescanned and no stage depends on layer count sequentially.",
+    "q61_min_cost_supplier" ->
+      "TPC-H Q2 shape through the SQL parser: the correlated `= (SELECT MIN(..) WHERE same part)` probe decorrelates to a partial+final MIN aggregate joined back on the correlation key — no per-row subplan, no BroadcastNestedLoopJoin (PlanSpec pins it). The twice-read derived table is pinned once (InMemoryTableScan on both readers) because Spark inlines multi-referenced WITH clauses; DuckDB's MATERIALIZED is the oracle-side twin.",
     "mm09_video_decode" ->
       "Real video container walk: Y4M header tags, FRAME markers, planar reads and every-3rd-frame sampling all inside ONE mapPartitions pass (per-byte linear, one parser per partition); only the final ORDER BY exchanges - a 2-hour video contributes its sampled frames, never 200k rows.",
     "mm08_phash_neardup" ->

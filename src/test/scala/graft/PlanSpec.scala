@@ -538,4 +538,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("array_intersect"),
       "verification must be the per-row rank-array intersect\n" + p.take(3000))
   }
+
+  test("q61: correlated scalar-MIN decorrelates to an aggregate + equi-join (no per-row subplan)") {
+    val p = plan("q61_min_cost_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the correlated = (SELECT MIN..) probe must decorrelate, never " +
+        "plan a nested-loop per-row subquery\n" + p.take(3000))
+    // the decorrelated MIN appears as a real aggregate joined back on
+    // the correlation key — two HashAggregates (partial+final) beyond
+    // the supply build, and the probe join is hash- or sort-merge
+    assert("min\\(".r.findFirstIn(p.toLowerCase).isDefined,
+      "expected the decorrelated MIN aggregate in the physical plan\n" +
+        p.take(3000))
+  }
 }
