@@ -31,19 +31,24 @@ object PairGuard {
   val ConfKey = "spark.graft.pairGuard.maxPairs"
   val Default = 20000000L
 
-  /** PASSED verdicts, keyed by (session, caller, input-plan semantic
-    * hash, budget): the bound is a pure function of the input frame,
-    * so a frame that passed once cannot fail later — re-running the
-    * eager aggregate on every DataFrame build made the guard the
+  /** PASSED verdicts, keyed by (session, caller, input-plan
+    * semantic hash, budget): the bound is a pure function of the input
+    * frame, so a frame that passed once cannot fail later — re-running
+    * the eager aggregate on every DataFrame build made the guard the
     * dominant cost of small pair queries (dd03: 0.43 → 0.75 s/run at
     * sf0.1; the bench rebuilds the frame per timed run). The semantic
     * hash distinguishes corpus dirs and the budget rides the key, so
     * a tightened budget or a different input re-checks — exceeded
     * budgets are never memoized and abort every build (fail-fast is
     * the contract). Same static-input discipline as NullAwareAnti's
-    * documented build-time gate. */
+    * documented build-time gate. Plan hashes ride as Long so the
+    * two-plan cross-product key below can pack both sides
+    * collision-free. Keying by the session object retains sessions
+    * for the JVM lifetime — the same bounded retention as every
+    * memoized index/MV builder in this engine (h3Dirs et al.), and
+    * sessions here number in the tens per process. */
   private val passed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(org.apache.spark.sql.SparkSession, String, Int, Long)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(org.apache.spark.sql.SparkSession, String, Long, Long)]()
 
   /** Abort with a diagnostic if Σ_key c·(c−1)/2 over `keyed` grouped
     * by `keys` exceeds the budget. `query` names the caller in the
@@ -53,7 +58,7 @@ object PairGuard {
     val budget = keyed.sparkSession.conf.get(ConfKey, Default.toString).toLong
     if (budget <= 0) return
     val memoKey = (keyed.sparkSession, query,
-      keyed.queryExecution.analyzed.semanticHash(), budget)
+      keyed.queryExecution.analyzed.semanticHash().toLong, budget)
     if (passed.contains(memoKey)) return
     val est = keyed.groupBy(keys: _*).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("p2"))
@@ -78,10 +83,13 @@ object PairGuard {
       alternative: String): Unit = {
     val budget = left.sparkSession.conf.get(ConfKey, Default.toString).toLong
     if (budget <= 0) return
-    // same pass-memo as check(): both input plans key the verdict
+    // same pass-memo as check(): both input plans key the verdict —
+    // packed into one Long (high 32 bits left, low 32 right), so
+    // distinct (left, right) pairs can never collide
     val memoKey = (left.sparkSession, query,
-      left.queryExecution.analyzed.semanticHash() * 31
-        + right.queryExecution.analyzed.semanticHash(), budget)
+      (left.queryExecution.analyzed.semanticHash().toLong << 32)
+        | (right.queryExecution.analyzed.semanticHash().toLong & 0xffffffffL),
+      budget)
     if (passed.contains(memoKey)) return
     val est = BigInt(left.count()) * BigInt(right.count())
     if (est <= BigInt(budget)) { passed.add(memoKey); return }

@@ -33,7 +33,12 @@ import org.apache.spark.sql.types._
   */
 object AvroIO {
 
-  /** Avro record schema JSON mirroring a flat StructType. */
+  /** Avro record schema JSON mirroring a flat StructType. A nullable
+    * Spark field maps to the Avro `["null", T]` union (with a null
+    * default) — without it a single null value would kill the write
+    * job deep inside a task (GenericDatumWriter NPE) instead of being
+    * a representable value; Avro unions are the standard nullable
+    * encoding, and the read path already passes nulls through. */
   def avroSchemaJson(st: StructType): String = {
     val fields = st.fields.map { f =>
       val t = f.dataType match {
@@ -46,7 +51,9 @@ object AvroIO {
           s"AvroIO: unsupported field type $other for '${f.name}' " +
             "(scalar interop subset: string/double/long/int/boolean)")
       }
-      s"""{"name":"${f.name}","type":$t}"""
+      if (f.nullable)
+        s"""{"name":"${f.name}","type":["null",$t],"default":null}"""
+      else s"""{"name":"${f.name}","type":$t}"""
     }
     s"""{"type":"record","name":"graft_record","namespace":"graft",
        |"fields":[${fields.mkString(",")}]}""".stripMargin.replace("\n", "")
@@ -72,22 +79,36 @@ object AvroIO {
   }
 
   /** Read back with an EXPLICIT schema (interop contract: the reader
-    * declares what it expects; a field the files lack fails fast in
-    * the record getter rather than silently nulling). */
+    * declares what it expects). Every record's writer schema is
+    * checked to CONTAIN the expected fields before any value is read —
+    * `GenericData.Record.get(name)` returns null for an UNKNOWN field
+    * name (it never throws), which would otherwise silently fill a
+    * declared-non-nullable column with nulls. */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val names = schema.fieldNames
     val rows = spark.sparkContext.hadoopFile(
       dir, classOf[AvroInputFormat[GenericRecord]],
       classOf[AvroWrapper[GenericRecord]], classOf[NullWritable])
-      .mapPartitions(_.map { case (k, _) =>
-        val rec = k.datum()
-        Row.fromSeq(names.toSeq.map { n =>
-          rec.get(n) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case v => v
+      .mapPartitions { it =>
+        var checked: Schema = null // one schema check per writer schema
+        it.map { case (k, _) =>
+          val rec = k.datum()
+          if (!(rec.getSchema eq checked)) {
+            val missing = names.filter(rec.getSchema.getField(_) == null)
+            if (missing.nonEmpty) throw new IllegalArgumentException(
+              s"AvroIO: expected field(s) ${missing.mkString(", ")} absent " +
+                s"from the files' writer schema ${rec.getSchema.getFullName}" +
+                " — the record getter would silently null them")
+            checked = rec.getSchema
           }
-        })
-      })
+          Row.fromSeq(names.toSeq.map { n =>
+            rec.get(n) match {
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case v => v
+            }
+          })
+        }
+      }
     spark.createDataFrame(rows, schema)
   }
 }
