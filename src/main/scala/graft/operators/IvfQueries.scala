@@ -1730,7 +1730,11 @@ object IvfQueries {
       // argmax — the timed path never derives index fixtures)
       val delta = e.filter(col("vec_id") % 211 === 0)
         .select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(s.read.parquet(s"$dir/cents")))
+        // .limit(1) restates the bound structurally: the cents file IS
+        // one row (an argless aggregate wrote it), but a bare parquet
+        // scan is unbounded to CrossJoinLint's estimator — the limit
+        // makes the scalar-join idiom provable again, at zero cost
+        .crossJoin(broadcast(s.read.parquet(s"$dir/cents").limit(1)))
         .withColumn("best", h4Argmax(col("cents"), col("embedding")))
         .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
         .withColumn("lvl", h4LevelCol)
