@@ -68,21 +68,32 @@ object Bench {
     // elapsed above is the whole round trip; "write" is the phase the
     // query recorded on its last timed run, "read" the remainder.
     val phases = results.flatMap { case (k, v, _) =>
-      // memoized one-time builders (index/MV/base-contraction caches)
-      // record an explicit "setup" phase: it ran during warm-up only,
-      // so the timed elapsed is pure read — no inference needed
-      val setup = graft.Phases.get(k, "setup").filter(_ => v >= 0).map {
-        sw => s"\"$k\":{\"setup_write\":$sw,\"read\":$v}"
+      if (v < 0) None
+      else {
+        // memoized one-time builders (index/MV/base-contraction
+        // caches) record an explicit "setup" phase: it ran during
+        // warm-up only, so the timed elapsed excludes it. A query may
+        // ALSO record a per-timed-run "write" phase — both keys are
+        // emitted then (folding write into "read" because a setup key
+        // exists would silently mis-attribute the artifact).
+        val setup = graft.Phases.get(k, "setup")
+        val write = graft.Phases.get(k, "write")
+        (setup, write) match {
+          case (Some(sw), Some(w)) if w <= v =>
+            Some(s"""\"$k\":{\"setup_write\":$sw,\"write\":$w,\"read\":${math.max(0.0, v - w)}}""")
+          case (Some(sw), _) =>
+            Some(s"""\"$k\":{\"setup_write\":$sw,\"read\":$v}""")
+          case (None, Some(w)) if w <= v =>
+            Some(s"""\"$k\":{\"write\":$w,\"read\":${math.max(0.0, v - w)}}""")
+          case (None, Some(w)) =>
+            // write phase larger than the timed elapsed ⇒ the write
+            // ran during WARM-UP only but predates the explicit setup
+            // key: report it as setup so the artifact doesn't imply
+            // every timed run paid it
+            Some(s"""\"$k\":{\"setup_write\":$w,\"read\":$v}""")
+          case (None, None) => None
+        }
       }
-      setup.orElse(graft.Phases.get(k, "write").filter(_ => v >= 0).map { w =>
-        if (w <= v) s"\"$k\":{\"write\":$w,\"read\":${math.max(0.0, v - w)}}"
-        else
-          // write phase larger than the timed elapsed ⇒ the write ran
-          // during WARM-UP only but predates the explicit setup key:
-          // report it as setup so the artifact doesn't imply every
-          // timed run paid it
-          s"\"$k\":{\"setup_write\":$w,\"read\":$v}"
-      })
     }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -776,6 +776,15 @@ object IvfQueries {
     cellsMemo.getOrElseUpdate((s, d),
       math.max(16L, (Tables.embeddings(s, d).count() + 127L) / 128L))
 
+  /** Spec access to the runtime ladder depth: hn03's (and hn05's)
+    * ORACLE SQL is unrolled at LMAX = 2, while the engine derives
+    * lmax from the corpus at runtime — IvfSpec pins the two equal on
+    * every oracle-compared corpus dir, so a corpus-size change fails
+    * loudly as a spec assert instead of surfacing as an opaque verify
+    * hash mismatch. */
+  private[graft] def oracleLadderDepth(s: SparkSession, d: String): Int =
+    h3Lmax(dynCells(s, d))
+
   /** Engine-side twin of [[sqlAssignDyn]]'s hierarchical assignment:
     * both stages are the map-side broadcast-array argmax idiom of
     * [[assignedDf]] — stage 1 against the ⌈ncells/128⌉ representative
@@ -1499,14 +1508,17 @@ object IvfQueries {
       // planning alone took 18 s / 32 MB task binaries with plain
       // persist. Same mandatory-truncation rationale as
       // starContraction's loop; reliable checkpoint when a dir is set.
-      // LAZY (eager=false): the returned frame is a LogicalRDD either
-      // way — the plan is round-sized immediately — but lazy folds the
-      // materialization into the next round's broadcast job instead of
-      // paying a separate count() job per round (timing-neutral here —
-      // the broadcast barrier dominates — but one fewer scheduled job
-      // per round and no behavior change).
+      // LOCAL branch is LAZY (eager=false): the returned frame is a
+      // LogicalRDD either way — the plan is round-sized immediately —
+      // and lazy folds the materialization into the next round's
+      // broadcast job instead of paying a separate count() job per
+      // round. The RELIABLE branch stays EAGER: checkpoint(false) on
+      // an un-persisted frame makes Spark recompute the round's whole
+      // plan in a separate job when it writes the checkpoint files —
+      // a 2× compute tax, not a saving — so when a checkpoint dir is
+      // set the one extra count() job is the cheaper trade.
       def truncate(df: DataFrame): DataFrame =
-        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(false)
+        if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
         else df.localCheckpoint(false)
       // greedy descent: an ef=E front from the entry, ONE 2-ball step
       // per layer

@@ -32,23 +32,38 @@ object PairGuard {
   val Default = 20000000L
 
   /** PASSED verdicts, keyed by (session, caller, input-plan
-    * semantic hash, budget): the bound is a pure function of the input
+    * digest, budget): the bound is a pure function of the input
     * frame, so a frame that passed once cannot fail later — re-running
     * the eager aggregate on every DataFrame build made the guard the
     * dominant cost of small pair queries (dd03: 0.43 → 0.75 s/run at
-    * sf0.1; the bench rebuilds the frame per timed run). The semantic
-    * hash distinguishes corpus dirs and the budget rides the key, so
+    * sf0.1; the bench rebuilds the frame per timed run). The plan
+    * digest distinguishes corpus dirs and the budget rides the key, so
     * a tightened budget or a different input re-checks — exceeded
     * budgets are never memoized and abort every build (fail-fast is
-    * the contract). Same static-input discipline as NullAwareAnti's
-    * documented build-time gate. Plan hashes ride as Long so the
-    * two-plan cross-product key below can pack both sides
-    * collision-free. Keying by the session object retains sessions
-    * for the JVM lifetime — the same bounded retention as every
-    * memoized index/MV builder in this engine (h3Dirs et al.), and
-    * sessions here number in the tens per process. */
+    * the contract). Plans key by a 128-bit MD5 of the CANONICALIZED
+    * plan string, not the 32-bit `semanticHash`: this memo skips a
+    * fail-fast SAFETY guard, so a same-session Int collision would
+    * silently disarm it — the digest makes that class unreachable.
+    * STATIC-INPUT ASSUMPTION (same as NullAwareAnti's documented
+    * build-time gate): the key identifies the plan, not the bytes
+    * under it, so a caller scanning a mutable scratch dir whose
+    * contents change under an unchanged path must not rely on the
+    * memo — no registry caller does; every guarded input is a fixture
+    * of the static testdata corpus. Keying by the session object
+    * retains sessions for the JVM lifetime — the same bounded
+    * retention as every memoized index/MV builder in this engine
+    * (h3Dirs et al.), and sessions here number in the tens per
+    * process. */
   private val passed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(org.apache.spark.sql.SparkSession, String, Long, Long)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(org.apache.spark.sql.SparkSession, String, String, Long)]()
+
+  /** 128-bit hex digest of the canonicalized analyzed plan — the
+    * collision-proof replacement for `semanticHash` in memo keys. */
+  private def planDigest(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** Abort with a diagnostic if Σ_key c·(c−1)/2 over `keyed` grouped
     * by `keys` exceeds the budget. `query` names the caller in the
@@ -57,8 +72,7 @@ object PairGuard {
       alternative: String): Unit = {
     val budget = keyed.sparkSession.conf.get(ConfKey, Default.toString).toLong
     if (budget <= 0) return
-    val memoKey = (keyed.sparkSession, query,
-      keyed.queryExecution.analyzed.semanticHash().toLong, budget)
+    val memoKey = (keyed.sparkSession, query, planDigest(keyed), budget)
     if (passed.contains(memoKey)) return
     val est = keyed.groupBy(keys: _*).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("p2"))
@@ -84,12 +98,10 @@ object PairGuard {
     val budget = left.sparkSession.conf.get(ConfKey, Default.toString).toLong
     if (budget <= 0) return
     // same pass-memo as check(): both input plans key the verdict —
-    // packed into one Long (high 32 bits left, low 32 right), so
-    // distinct (left, right) pairs can never collide
+    // the two digests concatenate, so distinct (left, right) pairs
+    // can never collide
     val memoKey = (left.sparkSession, query,
-      (left.queryExecution.analyzed.semanticHash().toLong << 32)
-        | (right.queryExecution.analyzed.semanticHash().toLong & 0xffffffffL),
-      budget)
+      planDigest(left) + planDigest(right), budget)
     if (passed.contains(memoKey)) return
     val est = BigInt(left.count()) * BigInt(right.count())
     if (est <= BigInt(budget)) { passed.add(memoKey); return }

@@ -44,6 +44,21 @@ class IvfSpec extends AnyFunSuite {
       .select("query_id", "cand_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
 
+  test("hn03/hn05 oracle unroll depth: every oracle-compared corpus derives LMAX = 2") {
+    // the oracle SQL hard-unrolls the ladder at LMAX = 2; the engine
+    // derives lmax from the corpus count. If testdata ever grows past
+    // 2048 embeddings (16 cells), this fails HERE with a clear message
+    // instead of as an opaque verify hash mismatch.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val lmax = IvfQueries.oracleLadderDepth(spark, dir)
+      assert(lmax == 2,
+        s"$dir derives ladder depth $lmax but the hn03/hn05 oracle SQL " +
+          "is unrolled at LMAX = 2 — re-unroll the oracle before trusting " +
+          "the verify compare on this corpus")
+    }
+  }
+
   test("multi-probe recall >= probe-1 recall, both positive") {
     val r1 = recall(resultPairs("ivf02_probe_search"))
     val rp = recall(resultPairs("ivf04_multiprobe"))
