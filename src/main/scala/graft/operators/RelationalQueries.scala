@@ -2294,11 +2294,77 @@ object RelationalQueries {
     }
   }
 
+  /** TPC-H Q17's decorrelation class: a correlated scalar-AVG
+    * THRESHOLD — each probe row compares against an aggregate of its
+    * own correlation group (`l_quantity < 0.2 · AVG over the part`).
+    * The planner shape under test: Spark must rewrite the per-row
+    * scalar subquery into ONE aggregate over lineitem grouped by the
+    * correlation key plus an equi-join back to the probe — a per-row
+    * re-aggregation (BNLJ / CartesianProduct) would be quadratic in
+    * the fact table and is pinned away in PlanSpec. Determinism:
+    * l_quantity is integer-valued, so AVG's internal sum is exact in
+    * both engines at any shuffle order; the revenue total rides the
+    * exact-decimal sum ([[Det]]) with one final cast. */
+  val q62SmallQtyRevenue: GraftQuery = {
+    // identical text runs in Spark SQL (engine, parser path — the
+    // decorrelation is what's under test) and DuckDB (oracle)
+    def text(li: String, pa: String) =
+      s"""SELECT ${Det.sqlDsum("l.l_extendedprice")} / 7.0 AS avg_yearly,
+         |  CAST(COUNT(*) AS BIGINT) AS n_small
+         |FROM $li l JOIN $pa p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#13'
+         |  AND l.l_quantity < (
+         |    SELECT 0.2 * AVG(l2.l_quantity) FROM $li l2
+         |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+    q("q62_small_qty_revenue",
+      "Q17-style: correlated scalar-AVG threshold, SQL-parser path (decorrelation to one aggregate + equi-join under test)",
+      text("lineitem", "part")) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q17")
+      Tables.part(s, d).createOrReplaceTempView("part_q17")
+      s.sql(text("lineitem_q17", "part_q17"))
+    }
+  }
+
+  /** TPC-H Q20's decorrelation class: nested IN whose body carries a
+    * correlated aggregate on TWO correlation keys — suppliers that
+    * shipped a widget part in a quantity above half that
+    * (part, supplier) pair's average. Three rewrites must compose:
+    * both INs plan as left-semi equi-joins and the two-key correlated
+    * scalar-AVG decorrelates to one grouped aggregate joined back on
+    * (l_partkey, l_suppkey). PlanSpec pins the no-per-row-subplan
+    * shape. Determinism: integer-valued quantities make the AVG exact;
+    * output is a key-ordered id/name list. */
+  val q63ExcessShipSuppliers: GraftQuery = {
+    def text(su: String, na: String, li: String, pa: String) =
+      s"""SELECT s.s_suppkey, s.s_name
+         |FROM $su s JOIN $na n ON n.n_nationkey = s.s_nationkey
+         |WHERE n.n_name LIKE 'NATION_1%'
+         |  AND s.s_suppkey IN (
+         |    SELECT l1.l_suppkey FROM $li l1
+         |    WHERE l1.l_partkey IN (
+         |        SELECT p_partkey FROM $pa WHERE p_name LIKE '%widget%')
+         |      AND l1.l_quantity > (
+         |        SELECT 0.5 * AVG(l2.l_quantity) FROM $li l2
+         |        WHERE l2.l_partkey = l1.l_partkey
+         |          AND l2.l_suppkey = l1.l_suppkey))
+         |ORDER BY s.s_suppkey""".stripMargin
+    q("q63_excess_ship_suppliers",
+      "Q20-style: nested IN + two-key correlated aggregate, SQL-parser path (semi joins + decorrelation under test)",
+      text("supplier", "nation", "lineitem", "part")) { (s, d) =>
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q20")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q20")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q20")
+      Tables.part(s, d).createOrReplaceTempView("part_q20")
+      s.sql(text("supplier_q20", "nation_q20", "lineitem_q20", "part_q20"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     df01SnapshotDiff, q54OrcRoundtrip, q57AvroRoundtrip, q55NullAwareAnti,
     nj01ScaleSafeNotIn,
     q56RankStats, q58SoleFaultSupplier, q59TopRevenueSupplier,
     q60CountryCodeProspects, q61MinCostSupplier,
+    q62SmallQtyRevenue, q63ExcessShipSuppliers,
     cdc01Scd2Merge,
     ap01ApproxQuantiles, qs01KllQuantiles,
     q47WriteRoundtrip, q48BucketedJoin, q49Compaction,

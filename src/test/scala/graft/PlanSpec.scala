@@ -539,6 +539,33 @@ class PlanSpec extends AnyFunSuite {
       "verification must be the per-row rank-array intersect\n" + p.take(3000))
   }
 
+  test("q62: correlated scalar-AVG threshold decorrelates to one aggregate + equi-join (no per-row re-aggregation)") {
+    val p = plan("q62_small_qty_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the l_quantity < 0.2*AVG(correlated) probe must decorrelate, " +
+        "never plan a per-row nested-loop subquery\n" + p.take(3000))
+    // the decorrelated AVG appears as a real grouped aggregate (over
+    // l_partkey) joined back to the probe side
+    assert("avg\\(".r.findFirstIn(p.toLowerCase).isDefined,
+      "expected the decorrelated AVG aggregate in the physical plan\n" +
+        p.take(3000))
+  }
+
+  test("q63: nested IN + two-key correlated aggregate plans as semi joins + one grouped aggregate") {
+    val p = plan("q63_excess_ship_suppliers")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "Q20's shape must fully decorrelate — no per-row subplan\n" +
+        p.take(3000))
+    assert(p.contains("LeftSemi"),
+      "both IN subqueries must plan as left-semi equi-joins\n" +
+        p.take(3000))
+    assert("avg\\(".r.findFirstIn(p.toLowerCase).isDefined,
+      "expected the two-key decorrelated AVG aggregate in the plan\n" +
+        p.take(3000))
+  }
+
   test("q61: correlated scalar-MIN decorrelates to an aggregate + equi-join (no per-row subplan)") {
     val p = plan("q61_min_cost_supplier")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
