@@ -237,6 +237,79 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** The 13-gram decontamination GATE published pipelines actually run
+    * (GPT-3 appendix C / PaLM-style): the middle ground between dc01
+    * (short shingles — chance collisions dominate) and dc02 (embedding
+    * space). At n = 13 a random token window almost never collides, so
+    * an overlapping gram is near-proof of true contamination (a copied
+    * eval passage) — on this corpus only the planted duplicate docs
+    * fire, exactly the published behavior. Differences from dc01, each
+    * load-bearing at scale:
+    *  - grams stream out of the native [[graft.plans.NGramExplode]]
+    *    Generator (no per-doc 13-gram ARRAY is materialized — a 13-way
+    *    concat per position would 13× the tokenized corpus in memory);
+    *  - the join key is a 64-bit gram FINGERPRINT (16 hex chars of
+    *    md5), not the ~90-char raw gram — the shuffle/broadcast
+    *    payload shrinks ~6× and the key is fixed-width;
+    *  - the corpus is tokenized and exploded ONCE (pinned) and both
+    *    the eval and corpus sides read that frame — one corpus pass;
+    *  - the output is a DECISION, not just an audit: dropped = overlap
+    *    above τ = 0.2 by exact integer cross-multiply (n_hit·5 >
+    *    n_grams — no fp boundary).
+    * Eval suites are KBs at any corpus scale, so the distinct eval
+    * fingerprint set broadcasts; the corpus side is one linear
+    * Generator pass + a per-doc count aggregate. */
+  val dc03NgramDecontam: GraftQuery = q(
+    "dc03_ngram_decontam",
+    "GPT-3-style 13-gram decontamination gate: fingerprinted eval n-grams vs corpus, overlap fraction + threshold drop",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ev AS (
+      |  SELECT DISTINCT substr(md5(g), 1, 16) AS gh FROM (
+      |    SELECT UNNEST(list_transform(generate_series(1, len(t) - 12),
+      |      i -> array_to_string(t[i:i+12], ' '))) AS g
+      |    FROM tok WHERE doc_id % 50 = 0 AND len(t) >= 13)),
+      |cs AS (
+      |  SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS gh FROM (
+      |    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 12),
+      |      i -> array_to_string(t[i:i+12], ' '))) AS g
+      |    FROM tok WHERE doc_id % 50 <> 0 AND len(t) >= 13)),
+      |scored AS (
+      |  SELECT cs.doc_id, COUNT(*) AS n_grams, COUNT(ev.gh) AS n_hit
+      |  FROM cs LEFT JOIN ev ON ev.gh = cs.gh
+      |  GROUP BY cs.doc_id)
+      |SELECT doc_id, n_grams, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap,
+      |  CAST(CASE WHEN n_hit * 5 > n_grams THEN 1 ELSE 0 END AS BIGINT)
+      |    AS dropped
+      |FROM scored WHERE n_hit > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.plans.VectorExpressions.register(s)
+    val N = 13
+    // ONE tokenize+explode pass feeds both sides (pinned): distinct
+    // (doc, fingerprint) pairs out of the streaming Generator
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= N)
+      .select(col("doc_id"),
+        graft.plans.VectorExpressions.ngram_explode(col("t"), N))
+      .select(col("doc_id"), substring(md5(col("gram")), 1, 16).as("gh"))
+      .distinct()
+      .pinned
+    val ev = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("gh")).distinct().withColumn("hit", lit(1))
+    val cs = grams.filter(col("doc_id") % 50 =!= 0)
+    cs.join(broadcast(ev), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("overlap"),
+        when(col("n_hit") * 5 > col("n_grams"), 1L).otherwise(0L)
+          .as("dropped"))
+      .orderBy("doc_id")
+  }
+
   /** The full curation funnel a training-data pipeline runs, as ONE
     * lineage: eval holdout → quality gate → exact dedup (keep-first) →
     * near-dup removal (shingle MinHash-LSH, keep-smallest-in-bucket) →
@@ -1142,6 +1215,7 @@ object CorpusQueries {
 
   val all: Seq[GraftQuery] = Seq(
     tx13Tfidf, tx14PmiBigrams, tx15Zipf, dc01Decontaminate,
+    dc03NgramDecontam,
     cc01CurationPipeline, pk01SequencePacking, mx01DomainMix,
     mx02TemperatureMix, qb01QualityBins, ir01ImportanceWeights,
     qc02ThresholdSweep, pk02PaddingCurve, mx03BudgetMix,
