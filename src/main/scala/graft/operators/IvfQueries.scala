@@ -1932,6 +1932,185 @@ object IvfQueries {
     }
   }
 
+  /** IVF-PQ COMPOSED SERVING (Jégou et al. 2011 §IV; the FAISS
+    * `IVFx,PQy` production shape) — the two axes this family built
+    * separately, joined: ivf's coarse cells bound WHICH candidates a
+    * query touches, pq's codes bound WHAT is read per candidate.
+    * Pipeline: coarse-assign the corpus to the 16 seed cells in the
+    * quantized integer space; encode every vector as M=4 PQ codes
+    * against the shared K=8 codebook (pq01's encoder); a query probes
+    * ONLY its own cell, ADC-scores the cell's members from their codes
+    * alone (M table lookups each — the raw corpus is never touched),
+    * keeps the top-C=20 by ADC through the k-bounded heap operator,
+    * and exact-reranks just those C on true quantized cosine for the
+    * final top-5.
+    *
+    * The memory claim this composition exists for: serving state per
+    * vector is M code bytes + a cell id — n·M bytes total (n·4 here)
+    * instead of n·d floats (n·256) — a 64× shrink; raw vectors are
+    * read back for exactly NQ·C rows at rerank, independent of the
+    * corpus. All ADC arithmetic is exact int64 on the ×1000 grid and
+    * the rerank cosine is one IEEE divide of exact integers, so codes,
+    * ADC sums, and the reranked order hash-match DuckDB. */
+  val pq02IvfPqSearch: GraftQuery = {
+    val M = 4 // subspaces
+    val K = 8 // codewords per subspace
+    val SUB = Dim / M
+    val NQ = 3 // query prefix
+    val C = 20 // ADC shortlist size fed to the exact rerank
+    def sqlQDot(a: String, b: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $b.q[$i]").mkString("(", " + ", ")")
+    def sqlQN2(a: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $a.q[$i]").mkString("(", " + ", ")")
+    def sqlQCos(a: String, b: String): String =
+      s"CAST(${sqlQDot(a, b)} AS DOUBLE) / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))"
+    def sqlSubDist(v: String, c: String, m: Int): String =
+      (m * SUB + 1 to (m + 1) * SUB).map(i =>
+        s"($v.q[$i] - $c.q[$i]) * ($v.q[$i] - $c.q[$i])")
+        .mkString("(", " + ", ")")
+    val codesCtes = (0 until M).map { m =>
+      s"""codes$m AS MATERIALIZED (
+         |  SELECT vec_id, k AS code$m FROM (
+         |    SELECT v.vec_id, c.k,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlSubDist("v", "c", m)} ASC, c.k) AS r
+         |    FROM qv v CROSS JOIN cb c) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val codesJoin = (1 until M)
+      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
+    val qdJoins = (1 until M).map(m =>
+      s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
+      .mkString("\n  ")
+    q("pq02_ivfpq_search",
+      s"IVF-PQ composed serving: probe-1 cell, ADC top-$C from codes only, exact rerank to top-5",
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qvn AS MATERIALIZED (
+         |  SELECT vec_id, q, ${sqlQN2("qv")} AS n2 FROM qv),
+         |cents AS MATERIALIZED (
+         |  SELECT vec_id AS cid, q, n2 FROM qvn WHERE vec_id < $CELLS),
+         |asg0 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlQCos("v", "c")} DESC, c.cid) AS rc
+         |  FROM qvn v CROSS JOIN cents c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM asg0 WHERE rc = 1),
+         |cb AS MATERIALIZED (SELECT vec_id AS k, q FROM qv WHERE vec_id < $K),
+         |$codesCtes,
+         |codes AS MATERIALIZED (
+         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
+         |  FROM codes0 $codesJoin),
+         |qd AS MATERIALIZED (
+         |  SELECT v.vec_id AS query_id, c.k,
+         |    ${(0 until M).map(m => s"${sqlSubDist("v", "c", m)} AS t$m").mkString(", ")}
+         |  FROM qv v CROSS JOIN cb c WHERE v.vec_id < $NQ),
+         |qa AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < $NQ),
+         |cand0 AS (
+         |  SELECT q0.query_id, x.vec_id AS cand_id,
+         |    ${(0 until M).map(m => s"q$m.t$m").mkString(" + ")} AS adc
+         |  FROM codes x
+         |  JOIN asg ax ON ax.vec_id = x.vec_id
+         |  JOIN qa ON qa.cid = ax.cid AND x.vec_id <> qa.query_id
+         |  JOIN qd q0 ON q0.query_id = qa.query_id AND q0.k = x.code0
+         |  $qdJoins),
+         |shortlist AS (
+         |  SELECT query_id, cand_id, adc FROM (
+         |    SELECT query_id, cand_id, adc,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc, cand_id) AS rc
+         |    FROM cand0) WHERE rc <= $C),
+         |rer AS (
+         |  SELECT t.query_id, t.cand_id, t.adc,
+         |    ${sqlQCos("vq", "vc")} AS qcos
+         |  FROM shortlist t
+         |  JOIN qvn vq ON vq.vec_id = t.query_id
+         |  JOIN qvn vc ON vc.vec_id = t.cand_id)
+         |SELECT query_id, cand_id, adc, qcos, rn FROM (
+         |  SELECT query_id, cand_id, adc, qcos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
+         |  FROM rer) WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val qv = quantizedDf(s, d) // (vec_id, q, n2)
+      def qdot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      def qcos(da: Column, na: Column, nb: Column): Column =
+        da.cast(DoubleType) /
+          (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+      // coarse assignment: ONE broadcast row of seed (cid, cq, cn2)
+      // structs, per-row argmax — assignedDf's idiom in the quantized
+      // space (zero corpus shuffle; ties to the smallest cid)
+      val centArr = qv.filter(col("vec_id") < CELLS)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
+      val asg = qv.crossJoin(broadcast(centArr))
+        .withColumn("best", array_max(transform(col("cents"), c =>
+          struct(
+            qcos(qdot(col("q"), c.getField("cq")), col("n2"),
+              c.getField("cn2")).as("cos_c"),
+            (-c.getField("cid")).as("neg_cid"),
+            c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+      // PQ encode (pq01's map-side shape): shared broadcast codebook,
+      // per-row argmin per subspace
+      val cbArr = qv.filter(col("vec_id") < K)
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").cast(IntegerType).as("k"), col("q").as("cq"))))
+          .as("cbs"))
+      def subDist(vq: Column, cq: Column, m: Int): Column =
+        aggregate(
+          zip_with(slice(vq, m * SUB + 1, SUB), slice(cq, m * SUB + 1, SUB),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      val coded = qv.crossJoin(broadcast(cbArr)).select(
+        col("vec_id") +:
+          (0 until M).map(m => array_min(transform(col("cbs"), c =>
+            struct(subDist(col("q"), c.getField("cq"), m).as("dist"),
+              c.getField("k").as("k"))))
+            .getField("k").as(s"code$m")): _*)
+      // the serving STATE: (vec_id, cid, code0..3) — n·M code bytes +
+      // a cell id per vector; pinned because the shortlist join and
+      // nothing else reads it (raw q is fetched only at rerank)
+      val index = coded.join(asg, Seq("vec_id")).pinned
+      val qd = qv.filter(col("vec_id") < NQ).crossJoin(broadcast(cbArr))
+        .select(
+          col("vec_id").as("query_id") +:
+            (0 until M).map(m => transform(col("cbs"),
+              c => subDist(col("q"), c.getField("cq"), m)).as(s"dt$m")): _*)
+      val qa = asg.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("cid").as("qcid"))
+        .join(broadcast(qd), Seq("query_id"))
+      // probe-1: candidates meet the query ONLY via the cell equi-join
+      val scored = index.join(broadcast(qa),
+          col("cid") === col("qcid") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          (0 until M).map(m =>
+            element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
+            .as("adc"))
+      val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
+        Seq(col("query_id")), struct(col("adc"), col("cand_id")),
+        k = C, desc = false)
+      // exact rerank on raw quantized vectors — NQ·C fetch rows only
+      val rer = shortlist
+        .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("n2").as("qn2")), Seq("query_id"))
+        .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("adc"),
+          qcos(qdot(col("qq"), col("cq")), col("qn2"), col("cn2"))
+            .as("qcos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qcos").desc, col("cand_id"))
+      rer.withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("adc"), col("qcos"),
+          col("rn"))
+        .orderBy("query_id", "rn")
+    }
+  }
+
   /** HARD-EXAMPLE TRIPLET MINING — the contrastive-training data op
     * (FaceNet/SimCLR-style batch construction): for each anchor, the
     * HARD POSITIVE (same label, LOWEST cosine — the most distant
@@ -2036,5 +2215,5 @@ object IvfQueries {
       ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
       hn02GraphServing, hn03HnswAnn, hn04HnswUpsert, pq01AdcSearch,
-      tm01TripletMining)
+      pq02IvfPqSearch, tm01TripletMining)
 }
