@@ -162,6 +162,28 @@ class IvfSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 0L), "ADC distances are non-negative")
   }
 
+  test("hn05: production-shape upsert exercises both paths — delta admitted, buckets carried") {
+    // values are oracle-checked (census ≡ full rebuild under the
+    // count-calibrated frozen quantizer); this pins the two harness
+    // properties the oracle can't see: the delta is non-empty (the
+    // incremental path actually admits something) and the base layer
+    // carries buckets (the recompute is not a disguised full rebuild)
+    val rows = SparkEntry.queries("hn05_ladder_upsert")(spark, sf).collect()
+    assert(rows.length == 3, "one census row per ladder layer (lmax=2)")
+    val base = rows.find(_.getInt(0) == 0).get
+    assert(base.getLong(3) > 0L,
+      "the %211 delta must land somewhere at the base layer")
+    assert(base.getLong(3) < base.getLong(2),
+      s"base layer must CARRY some buckets (affected ${base.getLong(3)} " +
+        s"of ${base.getLong(2)})")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        "affected buckets are a subset of the layer's buckets")
+      assert(r.getLong(1) >= r.getLong(2),
+        "at least one node per non-empty bucket")
+    }
+  }
+
   test("hn04: the upsert's carry path is real — some buckets carried, census self-consistent") {
     // the VALUES are oracle-checked (census ≡ full rebuild); this pins
     // the harness property the oracle cannot see: if the delta split
