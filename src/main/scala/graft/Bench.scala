@@ -34,15 +34,27 @@ object Bench {
       if (v < 0) "null" else v.toString
     }
     val loadStart = loadAvg
+    // Forcing function: run the query's OWN physical plan to the last
+    // row (toRdd.count walks the planned output without re-optimizing).
+    // A bare df.count() re-plans `count(1)` over the tree and Spark 4's
+    // optimizer is allowed to DELETE real work under it — an outer
+    // join onto a unique-key aggregate is pruned whole, which reduced
+    // the census-shaped queries (hn04/hn05/ivf07/sd01: per-layer audit
+    // frames LEFT-JOINed onto an anchor) to counting a 3-row Range.
+    // toRdd executes exactly what Verify writes and a consumer reads —
+    // every aggregate, join, and the final sort included.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     val results = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
       .sortBy(_._1).map { case (name, fn) =>
       // warm-up pass absorbs JIT/codegen/file-footer costs, then
       // median of `runs` steady-state executions
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // a failing query is reported as -1, never as a fast success
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
       val elapsed =

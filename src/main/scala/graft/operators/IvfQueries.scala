@@ -1765,25 +1765,33 @@ object IvfQueries {
         .pinnedLazily // members semi-join + node census read it
       val affected = lnD.select(col("layer"), col("bkt")).distinct()
       // recompute ONLY affected buckets, over base∪delta members —
-      // per (layer, src) top-h3M(layer): M0=2M at the base layer
+      // per (layer, src) top-h3M(layer) through the K-BOUNDED HEAP
+      // operator, never a window sort: the recompute pair set is the
+      // whole point of the incremental path, and a row_number window
+      // over it re-sorts every affected bucket's full pair list (the
+      // 100× probe measured the window variant SLOWER than the full
+      // rebuild, whose h4LayerEdges path always used the heaps). The
+      // layer-0 / upper-layer split mirrors h3M's M0 = 2M convention.
       val members = ln.join(broadcast(affected),
         Seq("layer", "bkt"), "left_semi")
-      val pairs = members
-        .select(col("layer"), col("bkt"), col("vec_id").as("src"),
-          col("embedding").as("se"))
-        .join(members.select(col("layer").as("lb"), col("bkt").as("bb"),
-            col("vec_id").as("dst"), col("embedding").as("de")),
-          col("layer") === col("lb") && col("bkt") === col("bb")
-            && col("src") =!= col("dst"))
-        .select(col("layer"), col("bkt"), col("src"), col("dst"),
-          VectorExpressions.cosine_similarity(col("se"), col("de"))
-            .as("cos_e"))
-      val w = Window.partitionBy(col("layer"), col("src"))
-        .orderBy(col("cos_e").desc, col("dst"))
-      val knn = pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= when(col("layer") === 0, 2 * HnM)
-          .otherwise(HnM))
-        .select(col("layer"), col("bkt"), col("src"), col("dst"))
+      def layerKnn(ms: DataFrame, k: Int): DataFrame = {
+        val pairs = ms
+          .select(col("layer"), col("bkt"), col("vec_id").as("src"),
+            col("embedding").as("se"))
+          .join(ms.select(col("layer").as("lb"), col("bkt").as("bb"),
+              col("vec_id").as("dst"), col("embedding").as("de")),
+            col("layer") === col("lb") && col("bkt") === col("bb")
+              && col("src") =!= col("dst"))
+          .select(col("layer"), col("bkt"), col("src"), col("dst"),
+            VectorExpressions.cosine_similarity(col("se"), col("de"))
+              .as("cos_e"))
+        graft.plans.TopKPerGroup.perGroup(pairs,
+          Seq(col("layer"), col("src")),
+          struct(col("cos_e"), -col("dst")), k = k)
+          .select(col("layer"), col("bkt"), col("src"), col("dst"))
+      }
+      val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
+        .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
       val rec = knn.union(knn.select(col("layer"), col("bkt"),
         col("dst").as("src"), col("src").as("dst"))).distinct()
       // carry every unaffected bucket's stored edges verbatim
@@ -2026,22 +2034,29 @@ object IvfQueries {
       // recompute ONLY affected buckets over base∪delta members
       val members = ln.join(broadcast(affected),
         Seq("layer", "bkt"), "left_semi")
-      val pairs = members
-        .select(col("layer"), col("bkt"), col("vec_id").as("src"),
-          col("embedding").as("se"))
-        .join(members.select(col("layer").as("lb"), col("bkt").as("bb"),
-            col("vec_id").as("dst"), col("embedding").as("de")),
-          col("layer") === col("lb") && col("bkt") === col("bb")
-            && col("src") =!= col("dst"))
-        .select(col("layer"), col("bkt"), col("src"), col("dst"),
-          VectorExpressions.cosine_similarity(col("se"), col("de"))
-            .as("cos_e"))
-      val w = Window.partitionBy(col("layer"), col("src"))
-        .orderBy(col("cos_e").desc, col("dst"))
-      val knn = pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= when(col("layer") === 0, 2 * HnM)
-          .otherwise(HnM))
-        .select(col("layer"), col("bkt"), col("src"), col("dst"))
+      // per (layer, src) top-h3M(layer) through the k-bounded heap
+      // operator, split by layer band for the M0 = 2M convention —
+      // a row_number window here re-sorts every affected bucket's
+      // full pair list (measured slower than the heap path the full
+      // rebuild uses; hn05's 100× probe quantified it)
+      def layerKnn(ms: DataFrame, k: Int): DataFrame = {
+        val pairs = ms
+          .select(col("layer"), col("bkt"), col("vec_id").as("src"),
+            col("embedding").as("se"))
+          .join(ms.select(col("layer").as("lb"), col("bkt").as("bb"),
+              col("vec_id").as("dst"), col("embedding").as("de")),
+            col("layer") === col("lb") && col("bkt") === col("bb")
+              && col("src") =!= col("dst"))
+          .select(col("layer"), col("bkt"), col("src"), col("dst"),
+            VectorExpressions.cosine_similarity(col("se"), col("de"))
+              .as("cos_e"))
+        graft.plans.TopKPerGroup.perGroup(pairs,
+          Seq(col("layer"), col("src")),
+          struct(col("cos_e"), -col("dst")), k = k)
+          .select(col("layer"), col("bkt"), col("src"), col("dst"))
+      }
+      val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
+        .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
       val rec = knn.union(knn.select(col("layer"), col("bkt"),
         col("dst").as("src"), col("src").as("dst"))).distinct()
       // carry every unaffected bucket's stored edges verbatim
