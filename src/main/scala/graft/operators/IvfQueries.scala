@@ -1750,79 +1750,12 @@ object IvfQueries {
         .withColumn("best", h4Argmax(col("cents"), col("embedding")))
         .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
         .withColumn("lvl", h4LevelCol)
-      // ONE plan for all layers (the per-layer Scala loop cost 5 s in
-      // pure stage barriers at sf0.1 — 3 layers × ~6 tiny stages):
-      // a node at level L participates in layers 0..L, so explode by
-      // layer once and let (layer, bkt) be the bucket key everywhere.
-      def byLayer(df: DataFrame): DataFrame =
-        df.withColumn("layer", explode(sequence(lit(0), col("lvl"))))
-          .withColumn("bkt",
-            floor(col("cid") / expr("shiftleft(1L, layer * 2)"))
-              .cast(LongType))
-          .select(col("layer"), col("bkt"), col("vec_id"), col("embedding"))
-      val lnD = byLayer(delta)
-      val ln = byLayer(s.read.parquet(s"$dir/nodes")).unionByName(lnD)
-        .pinnedLazily // members semi-join + node census read it
-      val affected = lnD.select(col("layer"), col("bkt")).distinct()
-      // recompute ONLY affected buckets, over base∪delta members —
-      // per (layer, src) top-h3M(layer) through the K-BOUNDED HEAP
-      // operator, never a window sort: the recompute pair set is the
-      // whole point of the incremental path, and a row_number window
-      // over it re-sorts every affected bucket's full pair list (the
-      // 100× probe measured the window variant SLOWER than the full
-      // rebuild, whose h4LayerEdges path always used the heaps). The
-      // layer-0 / upper-layer split mirrors h3M's M0 = 2M convention.
-      val members = ln.join(broadcast(affected),
-        Seq("layer", "bkt"), "left_semi")
-      def layerKnn(ms: DataFrame, k: Int): DataFrame = {
-        val pairs = ms
-          .select(col("layer"), col("bkt"), col("vec_id").as("src"),
-            col("embedding").as("se"))
-          .join(ms.select(col("layer").as("lb"), col("bkt").as("bb"),
-              col("vec_id").as("dst"), col("embedding").as("de")),
-            col("layer") === col("lb") && col("bkt") === col("bb")
-              && col("src") =!= col("dst"))
-          .select(col("layer"), col("bkt"), col("src"), col("dst"),
-            VectorExpressions.cosine_similarity(col("se"), col("de"))
-              .as("cos_e"))
-        graft.plans.TopKPerGroup.perGroup(pairs,
-          Seq(col("layer"), col("src")),
-          struct(col("cos_e"), -col("dst")), k = k)
-          .select(col("layer"), col("bkt"), col("src"), col("dst"))
-      }
-      val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
-        .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
-      val rec = knn.union(knn.select(col("layer"), col("bkt"),
-        col("dst").as("src"), col("src").as("dst"))).distinct()
-      // carry every unaffected bucket's stored edges verbatim
-      val carried = s.read.parquet(s"$dir/edges")
-        .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
-        .select(col("layer"), col("bkt"), col("src"), col("dst"))
-      val edges = carried.unionByName(rec)
-      val eAgg = edges.groupBy(col("layer"))
-        .agg(count(lit(1)).as("n_edges"),
-          sum(col("src") * lit(1000003L) + col("dst"))
-            .cast(LongType).as("edge_sum"))
-      val nAgg = ln.groupBy(col("layer"))
-        .agg(count(lit(1)).as("n_nodes"),
-          countDistinct(col("bkt")).as("n_buckets"))
-      val aAgg = affected.groupBy(col("layer"))
-        .agg(count(lit(1)).as("n_affected"))
-      // anchor on the full 0..LMAX layer list, not on whichever layers
-      // happen to have rows: a degenerate corpus can leave a layer
-      // with ZERO nodes (no id hashes to lvl≥2) or zero edges (all
-      // buckets singletons), and the oracle still emits its row
-      // (n_nodes/n_edges 0, edge_sum NULL) — an inner join here would
-      // drop the layer and fail the row-count compare
-      val layers = s.range(0, H4Lmax + 1)
-        .select(col("id").cast(IntegerType).as("layer"))
-      layers.join(broadcast(nAgg), Seq("layer"), "left")
-        .join(broadcast(eAgg), Seq("layer"), "left")
-        .join(broadcast(aAgg), Seq("layer"), "left")
-        .na.fill(0L, Seq("n_nodes", "n_buckets", "n_affected", "n_edges"))
-        .select(col("layer"), col("n_nodes"), col("n_buckets"),
-          col("n_affected"), col("n_edges"), col("edge_sum"))
-        .orderBy("layer")
+      // fold through the shared admit kernel (one layer-exploded
+      // plan, k-bounded heaps, verbatim carry — see [[ladderAdmit]])
+      val (ln, affected, edges) = ladderAdmit(
+        s.read.parquet(s"$dir/nodes"), s.read.parquet(s"$dir/edges"),
+        delta)
+      ladderCensus(s, ln, affected, edges, H4Lmax)
     }
   }
 
@@ -1901,6 +1834,105 @@ object IvfQueries {
       .join(broadcast(groupArrs), Seq("g"))
       .withColumn("best", argmax(col("gc"), col("embedding")))
       .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
+  }
+
+  /** Layer-explode a node table (vec_id, embedding, cid, lvl): one
+    * row per (node, layer ≤ lvl) with the layer's bucket key — a node
+    * at level L participates in layers 0..L (one plan for all layers;
+    * the per-layer Scala loop cost 5 s in pure stage barriers). */
+  private[graft] def ladderByLayer(df: DataFrame): DataFrame =
+    df.withColumn("layer", explode(sequence(lit(0), col("lvl"))))
+      .withColumn("bkt",
+        floor(col("cid") / expr("shiftleft(1L, layer * 2)"))
+          .cast(LongType))
+      .select(col("layer"), col("bkt"), col("vec_id"), col("embedding"))
+
+  /** Assign + level a delta under a frozen dense-keyed codebook — the
+    * admission front door shared by hn05's batch twin and the
+    * streaming face ([[graft.streaming.EventStreams]]). */
+  private[graft] def ladderAssignDelta(vecs: DataFrame, cents: DataFrame,
+      lmax: Int): DataFrame =
+    h5HierAssign(vecs, cents).withColumn("lvl", h5LevelCol(lmax))
+
+  /** The affected-bucket ADMIT kernel shared by hn04, hn05, and the
+    * streaming ladder upsert: fold an assigned+leveled `delta` into a
+    * stored ladder (`nodes` + per-layer bucketed `edges`), recomputing
+    * layer-l edges ONLY in buckets a delta node lands in and carrying
+    * every other bucket verbatim. Because bucket membership and levels
+    * are pure per-node functions of the frozen quantizer, the result
+    * is EXACTLY the full rebuild over base∪delta — for any batch split
+    * or arrival order (a bucket's final edges are recomputed by the
+    * last batch that touches it, over exactly its full membership) —
+    * which is what makes the same kernel serve batch IVM and
+    * micro-batched streaming ingestion unchanged.
+    *
+    * Per-(layer, src) top-h3M(layer) runs through the K-BOUNDED HEAP
+    * operator, split by layer band for the M0 = 2M convention — a
+    * row_number window here re-sorts every affected bucket's full
+    * pair list (measured SLOWER than the full rebuild at the 100×
+    * probe, which always used the heap path).
+    *
+    * Returns (ln = layer-exploded base∪delta nodes, affected buckets,
+    * new edge table) — callers census or persist as they need. */
+  private[graft] def ladderAdmit(nodes: DataFrame, edges: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val lnD = ladderByLayer(delta)
+    val ln = ladderByLayer(nodes).unionByName(lnD)
+      .pinnedLazily // members semi-join + node census read it
+    val affected = lnD.select(col("layer"), col("bkt")).distinct()
+    val members = ln.join(broadcast(affected),
+      Seq("layer", "bkt"), "left_semi")
+    def layerKnn(ms: DataFrame, k: Int): DataFrame = {
+      val pairs = ms
+        .select(col("layer"), col("bkt"), col("vec_id").as("src"),
+          col("embedding").as("se"))
+        .join(ms.select(col("layer").as("lb"), col("bkt").as("bb"),
+            col("vec_id").as("dst"), col("embedding").as("de")),
+          col("layer") === col("lb") && col("bkt") === col("bb")
+            && col("src") =!= col("dst"))
+        .select(col("layer"), col("bkt"), col("src"), col("dst"),
+          VectorExpressions.cosine_similarity(col("se"), col("de"))
+            .as("cos_e"))
+      graft.plans.TopKPerGroup.perGroup(pairs,
+        Seq(col("layer"), col("src")),
+        struct(col("cos_e"), -col("dst")), k = k)
+        .select(col("layer"), col("bkt"), col("src"), col("dst"))
+    }
+    val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
+      .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
+    val rec = knn.union(knn.select(col("layer"), col("bkt"),
+      col("dst").as("src"), col("src").as("dst"))).distinct()
+    val carried = edges
+      .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
+      .select(col("layer"), col("bkt"), col("src"), col("dst"))
+    (ln, affected, carried.unionByName(rec))
+  }
+
+  /** The per-layer census both upsert queries report: node/bucket/
+    * affected counts plus the edge count and order-independent edge
+    * checksum, anchored on the full 0..lmax layer list (a degenerate
+    * corpus can leave a layer with zero nodes or edges and the oracle
+    * still emits its row — an inner join would drop it). */
+  private def ladderCensus(s: SparkSession, ln: DataFrame,
+      affected: DataFrame, edges: DataFrame, lmax: Int): DataFrame = {
+    val eAgg = edges.groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("src") * lit(1000003L) + col("dst"))
+          .cast(LongType).as("edge_sum"))
+    val nAgg = ln.groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_nodes"),
+        countDistinct(col("bkt")).as("n_buckets"))
+    val aAgg = affected.groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_affected"))
+    val layers = s.range(0, lmax + 1)
+      .select(col("id").cast(IntegerType).as("layer"))
+    layers.join(broadcast(nAgg), Seq("layer"), "left")
+      .join(broadcast(eAgg), Seq("layer"), "left")
+      .join(broadcast(aAgg), Seq("layer"), "left")
+      .na.fill(0L, Seq("n_nodes", "n_buckets", "n_affected", "n_edges"))
+      .select(col("layer"), col("n_nodes"), col("n_buckets"),
+        col("n_affected"), col("n_edges"), col("edge_sum"))
+      .orderBy("layer")
   }
 
   /** Build + persist the production-shape BASE ladder once per
@@ -2013,77 +2045,16 @@ object IvfQueries {
       // the genuinely-new work: hierarchically assign + level the
       // DELTA under the persisted frozen codebook — the timed path
       // reads ncells codebook rows and |delta| corpus rows, never the
-      // standing base corpus's embeddings
-      val cents = s.read.parquet(s"$dir/cents")
-      val delta = h5HierAssign(
+      // standing base corpus's embeddings — then fold it through the
+      // shared admit kernel (the same code the streaming face runs)
+      val delta = ladderAssignDelta(
         Tables.embeddings(s, d).filter(col("vec_id") % mod === 0)
-          .select(col("vec_id"), col("embedding")), cents)
-        .withColumn("lvl", h5LevelCol(lmax))
-      // ONE layer-exploded plan for all layers (hn04's shape): a node
-      // at level L participates in layers 0..L
-      def byLayer(df: DataFrame): DataFrame =
-        df.withColumn("layer", explode(sequence(lit(0), col("lvl"))))
-          .withColumn("bkt",
-            floor(col("cid") / expr("shiftleft(1L, layer * 2)"))
-              .cast(LongType))
-          .select(col("layer"), col("bkt"), col("vec_id"), col("embedding"))
-      val lnD = byLayer(delta)
-      val ln = byLayer(s.read.parquet(s"$dir/nodes")).unionByName(lnD)
-        .pinnedLazily // members semi-join + node census read it
-      val affected = lnD.select(col("layer"), col("bkt")).distinct()
-      // recompute ONLY affected buckets over base∪delta members
-      val members = ln.join(broadcast(affected),
-        Seq("layer", "bkt"), "left_semi")
-      // per (layer, src) top-h3M(layer) through the k-bounded heap
-      // operator, split by layer band for the M0 = 2M convention —
-      // a row_number window here re-sorts every affected bucket's
-      // full pair list (measured slower than the heap path the full
-      // rebuild uses; hn05's 100× probe quantified it)
-      def layerKnn(ms: DataFrame, k: Int): DataFrame = {
-        val pairs = ms
-          .select(col("layer"), col("bkt"), col("vec_id").as("src"),
-            col("embedding").as("se"))
-          .join(ms.select(col("layer").as("lb"), col("bkt").as("bb"),
-              col("vec_id").as("dst"), col("embedding").as("de")),
-            col("layer") === col("lb") && col("bkt") === col("bb")
-              && col("src") =!= col("dst"))
-          .select(col("layer"), col("bkt"), col("src"), col("dst"),
-            VectorExpressions.cosine_similarity(col("se"), col("de"))
-              .as("cos_e"))
-        graft.plans.TopKPerGroup.perGroup(pairs,
-          Seq(col("layer"), col("src")),
-          struct(col("cos_e"), -col("dst")), k = k)
-          .select(col("layer"), col("bkt"), col("src"), col("dst"))
-      }
-      val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
-        .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
-      val rec = knn.union(knn.select(col("layer"), col("bkt"),
-        col("dst").as("src"), col("src").as("dst"))).distinct()
-      // carry every unaffected bucket's stored edges verbatim
-      val carried = s.read.parquet(s"$dir/edges")
-        .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
-        .select(col("layer"), col("bkt"), col("src"), col("dst"))
-      val edges = carried.unionByName(rec)
-      val eAgg = edges.groupBy(col("layer"))
-        .agg(count(lit(1)).as("n_edges"),
-          sum(col("src") * lit(1000003L) + col("dst"))
-            .cast(LongType).as("edge_sum"))
-      val nAgg = ln.groupBy(col("layer"))
-        .agg(count(lit(1)).as("n_nodes"),
-          countDistinct(col("bkt")).as("n_buckets"))
-      val aAgg = affected.groupBy(col("layer"))
-        .agg(count(lit(1)).as("n_affected"))
-      // anchor on the full 0..lmax layer list (hn04's degenerate-layer
-      // census rationale)
-      val layers = s.range(0, lmax + 1)
-        .select(col("id").cast(IntegerType).as("layer"))
-      layers.join(broadcast(nAgg), Seq("layer"), "left")
-        .join(broadcast(eAgg), Seq("layer"), "left")
-        .join(broadcast(aAgg), Seq("layer"), "left")
-        .na.fill(0L, Seq("n_nodes", "n_buckets", "n_affected", "n_edges"))
-        .select(col("layer"), col("n_nodes"), col("n_buckets"),
-          col("n_affected"), col("n_edges"), col("edge_sum"))
-        .orderBy("layer")
+          .select(col("vec_id"), col("embedding")),
+        s.read.parquet(s"$dir/cents"), lmax)
+      val (ln, affected, edges) = ladderAdmit(
+        s.read.parquet(s"$dir/nodes"), s.read.parquet(s"$dir/edges"),
+        delta)
+      ladderCensus(s, ln, affected, edges, lmax)
     }
   }
 

@@ -599,4 +599,46 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$stateRoot/v_${id + 1}")
       } finally { bands.unpersist(); () }
     }
+
+  /** Streaming ANN-index ingestion — hn05 run continuously: each
+    * arriving micro-batch of vectors is admitted into the persisted
+    * HNSW ladder under the FROZEN quantizer (hierarchical assign +
+    * hash-geometric level + affected-bucket edge rebuild), with the
+    * node and edge tables kept as versioned parquet snapshots
+    * (`indexRoot/nodes_v_<n>`, `edges_v_<n>`) — the [[cdcApply]] /
+    * [[evolvingAdmission]] exactly-once discipline: batch n reads v_n
+    * and deterministically rewrites v_{n+1}, so a replayed micro-batch
+    * (crash between sink write and offset commit) reproduces identical
+    * snapshots. A real deployment swaps the chain for MERGE INTO on a
+    * (layer, bucket)-bucketed lakehouse edge table — the admit joins
+    * and the append are the identical plans, and bucketing means the
+    * carry side never reshuffles.
+    *
+    * The admit kernel and the quantizer are EXACTLY the oracle-checked
+    * hn05 batch twin's ([[graft.operators.IvfQueries.ladderAdmit]] /
+    * `ladderAssignDelta` against the persisted codebook), and the
+    * kernel is batch-split- and arrival-order-invariant by
+    * construction: bucket membership and levels are pure per-node
+    * functions of the frozen quantizer, so a bucket's final edges are
+    * recomputed by the LAST batch that touches it over exactly its
+    * full membership — any micro-batch partition of the delta lands
+    * on the full rebuild's edge table. StreamingSpec pins stream ≡
+    * batch on the per-layer edge checksum through a checkpointed
+    * restart. */
+  def ladderUpsert(deltaVecs: DataFrame, indexRoot: String, lmax: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaVecs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val spark = batch.sparkSession
+      val delta = graft.operators.IvfQueries.ladderAssignDelta(
+        batch, spark.read.parquet(s"$indexRoot/cents"), lmax)
+        .persist() // two readers: the node append and the admit fold
+      try {
+        val (_, _, edges) = graft.operators.IvfQueries.ladderAdmit(
+          spark.read.parquet(s"$indexRoot/nodes_v_$id"),
+          spark.read.parquet(s"$indexRoot/edges_v_$id"), delta)
+        edges.write.mode("overwrite").parquet(s"$indexRoot/edges_v_${id + 1}")
+        spark.read.parquet(s"$indexRoot/nodes_v_$id").unionByName(delta)
+          .write.mode("overwrite").parquet(s"$indexRoot/nodes_v_${id + 1}")
+      } finally { delta.unpersist(); () }
+    }
 }

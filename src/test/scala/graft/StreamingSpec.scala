@@ -628,6 +628,69 @@ class StreamingSpec extends AnyFunSuite {
     delta.unpersist(); docs.unpersist()
   }
 
+  test("streaming ladder upsert: micro-batched ANN ingestion ≡ oracle-checked hn05 batch twin; restart-safe") {
+    graft.plans.VectorExpressions.register(spark)
+    val root = Files.createTempDirectory("graft-ladder").toString
+    // seed v_0 with hn05's persisted production-shape base ladder
+    val (idxDir, lmax) = graft.operators.IvfQueries.h5IndexDir(spark, sf)
+    spark.read.parquet(s"$idxDir/nodes").write.parquet(s"$root/idx/nodes_v_0")
+    spark.read.parquet(s"$idxDir/edges").write.parquet(s"$root/idx/edges_v_0")
+    spark.read.parquet(s"$idxDir/cents").write.parquet(s"$root/idx/cents")
+    val delta = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 211 === 0)
+      .select(col("vec_id"), col("embedding")).cache()
+    // stage the delta in three id-range files, written OUT OF ORDER
+    // (middle tercile first): the admit kernel is arrival-order- and
+    // batch-split-invariant by construction, so the final snapshot
+    // must equal the one-shot batch twin exactly
+    val ids = delta.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length >= 3, "need ≥3 delta vectors to stage terciles")
+    val (t1, t2, t3) = (ids.take(ids.length / 3).toSet,
+      ids.slice(ids.length / 3, 2 * ids.length / 3).toSet,
+      ids.drop(2 * ids.length / 3).toSet)
+    def stage(s: Set[Long]): Unit = {
+      delta.filter(col("vec_id").isInCollection(s))
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+      Thread.sleep(5)
+    }
+    stage(t2); stage(t1)
+    def run(): Unit = {
+      val src = spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = EventStreams.ladderUpsert(src, s"$root/idx", lmax)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // batches 0, 1
+    stage(t3)
+    run() // RESTART from the checkpoint: only the new file admits
+    assert(new java.io.File(s"$root/idx/edges_v_3").exists(),
+      "three batches → edges_v_3")
+    assert(!new java.io.File(s"$root/idx/edges_v_4").exists(),
+      "restart must not readmit committed batches")
+    // exactly-once node admission: every vector present exactly once
+    val nodesN = spark.read.parquet(s"$root/idx/nodes_v_3")
+    val total = Tables.embeddings(spark, sf).count()
+    assert(nodesN.count() == total, s"node table must hold base+delta = $total")
+    assert(nodesN.select("vec_id").distinct().count() == total)
+    // per-layer edge count + checksum ≡ the hn05 batch twin (itself
+    // oracle-checked ≡ a full rebuild), so stream ≡ full rebuild
+    val got = spark.read.parquet(s"$root/idx/edges_v_3")
+      .groupBy(col("layer").cast("int").as("layer"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("src") * lit(1000003L) + col("dst"))
+          .cast("long").as("edge_sum"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = SparkEntry.queries("hn05_ladder_upsert")(spark, sf)
+      .collect()
+      .filter(_.getLong(4) > 0) // empty layers emit no stream edge rows
+      .map(r => r.getInt(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(want.nonEmpty && got == want,
+      s"streamed ladder diverged: got $got want $want")
+    delta.unpersist()
+  }
+
   test("streaming MV refresh: foreachBatch γ-merges ≡ batch γ of all ingested rows; restart-safe") {
     val root = Files.createTempDirectory("graft-mvstream").toString
     val li = Tables.lineitem(spark, sf).cache()
