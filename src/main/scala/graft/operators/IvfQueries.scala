@@ -1325,6 +1325,25 @@ object IvfQueries {
           layerEdges.reduce(_ unionByName _)
             .write.mode("overwrite").partitionBy("layer")
             .parquet(s"$dir/edges")
+          // 2-BALL CLOSURE index for the navigation layers (1..lmax):
+          // e2 = e ∪ (e ⋈ e), i.e. N(v) ∪ N²(v) as direct edges. The
+          // descent's per-round 2-ball expansion then needs ONE join
+          // against e2 instead of a chained e-join-e — which halves
+          // the sequential broadcast barriers per round, the term that
+          // sets hn03's latency (SCALING.md: ~0.6 s/barrier at every
+          // decade). Size is ≤ M + M² ≈ 20 edges per node, built once
+          // at index time; layer 0 is beam-searched 1-hop (unchanged)
+          // so its closure is never built.
+          val edges = s.read.parquet(s"$dir/edges").filter(col("layer") >= 1)
+          val hop2 = edges.select(col("layer"), col("src"), col("dst").as("m"))
+            .join(edges.select(col("layer").as("l2"), col("src").as("m2"),
+                col("dst")),
+              col("layer") === col("l2") && col("m") === col("m2"))
+            .select(col("layer"), col("src"), col("dst"))
+          edges.select(col("layer"), col("src"), col("dst"))
+            .union(hop2).distinct()
+            .write.mode("overwrite").partitionBy("layer")
+            .parquet(s"$dir/edges2")
           assigned.orderBy(col("lvl").desc, col("vec_id")).limit(1)
             .select(col("vec_id")).write.mode("overwrite")
             .parquet(s"$dir/entry")
@@ -1482,17 +1501,36 @@ object IvfQueries {
          |FROM hits h JOIN nv ON nv.query_id = h.query_id
          |GROUP BY h.query_id, nv.n_visited
          |ORDER BY h.query_id""".stripMargin) { (s, d) =>
+      import s.implicits._
       val dir = h3IndexDir(s, d)
       val lmax = h3Lmax(dynCells(s, d))
-      val edges = s.read.parquet(s"$dir/edges").pinnedLazily
       val vecs = s.read.parquet(s"$dir/vecs")
-      val entry = s.read.parquet(s"$dir/entry")
-      val qvecs = vecs.filter(col("vec_id") < HnNQ)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      // The descent/beam FRONT advances DRIVER-SIDE as a local
+      // relation: the front is ≤ NQ·max(E, B) rows (128/384 — a fixed
+      // harness size, scale-invariant), so collecting it is bounded at
+      // any corpus scale, and each round then costs ONE scheduled job
+      // (materialize the scored frame, with the expansion riding a
+      // nested broadcast of the local front) instead of three chained
+      // broadcast-collect jobs (front, 1-hop, score-side) — the
+      // sequential barrier count is hn03's entire latency term
+      // (SCALING.md: ~0.6 s/barrier at every decade). The query
+      // vectors also collect once (NQ rows) and ride the front, which
+      // removes the per-round qvecs re-broadcast entirely.
+      val qe: Map[Long, Seq[Float]] =
+        vecs.filter(col("vec_id") < HnNQ).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val entryId = s.read.parquet(s"$dir/entry").head().getLong(0)
+      def localFront(rows: Seq[(Long, Long)]): DataFrame =
+        rows.map { case (q, c) => (q, c, qe(q)) }
+          .toDF("query_id", "cand_id", "qe")
+      def collectPairs(df: DataFrame): Seq[(Long, Long)] =
+        df.select(col("query_id"), col("cand_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // score a (query_id, cand_id, qe) candidate frame against the
+      // stored vectors — the only corpus-side touch per round
       def score(cands: DataFrame): DataFrame =
-        vecs.select(col("vec_id"), col("embedding").as("ce"))
-          .join(broadcast(cands.join(broadcast(qvecs), Seq("query_id"))),
-            col("vec_id") === col("cand_id"))
+        vecs.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+          .join(broadcast(cands), Seq("cand_id"))
           .select(col("query_id"), col("cand_id"),
             VectorExpressions.cosine_similarity(col("qe"), col("ce"))
               .as("cos_q"))
@@ -1501,71 +1539,64 @@ object IvfQueries {
       def topOf(df: DataFrame, k: Int): DataFrame =
         df.withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
           .select(col("query_id"), col("cand_id"))
-      // Per-round lineage TRUNCATION, not just persist: each round
-      // references the previous round's frame from THREE subtrees
-      // (expansion, visited union, argmax), so the logical tree grows
-      // ~3^rounds — at 7+ rounds (17 at the 1000× probe's LMAX=7)
-      // planning alone took 18 s / 32 MB task binaries with plain
-      // persist. Same mandatory-truncation rationale as
-      // starContraction's loop; reliable checkpoint when a dir is set.
-      // LOCAL branch is LAZY (eager=false): the returned frame is a
-      // LogicalRDD either way — the plan is round-sized immediately —
-      // and lazy folds the materialization into the next round's
-      // broadcast job instead of paying a separate count() job per
-      // round. The RELIABLE branch stays EAGER: checkpoint(false) on
-      // an un-persisted frame makes Spark recompute the round's whole
-      // plan in a separate job when it writes the checkpoint files —
-      // a 2× compute tax, not a saving — so when a checkpoint dir is
-      // set the one extra count() job is the cheaper trade.
+      // Per-round lineage TRUNCATION, not just persist: the visited
+      // union accumulates every round's scored frame, so without a
+      // round-sized LogicalRDD the logical tree grows with the round
+      // count (at 7+ rounds planning alone took 18 s / 32 MB task
+      // binaries with plain persist). Same mandatory-truncation
+      // rationale as starContraction's loop; reliable checkpoint when
+      // a dir is set. LOCAL branch is LAZY (eager=false): the frame is
+      // a LogicalRDD either way and lazy folds the materialization
+      // into the round's one collect job. The RELIABLE branch stays
+      // EAGER: checkpoint(false) on an un-persisted frame makes Spark
+      // recompute the plan in the checkpoint-write job — a 2× tax.
       def truncate(df: DataFrame): DataFrame =
         if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
         else df.localCheckpoint(false)
       // greedy descent: an ef=E front from the entry, ONE 2-ball step
-      // per layer
-      // (sequential rounds are the latency term — every frame here is
-      // query-count-bounded, so halving rounds beats anything else);
-      // every scored candidate joins the visited set (it was real work)
-      var cur = qvecs.select(col("query_id"))
-        .crossJoin(broadcast(entry.select(col("vec_id").as("cand_id"))))
+      // per layer over the PRECOMPUTED closure index (edges2 = e ∪ e²,
+      // built at index time) — itself ∪ neighbors ∪ neighbors² as one
+      // equi-join; every scored candidate joins the visited set (it
+      // was real work). distinct is REQUIRED with a top-E front: the
+      // expansion arms overlap, and a duplicate pair surviving into
+      // the front would waste a slot the oracle's UNION-deduped
+      // expansion gives to a distinct candidate.
+      val edges2 = s.read.parquet(s"$dir/edges2")
+      var front: Seq[(Long, Long)] =
+        qe.keys.toSeq.sorted.map(q => (q, entryId))
       var visited: DataFrame = null
       for (l <- lmax to 1 by -1) {
-        val el = edges.filter(col("layer") === l)
-        val n1 = el.join(broadcast(cur.withColumnRenamed("cand_id", "cr")),
-            col("src") === col("cr"))
-          .select(col("query_id"), col("dst").as("cand_id"))
-        val n2 = el.join(broadcast(n1.withColumnRenamed("cand_id", "c2")),
-            col("src") === col("c2")) // ≤ NQ·E·M rows, scale-invariant
-          .select(col("query_id"), col("dst").as("cand_id"))
-        // distinct is REQUIRED with a top-E front: the three arms
-        // overlap, and a duplicate pair surviving into the front would
-        // waste a slot the oracle's UNION-deduped expansion gives to a
-        // distinct candidate — silent front divergence, not just waste
-        val exp = cur.union(n1).union(n2).distinct()
-        val scored = truncate(score(exp)) // round-sized plan, 3 readers
+        val lf = localFront(front)
+        val exp = lf
+          .unionByName(edges2.filter(col("layer") === l)
+            .join(broadcast(lf.withColumnRenamed("cand_id", "cr")),
+              col("src") === col("cr"))
+            .select(col("query_id"), col("dst").as("cand_id"), col("qe")))
+          .dropDuplicates("query_id", "cand_id")
+        val scored = truncate(score(exp)) // round-sized plan, 2 readers
         visited = if (visited == null) scored else visited.union(scored)
         // ef=E descent front via the k-bounded heap operator (partial
         // per-partition heaps, no window sort); ties to the smallest
         // cand_id, like the oracle
-        cur = graft.plans.TopKPerGroup.perGroup(scored,
+        front = collectPairs(graft.plans.TopKPerGroup.perGroup(scored,
           Seq(col("query_id")), struct(col("cos_q"), -col("cand_id")),
-          k = H3Ef)
-          .select(col("query_id"), col("cand_id"))
+          k = H3Ef))
       }
       // base beam over layer ≤ 1 edges (layer-1 union = the cross-cell
       // escape hatch), seeded with everything the descent scored
-      val se = edges.filter(col("layer") <= 1).pinnedLazily
+      val se = s.read.parquet(s"$dir/edges").filter(col("layer") <= 1)
+        .pinnedLazily
       visited = truncate(visited.distinct())
-      // the beam loop is hn01's (fixed HnH=3 rounds, ~2 refs per
-      // round): with its base truncated above, lazy persist bounds the
-      // plan at ~2³ subtrees — no eager job per beam round needed
-      var beam = topOf(visited, H3B)
+      var beam = collectPairs(topOf(visited, H3B))
       for (_ <- 1 to HnH) {
+        val lb = localFront(beam)
         val expd = se
-          .join(broadcast(beam.withColumnRenamed("cand_id", "cr")),
+          .join(broadcast(lb.withColumnRenamed("cand_id", "cr")),
             col("src") === col("cr"))
-          .select(col("query_id"), col("dst").as("cand_id")).distinct()
+          .select(col("query_id"), col("dst").as("cand_id"), col("qe"))
+          .dropDuplicates("query_id", "cand_id")
         visited = visited.union(score(expd)).distinct().pinned
-        beam = topOf(visited, H3B)
+        beam = collectPairs(topOf(visited, H3B))
       }
       val approx = topOf(visited.filter(col("cand_id") =!= col("query_id")),
         HnK).withColumn("hit", lit(1))
@@ -1637,16 +1668,11 @@ object IvfQueries {
     * distinct) over `nodes(vec_id, embedding, bkt)` — the one edge
     * function setup, recompute, and the oracle all share. */
   private def h4LayerEdges(nodes: DataFrame, l: Int): DataFrame = {
-    val a = nodes.select(col("bkt"), col("vec_id").as("src"),
-      col("embedding").as("se"))
-    val b = nodes.select(col("bkt").as("bb"), col("vec_id").as("dst"),
-      col("embedding").as("de"))
-    val knn = graft.plans.TopKPerGroup.perGroup(
-      a.join(b, col("bkt") === col("bb") && col("src") =!= col("dst"))
-        .select(col("bkt"), col("src"), col("dst"),
-          VectorExpressions.cosine_similarity(col("se"), col("de"))
-            .as("cos_e")),
-      Seq(col("src")), struct(col("cos_e"), -col("dst")), k = h3M(l))
+    // single-layer face of the salted [[layerKnn]] kernel — the BUILD
+    // pays the same Θ(pop²) hot-bucket pair blocks as the upsert
+    val knn = layerKnn(
+      nodes.select(col("vec_id"), col("embedding"), col("bkt"))
+        .withColumn("layer", lit(l)), h3M(l))
       .select(col("bkt"), col("src"), col("dst"))
     knn.union(knn.select(col("bkt"), col("dst").as("src"),
       col("src").as("dst"))).distinct()
@@ -1702,7 +1728,7 @@ object IvfQueries {
          |       AND lvl.lvl >= $l
          |     WHERE a.vec_id % 211 = 0) AS n_affected,
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$l) AS n_edges,
-         |    (SELECT CAST(SUM(src * 1000003 + dst) AS BIGINT) FROM e$l)
+         |    (SELECT CAST(SUM((src * 1000003 + dst) % 1000000007) AS BIGINT) FROM e$l)
          |      AS edge_sum)""".stripMargin
     }
     q("hn04_hnsw_upsert",
@@ -1854,6 +1880,40 @@ object IvfQueries {
       lmax: Int): DataFrame =
     h5HierAssign(vecs, cents).withColumn("lvl", h5LevelCol(lmax))
 
+  /** Within-bucket kNN over a layer-keyed member frame, SALTED: the
+    * per-(layer, src) top-k rides the k-bounded heap operator, and the
+    * pair GENERATION is spread across [[H5Salt]] sub-keys — the src
+    * side replicates each row once per salt, the dst side pins each
+    * row to hash(dst) % S, so every (src, dst) pair is produced
+    * exactly once but a hot bucket's Θ(pop²) pair block runs as S
+    * tasks instead of one. AQE cannot rescue this case: skew detection
+    * reads the map-side INPUT sizes, and a bucket self-join's inputs
+    * are tiny while its OUTPUT is quadratic — the 1000× probe measured
+    * the unsalted variant spending most of its wall-clock in a
+    * single-task tail on the largest Voronoi cells. */
+  private val H5Salt = 8
+
+  private def layerKnn(ms: DataFrame, k: Int): DataFrame = {
+    val a = ms
+      .select(col("layer"), col("bkt"), col("vec_id").as("src"),
+        col("embedding").as("se"))
+      .withColumn("salt", explode(lit((0 until H5Salt).toArray)))
+    val b = ms
+      .select(col("layer").as("lb"), col("bkt").as("bb"),
+        col("vec_id").as("dst"), col("embedding").as("de"))
+      .withColumn("salt2", pmod(hash(col("dst")), lit(H5Salt)))
+    val pairs = a.join(b,
+        col("layer") === col("lb") && col("bkt") === col("bb")
+          && col("salt") === col("salt2") && col("src") =!= col("dst"))
+      .select(col("layer"), col("bkt"), col("src"), col("dst"),
+        VectorExpressions.cosine_similarity(col("se"), col("de"))
+          .as("cos_e"))
+    graft.plans.TopKPerGroup.perGroup(pairs,
+      Seq(col("layer"), col("src")),
+      struct(col("cos_e"), -col("dst")), k = k)
+      .select(col("layer"), col("bkt"), col("src"), col("dst"))
+  }
+
   /** The affected-bucket ADMIT kernel shared by hn04, hn05, and the
     * streaming ladder upsert: fold an assigned+leveled `delta` into a
     * stored ladder (`nodes` + per-layer bucketed `edges`), recomputing
@@ -1882,22 +1942,6 @@ object IvfQueries {
     val affected = lnD.select(col("layer"), col("bkt")).distinct()
     val members = ln.join(broadcast(affected),
       Seq("layer", "bkt"), "left_semi")
-    def layerKnn(ms: DataFrame, k: Int): DataFrame = {
-      val pairs = ms
-        .select(col("layer"), col("bkt"), col("vec_id").as("src"),
-          col("embedding").as("se"))
-        .join(ms.select(col("layer").as("lb"), col("bkt").as("bb"),
-            col("vec_id").as("dst"), col("embedding").as("de")),
-          col("layer") === col("lb") && col("bkt") === col("bb")
-            && col("src") =!= col("dst"))
-        .select(col("layer"), col("bkt"), col("src"), col("dst"),
-          VectorExpressions.cosine_similarity(col("se"), col("de"))
-            .as("cos_e"))
-      graft.plans.TopKPerGroup.perGroup(pairs,
-        Seq(col("layer"), col("src")),
-        struct(col("cos_e"), -col("dst")), k = k)
-        .select(col("layer"), col("bkt"), col("src"), col("dst"))
-    }
     val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
       .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
     val rec = knn.union(knn.select(col("layer"), col("bkt"),
@@ -1917,7 +1961,7 @@ object IvfQueries {
       affected: DataFrame, edges: DataFrame, lmax: Int): DataFrame = {
     val eAgg = edges.groupBy(col("layer"))
       .agg(count(lit(1)).as("n_edges"),
-        sum(col("src") * lit(1000003L) + col("dst"))
+        sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
           .cast(LongType).as("edge_sum"))
     val nAgg = ln.groupBy(col("layer"))
       .agg(count(lit(1)).as("n_nodes"),
@@ -1994,7 +2038,7 @@ object IvfQueries {
          |       AND lvl.lvl >= $l
          |     WHERE a.vec_id % 211 = 0) AS n_affected,
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$l) AS n_edges,
-         |    (SELECT CAST(SUM(src * 1000003 + dst) AS BIGINT) FROM e$l)
+         |    (SELECT CAST(SUM((src * 1000003 + dst) % 1000000007) AS BIGINT) FROM e$l)
          |      AS edge_sum)""".stripMargin
     }
     q("hn05_ladder_upsert",

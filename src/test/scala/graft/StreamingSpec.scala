@@ -679,7 +679,7 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$root/idx/edges_v_3")
       .groupBy(col("layer").cast("int").as("layer"))
       .agg(count(lit(1)).as("n_edges"),
-        sum(col("src") * lit(1000003L) + col("dst"))
+        sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
           .cast("long").as("edge_sum"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val want = SparkEntry.queries("hn05_ladder_upsert")(spark, sf)
