@@ -22,6 +22,14 @@ object ExplainDump {
       "Bucketed layout on both sides: no Exchange anywhere below the SortMergeJoin — co-location comes from storage (the exchanges higher in the plan feed the final audit aggregation), the shape every big-big equi-join should have at 100 TB.",
     "tx13_tfidf" ->
       "Post-round-6 shape: the corpus-growing document-frequency table is never the broadcast side — the bounded 30-doc tf slice is the BuildLeft of the hash join, and the only nested-loop join is the 1-row totals cross join.",
+    "q62_small_qty_revenue" ->
+      "Q17's correlated scalar-AVG threshold fully decorrelated by the planner: ONE grouped aggregate over lineitem joined back on the correlation key (l_partkey) — no BroadcastNestedLoopJoin, no per-row re-aggregation of the fact table.",
+    "q63_excess_ship_suppliers" ->
+      "Q20's nested-IN + two-key correlated aggregate: both INs plan as left-semi equi-joins and the correlated AVG becomes one aggregate grouped by (l_partkey, l_suppkey) joined back — three rewrites composing with no CartesianProduct.",
+    "pq02_ivfpq_search" ->
+      "IVF-PQ composed serving: candidates meet the query ONLY through the cell equi-join; ADC scoring is per-row lookups against the broadcast NQ×K distance tables (the raw corpus is never scanned at serving time); the shortlist rides the k-bounded TopK operator and exact rerank touches NQ·C rows.",
+    "hn05_ladder_upsert" ->
+      "Production-shape incremental ladder admit: one layer-exploded plan, the delta's affected buckets broadcast into a left-semi (recompute) and left-anti (verbatim carry) pair, within-bucket kNN through the salted self-join + k-bounded heaps — no window sort over the pair set, no per-layer driver loop.",
     "q33_topk_operator" ->
       "The custom k-bounded TopKPerGroup physical operator replaces window-rank-filter: per-partition k-heaps, no full-group sort, k rows per group cross the exchange.",
     "dd10_production_lsh" ->
