@@ -1301,14 +1301,7 @@ object IvfQueries {
           val lmax = h3Lmax(cells)
           val assigned = assignedDfHier(s, d, cells)
             .withColumn("h", h3HashCol)
-            // build the CASE chain inside-out so the HIGHEST level's
-            // test sits outermost (h ≡ 0 mod 16 implies mod 4 — the
-            // weaker test must not shadow the stronger)
-            .withColumn("lvl", (1 to lmax).foldLeft(lit(0)) {
-              case (els, l) =>
-                when(col("h") % math.pow(4, l).toLong === 0, lit(l))
-                  .otherwise(els)
-            })
+            .withColumn("lvl", ladderLevel(col("h"), lmax))
             .pinned // every layer's node set reads it
           val layerEdges = (0 to lmax).map { l =>
             val div = math.pow(4, l).toLong
@@ -1562,7 +1555,19 @@ object IvfQueries {
       // expansion arms overlap, and a duplicate pair surviving into
       // the front would waste a slot the oracle's UNION-deduped
       // expansion gives to a distinct candidate.
-      val edges2 = s.read.parquet(s"$dir/edges2")
+      // explicit schema: a degenerate corpus (every navigation-layer
+      // bucket a singleton) writes edges2 with ZERO data files, and a
+      // schema-inferring read would throw at plan time — with the
+      // schema pinned an empty closure just yields an empty expansion
+      val edges2 = s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src", LongType),
+          org.apache.spark.sql.types.StructField("dst", LongType),
+          org.apache.spark.sql.types.StructField("layer", IntegerType))))
+        .parquet(s"$dir/edges2")
+      // the NQ-row query-vector LocalRelation, shared by every round's
+      // front rejoin (built once — not per round)
+      val qeDf = qe.toSeq.map { case (q, e) => (q, e) }
+        .toDF("query_id", "qe")
       var cur: DataFrame = qe.keys.toSeq.sorted
         .map(q => (q, entryId, qe(q)))
         .toDF("query_id", "cand_id", "qe")
@@ -1579,9 +1584,7 @@ object IvfQueries {
         // ef=E descent front via the k-bounded heap operator (partial
         // per-partition heaps, no window sort); ties to the smallest
         // cand_id, like the oracle. The qe column rejoins from the
-        // local query map (a LocalRelation lookup, not a corpus read).
-        val qeDf = qe.toSeq.map { case (q, e) => (q, e) }
-          .toDF("query_id", "qe")
+        // local query frame (a LocalRelation lookup, not a corpus read).
         cur = graft.plans.TopKPerGroup.perGroup(scored,
           Seq(col("query_id")), struct(col("cos_q"), -col("cand_id")),
           k = H3Ef)
@@ -1593,8 +1596,6 @@ object IvfQueries {
       val se = s.read.parquet(s"$dir/edges").filter(col("layer") <= 1)
         .pinnedLazily
       visited = truncate(visited.distinct())
-      val qeDf = qe.toSeq.map { case (q, e) => (q, e) }
-        .toDF("query_id", "qe")
       var beam = topOf(visited, H3B).join(broadcast(qeDf), Seq("query_id"))
       for (_ <- 1 to HnH) {
         val expd = se
@@ -1652,10 +1653,7 @@ object IvfQueries {
   /** Frozen 2-level ladder: LMAX = h3Lmax(CELLS=16) = 2 at every SF. */
   private val H4Lmax = 2
 
-  private def h4LevelCol: Column =
-    (1 to H4Lmax).foldLeft(lit(0)) { case (els, l) =>
-      when(h3HashCol % math.pow(4, l).toLong === 0, lit(l)).otherwise(els)
-    }
+  private def h4LevelCol: Column = ladderLevel(h3HashCol, H4Lmax)
 
   private def h4Argmax(cents: Column, emb: Column): Column =
     array_max(transform(cents, c =>
@@ -1825,17 +1823,25 @@ object IvfQueries {
   // The delta selector rides `spark.graft.hn05.deltaMod` (default
   // 211, the oracle's fixed split — the growth probes, where only
   // Bench runs, override it to model sparser ingest batches).
+  // keyed by (session, dir, deltaMod): the BASE SPLIT depends on the
+  // delta selector, so a mid-session mod change (the sparse-ingest
+  // probes) must rebuild rather than reuse a base built for another
+  // split - a vector in neither base nor delta would silently vanish
   private val h5Dirs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Int)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), (String, Int)]
 
   private val H5ModConf = "spark.graft.hn05.deltaMod"
 
   private def h5Mod(s: SparkSession): Long =
     s.conf.get(H5ModConf, "211").toLong
 
-  private def h5LevelCol(lmax: Int): Column =
+  /** The ONE hash-geometric level rule every ladder shares (oracle
+    * CASE-chain twin): largest l <= lmax with h = 0 (mod 4^l), built
+    * inside-out so the strongest test sits outermost. Takes the hash
+    * COLUMN so callers that pre-project `h` evaluate the md5 once. */
+  private def ladderLevel(h: Column, lmax: Int): Column =
     (1 to lmax).foldLeft(lit(0)) { case (els, l) =>
-      when(h3HashCol % math.pow(4, l).toLong === 0, lit(l)).otherwise(els)
+      when(h % math.pow(4, l).toLong === 0, lit(l)).otherwise(els)
     }
 
   /** Two-stage hierarchical argmax against an EXPLICIT dense-keyed
@@ -1885,7 +1891,7 @@ object IvfQueries {
     * streaming face ([[graft.streaming.EventStreams]]). */
   private[graft] def ladderAssignDelta(vecs: DataFrame, cents: DataFrame,
       lmax: Int): DataFrame =
-    h5HierAssign(vecs, cents).withColumn("lvl", h5LevelCol(lmax))
+    h5HierAssign(vecs, cents).withColumn("lvl", ladderLevel(h3HashCol, lmax))
 
   /** Within-bucket kNN over a layer-keyed member frame, SALTED: the
     * per-(layer, src) top-k rides the k-bounded heap operator, and the
@@ -1993,7 +1999,7 @@ object IvfQueries {
     * state, derived from the BASE count. */
   def h5IndexDir(s: SparkSession, d: String): (String, Int) =
     h5Dirs.synchronized {
-      h5Dirs.getOrElseUpdate((s, d), {
+      h5Dirs.getOrElseUpdate((s, d, h5Mod(s)), {
         val dir = graft.Scratch.dir("graft_hn05_")
         var lmax = 0
         graft.Phases.timed("hn05_ladder_upsert", "setup") {
@@ -2015,7 +2021,7 @@ object IvfQueries {
             .write.mode("overwrite").parquet(s"$dir/cents")
           val cents = s.read.parquet(s"$dir/cents")
           h5HierAssign(base, cents)
-            .withColumn("lvl", h5LevelCol(lmax))
+            .withColumn("lvl", ladderLevel(h3HashCol, lmax))
             .write.mode("overwrite").parquet(s"$dir/nodes")
           val nodes = s.read.parquet(s"$dir/nodes")
           (0 to lmax).map { l =>

@@ -57,12 +57,29 @@ object PairGuard {
   private val passed =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(org.apache.spark.sql.SparkSession, String, String, Long)]()
 
-  /** 128-bit hex digest of the canonicalized analyzed plan — the
-    * collision-proof replacement for `semanticHash` in memo keys. */
+  /** 128-bit hex digest of the canonicalized analyzed plan PLUS the
+    * plan's file-source root paths — the collision-proof replacement
+    * for `semanticHash` in memo keys. The paths must ride explicitly:
+    * a canonicalized plan STRING renders a parquet relation as just
+    * its format name (`HadoopFsRelation.toString` is "parquet"), so
+    * two scans of different corpus dirs stringify identically and a
+    * string-only digest would falsely hit across dirs — silently
+    * disarming a fail-fast guard for multi-dir sessions (the spec
+    * suites run sf0.001 and sf0.01 in one session). */
   private def planDigest(df: DataFrame): String = {
-    val canon = df.queryExecution.analyzed.canonicalized.toString
+    val plan = df.queryExecution.analyzed
+    val canon = plan.canonicalized.toString
+    val paths = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }.mkString(";")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest((canon + "\n" + paths).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Abort with a diagnostic if Σ_key c·(c−1)/2 over `keyed` grouped
