@@ -93,7 +93,12 @@ object Bench {
         (setup, write) match {
           case (Some(sw), Some(w)) if w <= v =>
             Some(s"""\"$k\":{\"setup_write\":$sw,\"write\":$w,\"read\":${math.max(0.0, v - w)}}""")
-          case (Some(sw), _) =>
+          case (Some(sw), Some(w)) =>
+            // write larger than the timed elapsed ⇒ it ran during
+            // WARM-UP only: fold it into setup so the measurement is
+            // preserved instead of silently dropped
+            Some(s"""\"$k\":{\"setup_write\":${sw + w},\"read\":$v}""")
+          case (Some(sw), None) =>
             Some(s"""\"$k\":{\"setup_write\":$sw,\"read\":$v}""")
           case (None, Some(w)) if w <= v =>
             Some(s"""\"$k\":{\"write\":$w,\"read\":${math.max(0.0, v - w)}}""")

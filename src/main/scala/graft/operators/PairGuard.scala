@@ -69,6 +69,12 @@ object PairGuard {
   private def planDigest(df: DataFrame): String = {
     val plan = df.queryExecution.analyzed
     val canon = plan.canonicalized.toString
+    // EVERY leaf kind contributes a source discriminator, not just V1
+    // file relations: LogicalRDD / LocalRelation / DSv2 leaves all
+    // canonicalize to path-free strings, so two distinct inputs with
+    // identical plan shapes (e.g. two checkpointed frames) would
+    // otherwise share a digest and a PASSED verdict — silently
+    // disarming a fail-fast safety guard.
     val paths = plan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -76,6 +82,14 @@ object PairGuard {
             fs.location.rootPaths.mkString(",")
           case other => other.toString
         }
+      case rdd: org.apache.spark.sql.execution.LogicalRDD =>
+        s"rdd:${rdd.rdd.id}" // checkpoint/localCheckpoint identity
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        // literal inline data: hash the rows themselves (bounded —
+        // LocalRelations here are query fixtures, never corpora)
+        s"local:${lr.data.hashCode}"
+      case dsv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        s"dsv2:${dsv2.table.name}:${dsv2.options.hashCode}"
     }.mkString(";")
     java.security.MessageDigest.getInstance("MD5")
       .digest((canon + "\n" + paths).getBytes("UTF-8"))

@@ -2338,7 +2338,7 @@ object RelationalQueries {
     def text(su: String, na: String, li: String, pa: String) =
       s"""SELECT s.s_suppkey, s.s_name
          |FROM $su s JOIN $na n ON n.n_nationkey = s.s_nationkey
-         |WHERE n.n_name LIKE 'NATION_1%'
+         |WHERE n.n_name LIKE 'NATION!_1%' ESCAPE '!'
          |  AND s.s_suppkey IN (
          |    SELECT l1.l_suppkey FROM $li l1
          |    WHERE l1.l_partkey IN (
