@@ -1835,6 +1835,25 @@ object IvfQueries {
   private def h5Mod(s: SparkSession): Long =
     s.conf.get(H5ModConf, "211").toLong
 
+  /** Growth probes (Bench-only sessions, never oracle-compared) must
+    * declare themselves to override the delta split — see [[h5OraclePin]]. */
+  private val H5ProbeConf = "spark.graft.hn05.probeMode"
+
+  /** Oracle pin (the hn03 LMAX idiom): the hn05/hn06 census SQL
+    * hard-codes the `% 211` split, so a [[H5ModConf]] override on an
+    * oracle-compared path must fail loudly HERE, not downstream as an
+    * opaque hash mismatch. The sparse-ingest growth probes (where only
+    * Bench runs) ride the override legitimately and declare it with
+    * `spark.graft.hn05.probeMode=true`. */
+  private def h5OraclePin(s: SparkSession): Long = {
+    val mod = h5Mod(s)
+    require(mod == 211L || s.conf.get(H5ProbeConf, "false").toBoolean,
+      s"$H5ModConf=$mod diverges from the oracle's fixed %211 split; " +
+        s"set $H5ProbeConf=true for Bench-only growth probes, or unset " +
+        "the mod for oracle-compared runs")
+    mod
+  }
+
   /** The ONE hash-geometric level rule every ladder shares (oracle
     * CASE-chain twin): largest l <= lmax with h = 0 (mod 4^l), built
     * inside-out so the strongest test sits outermost. Takes the hash
@@ -1965,6 +1984,123 @@ object IvfQueries {
     (ln, affected, carried.unionByName(rec))
   }
 
+  /** The O(delta-bucket-mass) half of the admit/delete: recompute
+    * layer-l edges over EXACTLY the affected buckets' membership and
+    * never build (or carry) anything index-sized — callers own the
+    * carry, which under the (layer, bucket-group)-partitioned edge
+    * store ([[h5EdgeGrp]]) never moves on disk, and own the census,
+    * which the per-bucket summaries answer in O(buckets)
+    * ([[summaryCensus]]). `nodes` is every node that survives the
+    * operation (base ∪ delta for an admit, base ∖ deleted for a
+    * delete); `touched` is the node set whose buckets are affected
+    * (the delta / the deleted). The one remaining corpus-order term is
+    * a single map-side explode+semi-join pass over the node table to
+    * FETCH affected members — a scan, never a shuffle, a write, or a
+    * persist. Returns (pinned members — caller unpersists, affected
+    * buckets, recomputed edges). */
+  private[graft] def ladderRecompute(nodes: DataFrame, touched: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val affected = ladderByLayer(touched)
+      .select(col("layer"), col("bkt")).distinct()
+    val members = ladderByLayer(nodes)
+      .join(broadcast(affected), Seq("layer", "bkt"), "left_semi")
+      .pinned // four readers: two layerKnn bands × two join sides
+    val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
+      .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
+    val rec = knn.union(knn.select(col("layer"), col("bkt"),
+      col("dst").as("src"), col("src").as("dst"))).distinct()
+    (members, affected, rec)
+  }
+
+  /** In-place O(delta) edge-store upsert: dynamic-partition-overwrite
+    * ONLY the (layer, egrp) partitions the affected buckets live in,
+    * with a partition-LOCAL carry (the affected partitions' other
+    * buckets ride along verbatim; every unaffected partition is never
+    * read, never rewritten). The affected-partition list collects to
+    * the driver (bounded by the delta's bucket count) so the carry
+    * read prunes STATICALLY — no reliance on runtime DPP. The carried
+    * ∪ recomputed frame local-checkpoints before the write because
+    * Spark refuses to overwrite a path that feeds the writing plan;
+    * eager materialization of a delta-bucket-sized frame is the cost.
+    * Idempotent under replay at any crash point: a partition's final
+    * content is a pure function of the affected buckets' full
+    * membership, and re-deriving the carry from an already-overwritten
+    * partition anti-joins the recomputed rows right back out. */
+  private[graft] def ladderEdgeUpsert(s: SparkSession, path: String,
+      affected: DataFrame, rec: DataFrame): Unit = {
+    val parts = affected
+      .select(col("layer"), h5EdgeGrp(col("bkt")).as("egrp")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    if (parts.isEmpty) return
+    val partCond = parts.map { case (l, g) =>
+      col("layer") === l && col("egrp") === g }.reduce(_ || _)
+    val carried = s.read.parquet(path)
+      .filter(partCond) // literal partition predicate → static pruning
+      .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
+      .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst"))
+    carried.unionByName(rec.withColumn("egrp", h5EdgeGrp(col("bkt")))
+        .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst")))
+      .localCheckpoint(true)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("layer", "egrp").parquet(path)
+  }
+
+  /** Census over the POST-operation ladder computed from per-bucket
+    * summaries instead of index-sized frames: unaffected buckets'
+    * contributions come from the stored (layer, bkt) aggregates —
+    * node counts in `nsum`, edge counts + modular checksums in `esum`
+    * (both additive, both bucket-pure) — affected buckets' old
+    * contributions subtract out, and the recompute's add in. Every
+    * frame here is O(#buckets + #delta), so the census no longer
+    * scans the node or edge table at all; the values are EXACTLY
+    * [[ladderCensus]]'s over the materialized result (the oracle
+    * proves it per run). `nodeDelta` carries one (layer, bkt) row per
+    * node added/removed; `bucketDelta` one row per bucket created
+    * (admit: affected ∖ nsum) or emptied (delete: affected ∖ surviving
+    * members); `sign` is +1 for an admit, −1 for a delete. */
+  private def summaryCensus(s: SparkSession, lmax: Int,
+      nsum: DataFrame, esum: DataFrame, affected: DataFrame,
+      rec: DataFrame, nodeDelta: DataFrame, bucketDelta: DataFrame,
+      sign: Int): DataFrame = {
+    val baseN = nsum.groupBy(col("layer"))
+      .agg(sum(col("n")).as("bn"), count(lit(1)).as("bb"))
+    val baseE = esum.groupBy(col("layer"))
+      .agg(sum(col("n_edges")).as("be"), sum(col("chk")).as("bc"))
+    val dN = nodeDelta.groupBy(col("layer")).agg(count(lit(1)).as("dn"))
+    val dB = bucketDelta.groupBy(col("layer")).agg(count(lit(1)).as("db"))
+    val aAgg = affected.groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_affected"))
+    val oldAff = esum.join(broadcast(affected), Seq("layer", "bkt"), "left_semi")
+      .groupBy(col("layer"))
+      .agg(sum(col("n_edges")).as("ae"), sum(col("chk")).as("ac"))
+    val recAgg = rec.groupBy(col("layer"))
+      .agg(count(lit(1)).as("re"),
+        sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
+          .cast(LongType).as("rc"))
+    val layers = s.range(0, lmax + 1)
+      .select(col("id").cast(IntegerType).as("layer"))
+    def z(c: String): Column = coalesce(col(c), lit(0L))
+    layers.join(broadcast(baseN), Seq("layer"), "left")
+      .join(broadcast(baseE), Seq("layer"), "left")
+      .join(broadcast(dN), Seq("layer"), "left")
+      .join(broadcast(dB), Seq("layer"), "left")
+      .join(broadcast(aAgg), Seq("layer"), "left")
+      .join(broadcast(oldAff), Seq("layer"), "left")
+      .join(broadcast(recAgg), Seq("layer"), "left")
+      .withColumn("n_nodes", z("bn") + lit(sign.toLong) * z("dn"))
+      .withColumn("n_buckets", z("bb") + lit(sign.toLong) * z("db"))
+      .withColumn("n_edges", z("be") - z("ae") + z("re"))
+      // NULL (not 0) when the layer ends with zero edges — the shape
+      // the oracle's SUM-over-empty produces and ladderCensus kept
+      .withColumn("edge_sum",
+        when(col("n_edges") === 0, lit(null).cast(LongType))
+          .otherwise(z("bc") - z("ac") + z("rc")))
+      .na.fill(0L, Seq("n_affected"))
+      .select(col("layer"), col("n_nodes"), col("n_buckets"),
+        col("n_affected"), col("n_edges"), col("edge_sum"))
+      .orderBy("layer")
+  }
+
   /** The per-layer census both upsert queries report: node/bucket/
     * affected counts plus the edge count and order-independent edge
     * checksum, anchored on the full 0..lmax layer list (a degenerate
@@ -1992,11 +2128,31 @@ object IvfQueries {
       .orderBy("layer")
   }
 
+  /** Edge-store bucket groups: the stored ladder's edge table is
+    * partitioned by (layer, egrp = bkt % [[H5EdgeGroups]]) so an
+    * incremental upsert can dynamic-partition-overwrite EXACTLY the
+    * partitions its affected buckets live in — the carry side never
+    * moves on disk and is never rewritten. 512 bounds the directory
+    * fan-out (≤ 512 per layer; small corpora produce one dir per
+    * bucket) while keeping a sparse delta's touched-partition set
+    * ≈ its touched-bucket set. */
+  private[graft] val H5EdgeGroups = 512
+
+  private[graft] def h5EdgeGrp(bkt: Column): Column =
+    pmod(bkt, lit(H5EdgeGroups.toLong)).cast(IntegerType)
+
   /** Build + persist the production-shape BASE ladder once per
-    * (session, sf dir): the frozen dense-keyed codebook, base nodes
-    * (id, embedding, cell, level), per-layer bucketed edges
-    * partitioned by layer. Returns (dir, lmax) — lmax is frozen index
-    * state, derived from the BASE count. */
+    * (session, sf dir, delta-mod): the frozen dense-keyed codebook,
+    * base nodes (id, embedding, cell, level), per-layer bucketed edges
+    * partitioned by (layer, bucket-group) for O(delta) incremental
+    * overwrites, per-(layer, bucket) node/edge SUMMARIES (counts +
+    * order-independent checksums — what lets the census read
+    * O(buckets) instead of O(edges)), and the staged ingest batch
+    * (`delta_src`) — production ingest arrives as a small batch file;
+    * scanning the standing corpus to re-discover the delta would
+    * charge an O(corpus) pass to the operator that exists to avoid
+    * one. Returns (dir, lmax) — lmax is frozen index state, derived
+    * from the BASE count. */
   def h5IndexDir(s: SparkSession, d: String): (String, Int) =
     h5Dirs.synchronized {
       h5Dirs.getOrElseUpdate((s, d, h5Mod(s)), {
@@ -2031,8 +2187,26 @@ object IvfQueries {
                 floor(col("cid") / div).cast(LongType)), l)
               .withColumn("layer", lit(l))
           }.reduce(_ unionByName _)
-            .write.mode("overwrite").partitionBy("layer")
+            .withColumn("egrp", h5EdgeGrp(col("bkt")))
+            .write.mode("overwrite").partitionBy("layer", "egrp")
             .parquet(s"$dir/edges")
+          // per-(layer, bucket) summaries: node counts, edge counts +
+          // modular checksums. Both are pure per-bucket aggregates, so
+          // an upsert maintains the census by SUBTRACTING the affected
+          // buckets' stored rows and ADDING the recompute's — no full
+          // node explode, no full edge scan on the timed path.
+          ladderByLayer(nodes).groupBy(col("layer"), col("bkt"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$dir/nsum")
+          s.read.parquet(s"$dir/edges").groupBy(col("layer"), col("bkt"))
+            .agg(count(lit(1)).as("n_edges"),
+              sum((col("src") * lit(1000003L) + col("dst"))
+                % lit(1000000007L)).cast(LongType).as("chk"))
+            .write.mode("overwrite").parquet(s"$dir/esum")
+          // the staged ingest batch the timed path admits
+          Tables.embeddings(s, d).filter(col("vec_id") % mod === 0)
+            .select(col("vec_id"), col("embedding"))
+            .write.mode("overwrite").parquet(s"$dir/delta_src")
         }
         (dir, lmax)
       })
@@ -2097,21 +2271,149 @@ object IvfQueries {
          |  UNION ALL SELECT * FROM c2)
          |ORDER BY layer""".stripMargin) { (s, d) =>
       VectorExpressions.register(s)
+      h5OraclePin(s)
       val (dir, lmax) = h5IndexDir(s, d)
-      val mod = h5Mod(s)
       // the genuinely-new work: hierarchically assign + level the
       // DELTA under the persisted frozen codebook — the timed path
-      // reads ncells codebook rows and |delta| corpus rows, never the
-      // standing base corpus's embeddings — then fold it through the
-      // shared admit kernel (the same code the streaming face runs)
-      val delta = ladderAssignDelta(
-        Tables.embeddings(s, d).filter(col("vec_id") % mod === 0)
-          .select(col("vec_id"), col("embedding")),
-        s.read.parquet(s"$dir/cents"), lmax)
-      val (ln, affected, edges) = ladderAdmit(
-        s.read.parquet(s"$dir/nodes"), s.read.parquet(s"$dir/edges"),
-        delta)
-      ladderCensus(s, ln, affected, edges, lmax)
+      // reads the staged ingest batch (production shape: a delta
+      // ARRIVES as a small batch file, nobody rescans the standing
+      // corpus to find it) and ncells codebook rows — then recompute
+      // edges over exactly the affected buckets' membership
+      // ([[ladderRecompute]], the same kernel the streaming face
+      // runs) and answer the census from the per-bucket summaries
+      // ([[summaryCensus]]): O(delta-bucket mass + #buckets), with
+      // one map-side member-fetch pass over the node table as the
+      // only corpus-order term.
+      val delta = ladderAssignDelta(s.read.parquet(s"$dir/delta_src"),
+        s.read.parquet(s"$dir/cents"), lmax).pinned
+      val nodes = s.read.parquet(s"$dir/nodes")
+      val nsum = s.read.parquet(s"$dir/nsum")
+      val (members, affected, rec) =
+        ladderRecompute(nodes.unionByName(delta), delta)
+      LadderGuard.check(s, "hn05_ladder_upsert",
+        members.count(),
+        nsum.agg(sum(col("n"))).head().getLong(0)
+          + ladderByLayer(delta).count())
+      summaryCensus(s, lmax, nsum, s.read.parquet(s"$dir/esum"),
+        affected, rec,
+        nodeDelta = ladderByLayer(delta).select(col("layer"), col("bkt")),
+        bucketDelta = affected
+          .join(broadcast(nsum), Seq("layer", "bkt"), "left_anti"),
+        sign = 1)
+    }
+  }
+
+  // ---------------------------------------------------------- hn06
+  /** LADDER DELETION — the other half of production index maintenance
+    * (hn04/hn05/ladderUpsert are insert-only IVM). Removing a vector
+    * set from the persisted hn05 ladder rides the SAME affected-bucket
+    * discipline, with membership shrinking instead of growing: the
+    * affected buckets are exactly the deleted nodes' (layer, bucket)
+    * pairs (an edge lives strictly inside its bucket, so every edge
+    * that must die or change is in one), layer-l edges recompute over
+    * the SURVIVING members of those buckets, every other bucket
+    * carries verbatim — and the result is EXACTLY the from-scratch
+    * rebuild over base ∖ deleted, which is what the oracle computes
+    * under the FROZEN base codebook (deletion never retrains, the same
+    * way ingestion never does). The census is [[summaryCensus]] with
+    * sign = −1: deleted nodes subtract from the stored per-bucket node
+    * counts, and a bucket whose members ALL die leaves n_buckets (the
+    * recompute emits no row for it — structurally, not by special
+    * case). IvfSpec pins the algebra: delete ∘ insert ≡ identity on
+    * the per-layer edge checksum over the partitioned edge store.
+    *
+    * The deleted set reads from the PERSISTED node table — a deletion
+    * names indexed ids; it never touches the corpus, the codebook, or
+    * any unaffected bucket. Deployed cost is O(affected-bucket mass),
+    * the hn05 bound, and [[LadderGuard]] fail-fasts a mass-heavy
+    * deletion the same way it guards a dense ingest. */
+  val hn06LadderDelete: GraftQuery = {
+    val LMAX = 2 // the oracle's unroll depth (IvfSpec pins it)
+    val DelRes = 105L // deleted = base nodes with vec_id % 211 == 105
+    def censusSql(l: Int): String = {
+      val div = math.pow(4, l).toLong
+      s"""c$l AS (
+         |  SELECT $l AS layer,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ln$l) AS n_nodes,
+         |    (SELECT CAST(COUNT(DISTINCT bkt) AS BIGINT) FROM ln$l) AS n_buckets,
+         |    (SELECT CAST(COUNT(DISTINCT da.cid // $div) AS BIGINT)
+         |     FROM delass da JOIN lvl ON lvl.vec_id = da.vec_id
+         |       AND lvl.lvl >= $l) AS n_affected,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e$l) AS n_edges,
+         |    (SELECT CAST(SUM((src * 1000003 + dst) % 1000000007) AS BIGINT) FROM e$l)
+         |      AS edge_sum)""".stripMargin
+    }
+    q("hn06_ladder_delete",
+      "incremental HNSW-ladder DELETION: affected-bucket edge recompute over surviving members ≡ full rebuild on base∖deleted (edge checksum); delete∘insert ≡ identity",
+      s"""WITH normed AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, SQRT(${sqlNorm2("e")}) AS nrm
+         |  FROM embeddings e),
+         |params AS MATERIALIZED (
+         |  SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 128.0) AS BIGINT)) AS ncells
+         |  FROM embeddings WHERE vec_id % 211 <> 0),
+         |cents AS MATERIALIZED (
+         |  SELECT rk - 1 AS cid, embedding, nrm AS cnrm FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rk, embedding, nrm
+         |    FROM normed WHERE vec_id % 211 <> 0) b, params
+         |  WHERE rk <= ncells),
+         |coarse AS MATERIALIZED (
+         |  SELECT vec_id, g FROM (
+         |    SELECT v.vec_id, r.cid // 128 AS g,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlDot("v", "r")} / (v.nrm * r.cnrm) DESC, r.cid) AS rr
+         |    FROM normed v CROSS JOIN cents r
+         |    WHERE r.cid % 128 = 0 AND v.vec_id % 211 <> 0)
+         |  WHERE rr = 1),
+         |scored0 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ${sqlDot("v", "c")} / (v.nrm * c.cnrm) AS cos_c
+         |  FROM normed v JOIN coarse ON coarse.vec_id = v.vec_id
+         |  JOIN cents c ON c.cid // 128 = coarse.g),
+         |scored AS (
+         |  SELECT vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_c DESC, cid) AS rc
+         |  FROM scored0),
+         |assignedb AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM scored WHERE rc = 1),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM assignedb WHERE vec_id % 211 <> $DelRes),
+         |delass AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM assignedb WHERE vec_id % 211 = $DelRes),
+         |lvl AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+         |  FROM (SELECT vec_id, $sqlH3Hash AS h FROM normed)),
+         |${(0 to LMAX).map(sqlH3LayerEdges).mkString(",\n")},
+         |${(0 to LMAX).map(censusSql).mkString(",\n")}
+         |SELECT * FROM (
+         |  SELECT * FROM c0 UNION ALL SELECT * FROM c1
+         |  UNION ALL SELECT * FROM c2)
+         |ORDER BY layer""".stripMargin) { (s, d) =>
+      VectorExpressions.register(s)
+      h5OraclePin(s)
+      val (dir, lmax) = h5IndexDir(s, d)
+      val nodes = s.read.parquet(s"$dir/nodes")
+      // the deletion names INDEXED ids: both the deleted rows (with
+      // their stored cell + level — no re-assignment, no codebook
+      // read) and the survivors come from the persisted node table
+      val del = nodes.filter(col("vec_id") % 211 === DelRes)
+      val remaining = nodes.filter(col("vec_id") % 211 =!= DelRes)
+      val nsum = s.read.parquet(s"$dir/nsum")
+      val (members, affected, rec) = ladderRecompute(remaining, del)
+      LadderGuard.check(s, "hn06_ladder_delete",
+        members.count(),
+        nsum.agg(sum(col("n"))).head().getLong(0))
+      // a bucket whose members ALL died: affected but absent from the
+      // surviving member set — it leaves the bucket census
+      val emptied = affected.join(
+        members.select(col("layer"), col("bkt")).distinct(),
+        Seq("layer", "bkt"), "left_anti")
+      summaryCensus(s, lmax, nsum, s.read.parquet(s"$dir/esum"),
+        affected, rec,
+        nodeDelta = ladderByLayer(del).select(col("layer"), col("bkt")),
+        bucketDelta = emptied,
+        sign = -1)
     }
   }
 
@@ -2408,6 +2710,443 @@ object IvfQueries {
     }
   }
 
+  /** TRAINED PQ codebooks (Jégou et al. 2011 §II-C / the FAISS
+    * `ProductQuantizer::train` shape) — pq01/pq02 seed each subspace's
+    * K=8 codewords from the first K vectors' subvectors (the c0-init
+    * convention); real PQ trains M INDEPENDENT k-means, one per 16-dim
+    * subspace, because the codebook exists to minimize per-subspace
+    * quantization distortion. pq03 runs ivf03's Lloyd discipline per
+    * subspace — assignment by exact int64 squared L2 (ties → smallest
+    * k), centroid recompute as the coordinate-wise ROUNDED mean (one
+    * correctly-rounded IEEE divide of exact integers per coordinate,
+    * then the same ROUND both engines proved bit-identical in the
+    * quantizer itself) — init'd from the seeded books, 2 rounds,
+    * clusters that lose all members drop (classical Lloyd). Lloyd
+    * never increases total distortion from its init, so the trained
+    * books dominate the seeded ones by construction; IvfSpec measures
+    * the recall@5 gain through the full IVF-PQ serving path.
+    *
+    * Scale shape: training is 2·M map-side assignment passes over the
+    * corpus (broadcast 8-row codebooks, no shuffle) + K-row
+    * aggregations — ivf03's exact cost, ×M subspaces; serving is
+    * pq02's pipeline verbatim under the trained books (probe-1 cell,
+    * ADC from 4-byte codes, NQ·C exact rerank). Trained codeword ids
+    * can be SPARSE (lost clusters), so the ADC lookup joins per-(m, k)
+    * tables — the oracle's own shape — instead of positional
+    * element_at. */
+  val pq03TrainedPq: GraftQuery = {
+    val M = 4
+    val K = 8
+    val SUB = Dim / M
+    val NQ = 3
+    val C = 20
+    val ITERS = 2
+    def sqlQDot(a: String, b: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $b.q[$i]").mkString("(", " + ", ")")
+    def sqlQN2(a: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $a.q[$i]").mkString("(", " + ", ")")
+    def sqlQCos(a: String, b: String): String =
+      s"CAST(${sqlQDot(a, b)} AS DOUBLE) / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))"
+    // Σ (v.q[m·SUB+i] − c.c_i)² — vector row vs a book row's c1..c16
+    def sqlBookDist(v: String, c: String, m: Int): String =
+      (1 to SUB).map(i =>
+        s"($v.q[${m * SUB + i}] - $c.c$i) * ($v.q[${m * SUB + i}] - $c.c$i)")
+        .mkString("(", " + ", ")")
+    val cols = (1 to SUB).map(i => s"c$i").mkString(", ")
+    // per-subspace Lloyd: init from the seeded books, `ITERS` unrolled
+    // rounds of (argmin assign, rounded-mean recompute)
+    def sqlTrain(m: Int): String = {
+      val init =
+        s"""cb0x$m AS (
+           |  SELECT vec_id AS k,
+           |    ${(1 to SUB).map(i => s"q[${m * SUB + i}] AS c$i").mkString(", ")}
+           |  FROM qv WHERE vec_id < $K)""".stripMargin
+      val rounds = (1 to ITERS).map { r =>
+        s"""ta${r}x$m AS (
+           |  SELECT v.vec_id, c.k,
+           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${sqlBookDist("v", "c", m)} ASC, c.k) AS rr
+           |  FROM qv v CROSS JOIN cb${r - 1}x$m c),
+           |aa${r}x$m AS (SELECT vec_id, k FROM ta${r}x$m WHERE rr = 1),
+           |cb${r}x$m AS (
+           |  SELECT a.k,
+           |    ${(1 to SUB).map(i =>
+              s"CAST(ROUND(CAST(SUM(v.q[${m * SUB + i}]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c$i")
+              .mkString(", ")}
+           |  FROM aa${r}x$m a JOIN qv v ON v.vec_id = a.vec_id
+           |  GROUP BY a.k)""".stripMargin
+      }.mkString(",\n")
+      s"$init,\n$rounds"
+    }
+    val codesCtes = (0 until M).map { m =>
+      s"""codes$m AS MATERIALIZED (
+         |  SELECT vec_id, k AS code$m FROM (
+         |    SELECT v.vec_id, c.k,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlBookDist("v", "c", m)} ASC, c.k) AS r
+         |    FROM qv v CROSS JOIN cb${ITERS}x$m c) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val qdCtes = (0 until M).map { m =>
+      s"""qd$m AS MATERIALIZED (
+         |  SELECT v.vec_id AS query_id, c.k,
+         |    ${sqlBookDist("v", "c", m)} AS t$m
+         |  FROM qv v CROSS JOIN cb${ITERS}x$m c WHERE v.vec_id < $NQ)""".stripMargin
+    }.mkString(",\n")
+    val codesJoin = (1 until M)
+      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
+    val qdJoins = (1 until M).map(m =>
+      s"JOIN qd$m q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
+      .mkString("\n  ")
+    q("pq03_trained_pq",
+      s"IVF-PQ serving from TRAINED per-subspace codebooks: M=$M independent $ITERS-round Lloyd loops, then probe-1 + ADC + exact rerank",
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qvn AS MATERIALIZED (
+         |  SELECT vec_id, q, ${sqlQN2("qv")} AS n2 FROM qv),
+         |cents AS MATERIALIZED (
+         |  SELECT vec_id AS cid, q, n2 FROM qvn WHERE vec_id < $CELLS),
+         |asg0 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlQCos("v", "c")} DESC, c.cid) AS rc
+         |  FROM qvn v CROSS JOIN cents c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM asg0 WHERE rc = 1),
+         |${(0 until M).map(sqlTrain).mkString(",\n")},
+         |$codesCtes,
+         |codes AS MATERIALIZED (
+         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
+         |  FROM codes0 $codesJoin),
+         |$qdCtes,
+         |qa AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < $NQ),
+         |cand0 AS (
+         |  SELECT q0.query_id, x.vec_id AS cand_id,
+         |    ${(0 until M).map(m => s"q$m.t$m").mkString(" + ")} AS adc
+         |  FROM codes x
+         |  JOIN asg ax ON ax.vec_id = x.vec_id
+         |  JOIN qa ON qa.cid = ax.cid AND x.vec_id <> qa.query_id
+         |  JOIN qd0 q0 ON q0.query_id = qa.query_id AND q0.k = x.code0
+         |  $qdJoins),
+         |shortlist AS (
+         |  SELECT query_id, cand_id, adc FROM (
+         |    SELECT query_id, cand_id, adc,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc, cand_id) AS rc
+         |    FROM cand0) WHERE rc <= $C),
+         |rer AS (
+         |  SELECT t.query_id, t.cand_id, t.adc,
+         |    ${sqlQCos("vq", "vc")} AS qcos
+         |  FROM shortlist t
+         |  JOIN qvn vq ON vq.vec_id = t.query_id
+         |  JOIN qvn vc ON vc.vec_id = t.cand_id)
+         |SELECT query_id, cand_id, adc, qcos, rn FROM (
+         |  SELECT query_id, cand_id, adc, qcos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
+         |  FROM rer) WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val qv = quantizedDf(s, d) // (vec_id, q, n2)
+      def qdot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      def qcos(da: Column, na: Column, nb: Column): Column =
+        da.cast(DoubleType) /
+          (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+      // exact int64 squared L2 between a SUB-dim slice of q and a
+      // SUB-dim codeword
+      def bookDist(sq: Column, cq: Column): Column =
+        aggregate(zip_with(sq, cq, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      // per-subspace Lloyd trainer: k-row codebook state, map-side
+      // assignment against the broadcast book, rounded-mean recompute
+      // (ivf03's loop restricted to one 16-dim slice)
+      def train(m: Int): DataFrame = {
+        var cb = qv.filter(col("vec_id") < K)
+          .select(col("vec_id").cast(IntegerType).as("k"),
+            slice(col("q"), m * SUB + 1, SUB).as("cq"))
+        for (_ <- 1 to ITERS) {
+          val cbArr = cb
+            .agg(sort_array(collect_list(struct(col("k"), col("cq"))))
+              .as("cbs"))
+          cb = qv
+            .select(col("vec_id"), slice(col("q"), m * SUB + 1, SUB).as("sq"))
+            .crossJoin(broadcast(cbArr))
+            .withColumn("k", array_min(transform(col("cbs"), c =>
+              struct(bookDist(col("sq"), c.getField("cq")).as("dist"),
+                c.getField("k").as("k")))).getField("k"))
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("n"),
+              array((1 to SUB).map(i => sum(element_at(col("sq"), i))): _*)
+                .as("sv"))
+            .select(col("k"),
+              transform(col("sv"),
+                x => round(x.cast(DoubleType) / col("n")).cast(LongType))
+                .as("cq"))
+            .pinned
+        }
+        cb
+      }
+      // coarse probe-1 assignment — pq02's broadcast-argmax verbatim
+      val centArr = qv.filter(col("vec_id") < CELLS)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
+      val asg = qv.crossJoin(broadcast(centArr))
+        .withColumn("best", array_max(transform(col("cents"), c =>
+          struct(
+            qcos(qdot(col("q"), c.getField("cq")), col("n2"),
+              c.getField("cn2")).as("cos_c"),
+            (-c.getField("cid")).as("neg_cid"),
+            c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+      // ONE broadcast row per trained book: a k-sorted (k, cq) struct
+      // array — the scalar-join idiom every encode/lookup below rides
+      val bookArrs = (0 until M).map(m => train(m)
+        .agg(sort_array(collect_list(struct(col("k"), col("cq"))))
+          .as(s"cbs$m")))
+      // encode against the TRAINED books (ids may be sparse after
+      // lost clusters — the per-row struct-min carries the true k)
+      val coded = (0 until M).foldLeft(
+        qv.select(col("vec_id"), col("q"))) { (acc, m) =>
+        acc.crossJoin(broadcast(bookArrs(m)))
+          .withColumn(s"code$m", array_min(transform(col(s"cbs$m"), c =>
+            struct(bookDist(slice(col("q"), m * SUB + 1, SUB),
+              c.getField("cq")).as("dist"),
+              c.getField("k").as("k")))).getField("k"))
+          .drop(s"cbs$m")
+      }.drop("q")
+      val index = coded.join(asg, Seq("vec_id")).pinned
+      // per-(m, k) query distance tables, joined by code — the
+      // sparse-id-safe ADC lookup (the oracle's own join shape)
+      val qds = (0 until M).map { m =>
+        qv.filter(col("vec_id") < NQ)
+          .select(col("vec_id").as("query_id"),
+            slice(col("q"), m * SUB + 1, SUB).as("sq"))
+          .crossJoin(broadcast(bookArrs(m)))
+          .select(col("query_id"), explode(col(s"cbs$m")).as("c"),
+            col("sq"))
+          .select(col("query_id"), col("c.k").as(s"code$m"),
+            bookDist(col("sq"), col("c.cq")).as(s"t$m"))
+      }
+      val qa = asg.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("cid").as("qcid"))
+      val scored = (0 until M).foldLeft(
+        index.join(broadcast(qa),
+          col("cid") === col("qcid") && col("vec_id") =!= col("query_id"))) {
+        (acc, m) => acc.join(broadcast(qds(m)), Seq("query_id", s"code$m"))
+      }.select(col("query_id"), col("vec_id").as("cand_id"),
+        (0 until M).map(m => col(s"t$m")).reduce(_ + _).as("adc"))
+      val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
+        Seq(col("query_id")), struct(col("adc"), col("cand_id")),
+        k = C, desc = false)
+      val rer = shortlist
+        .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("n2").as("qn2")), Seq("query_id"))
+        .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("adc"),
+          qcos(qdot(col("qq"), col("cq")), col("qn2"), col("cn2"))
+            .as("qcos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qcos").desc, col("cand_id"))
+      rer.withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("adc"), col("qcos"),
+          col("rn"))
+        .orderBy("query_id", "rn")
+    }
+  }
+
+  /** RESIDUAL IVF-PQ encoding (Jégou et al. 2011 §IV-A; FAISS
+    * `IndexIVFPQ`'s default) — pq02 PQ-encodes RAW vectors, which
+    * wastes the codebook's 8 codewords re-describing the coarse cell's
+    * position; encoding the residual v − centroid(cell(v)) centers
+    * every cell's cloud at the origin so the codewords spend their
+    * precision on the within-cell structure — the property that makes
+    * 4-byte codes usable at high cell counts. A query forms its OWN
+    * residual against the probed cell's centroid and ADC-scores
+    * candidates' residual codes — both sides are offsets from the SAME
+    * centroid, so residual ADC estimates the true within-cell
+    * distance. Residuals stay exact int64 on the ×1000 grid (a
+    * difference of integers), so codes, tables, and ADC sums
+    * hash-match DuckDB; the rerank is pq02's raw-cosine readout.
+    *
+    * The residual codebook seeds from the first K vectors that are NOT
+    * coarse centroids (ids CELLS..CELLS+K−1, re-keyed dense): a
+    * centroid's own residual is the zero vector, so pq02's vec_id < K
+    * convention would seed K degenerate identical codewords. IvfSpec
+    * measures the recall gain over pq02 through the same serving path.
+    * Scale shape is pq02's verbatim: one extra broadcast equi-join
+    * (the 16-row centroid fetch) on the encode pass, nothing else
+    * changes. */
+  val pq04ResidualPq: GraftQuery = {
+    val M = 4
+    val K = 8
+    val SUB = Dim / M
+    val NQ = 3
+    val C = 20
+    def sqlQDot(a: String, b: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $b.q[$i]").mkString("(", " + ", ")")
+    def sqlQN2(a: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $a.q[$i]").mkString("(", " + ", ")")
+    def sqlQCos(a: String, b: String): String =
+      s"CAST(${sqlQDot(a, b)} AS DOUBLE) / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))"
+    // Σ (v.r_i − c.r_i)² over subspace m — residual-column variant
+    def sqlRDist(v: String, c: String, m: Int): String =
+      (m * SUB + 1 to (m + 1) * SUB).map(i =>
+        s"($v.r$i - $c.r$i) * ($v.r$i - $c.r$i)")
+        .mkString("(", " + ", ")")
+    val rcols = (1 to Dim).map(i => s"r$i").mkString(", ")
+    val codesCtes = (0 until M).map { m =>
+      s"""codes$m AS MATERIALIZED (
+         |  SELECT vec_id, k AS code$m FROM (
+         |    SELECT v.vec_id, c.k,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${sqlRDist("v", "c", m)} ASC, c.k) AS r
+         |    FROM res v CROSS JOIN cbr c) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val codesJoin = (1 until M)
+      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
+    val qdJoins = (1 until M).map(m =>
+      s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
+      .mkString("\n  ")
+    q("pq04_residual_pq",
+      s"IVF-PQ with RESIDUAL encoding: codes quantize v - centroid(cell), query ADC on its own residual, exact rerank to top-5",
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qvn AS MATERIALIZED (
+         |  SELECT vec_id, q, ${sqlQN2("qv")} AS n2 FROM qv),
+         |cents AS MATERIALIZED (
+         |  SELECT vec_id AS cid, q, n2 FROM qvn WHERE vec_id < $CELLS),
+         |asg0 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlQCos("v", "c")} DESC, c.cid) AS rc
+         |  FROM qvn v CROSS JOIN cents c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM asg0 WHERE rc = 1),
+         |res AS MATERIALIZED (
+         |  SELECT v.vec_id, a.cid,
+         |    ${(1 to Dim).map(i => s"v.q[$i] - c.q[$i] AS r$i").mkString(", ")}
+         |  FROM qv v JOIN asg a ON a.vec_id = v.vec_id
+         |  JOIN cents c ON c.cid = a.cid),
+         |cbr AS MATERIALIZED (
+         |  SELECT vec_id - $CELLS AS k, $rcols FROM res
+         |  WHERE vec_id >= $CELLS AND vec_id < ${CELLS + K}),
+         |$codesCtes,
+         |codes AS MATERIALIZED (
+         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
+         |  FROM codes0 $codesJoin),
+         |qd AS MATERIALIZED (
+         |  SELECT v.vec_id AS query_id, c.k,
+         |    ${(0 until M).map(m => s"${sqlRDist("v", "c", m)} AS t$m").mkString(", ")}
+         |  FROM res v CROSS JOIN cbr c WHERE v.vec_id < $NQ),
+         |qa AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < $NQ),
+         |cand0 AS (
+         |  SELECT q0.query_id, x.vec_id AS cand_id,
+         |    ${(0 until M).map(m => s"q$m.t$m").mkString(" + ")} AS adc
+         |  FROM codes x
+         |  JOIN asg ax ON ax.vec_id = x.vec_id
+         |  JOIN qa ON qa.cid = ax.cid AND x.vec_id <> qa.query_id
+         |  JOIN qd q0 ON q0.query_id = qa.query_id AND q0.k = x.code0
+         |  $qdJoins),
+         |shortlist AS (
+         |  SELECT query_id, cand_id, adc FROM (
+         |    SELECT query_id, cand_id, adc,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc, cand_id) AS rc
+         |    FROM cand0) WHERE rc <= $C),
+         |rer AS (
+         |  SELECT t.query_id, t.cand_id, t.adc,
+         |    ${sqlQCos("vq", "vc")} AS qcos
+         |  FROM shortlist t
+         |  JOIN qvn vq ON vq.vec_id = t.query_id
+         |  JOIN qvn vc ON vc.vec_id = t.cand_id)
+         |SELECT query_id, cand_id, adc, qcos, rn FROM (
+         |  SELECT query_id, cand_id, adc, qcos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
+         |  FROM rer) WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val qv = quantizedDf(s, d) // (vec_id, q, n2)
+      def qdot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      def qcos(da: Column, na: Column, nb: Column): Column =
+        da.cast(DoubleType) /
+          (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+      def subDist(vq: Column, cq: Column, m: Int): Column =
+        aggregate(
+          zip_with(slice(vq, m * SUB + 1, SUB), slice(cq, m * SUB + 1, SUB),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      // coarse probe-1 assignment — pq02's broadcast-argmax verbatim
+      val centArr = qv.filter(col("vec_id") < CELLS)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
+      val asg = qv.crossJoin(broadcast(centArr))
+        .withColumn("best", array_max(transform(col("cents"), c =>
+          struct(
+            qcos(qdot(col("q"), c.getField("cq")), col("n2"),
+              c.getField("cn2")).as("cos_c"),
+            (-c.getField("cid")).as("neg_cid"),
+            c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("best.cid").as("cid"))
+      // residuals: v − centroid(cell(v)), one 16-row broadcast fetch
+      val centQ = qv.filter(col("vec_id") < CELLS)
+        .select(col("vec_id").as("cid"), col("q").as("centq"))
+      val res = qv.select(col("vec_id"), col("q")).join(asg, Seq("vec_id"))
+        .join(broadcast(centQ), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("q"), col("centq"), (x, y) => x - y).as("r"))
+      // residual codebook: first K NON-CENTROID vectors' residuals,
+      // re-keyed dense (a centroid's own residual is the zero vector)
+      val cbArr = res
+        .filter(col("vec_id") >= CELLS && col("vec_id") < CELLS + K)
+        .agg(sort_array(collect_list(struct(
+          (col("vec_id") - CELLS).cast(IntegerType).as("k"),
+          col("r").as("cr")))).as("cbs"))
+      val coded = res.crossJoin(broadcast(cbArr)).select(
+        col("vec_id") +: col("cid") +:
+          (0 until M).map(m => array_min(transform(col("cbs"), c =>
+            struct(subDist(col("r"), c.getField("cr"), m).as("dist"),
+              c.getField("k").as("k"))))
+            .getField("k").as(s"code$m")): _*)
+      val index = coded.pinned
+      val qd = res.filter(col("vec_id") < NQ).crossJoin(broadcast(cbArr))
+        .select(
+          col("vec_id").as("query_id") +:
+            (0 until M).map(m => transform(col("cbs"),
+              c => subDist(col("r"), c.getField("cr"), m)).as(s"dt$m")): _*)
+      val qa = asg.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("cid").as("qcid"))
+        .join(broadcast(qd), Seq("query_id"))
+      val scored = index.join(broadcast(qa),
+          col("cid") === col("qcid") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          (0 until M).map(m =>
+            element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
+            .as("adc"))
+      val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
+        Seq(col("query_id")), struct(col("adc"), col("cand_id")),
+        k = C, desc = false)
+      val rer = shortlist
+        .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("n2").as("qn2")), Seq("query_id"))
+        .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+          col("n2").as("cn2")), Seq("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("adc"),
+          qcos(qdot(col("qq"), col("cq")), col("qn2"), col("cn2"))
+            .as("qcos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qcos").desc, col("cand_id"))
+      rer.withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("cand_id"), col("adc"), col("qcos"),
+          col("rn"))
+        .orderBy("query_id", "rn")
+    }
+  }
+
   /** HARD-EXAMPLE TRIPLET MINING — the contrastive-training data op
     * (FaceNet/SimCLR-style batch construction): for each anchor, the
     * HARD POSITIVE (same label, LOWEST cosine — the most distant
@@ -2512,5 +3251,6 @@ object IvfQueries {
       ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
       hn02GraphServing, hn03HnswAnn, hn04HnswUpsert, hn05LadderUpsert,
-      pq01AdcSearch, pq02IvfPqSearch, tm01TripletMining)
+      hn06LadderDelete, pq01AdcSearch, pq02IvfPqSearch, pq03TrainedPq,
+      pq04ResidualPq, tm01TripletMining)
 }

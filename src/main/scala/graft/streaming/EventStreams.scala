@@ -603,19 +603,32 @@ object EventStreams {
   /** Streaming ANN-index ingestion — hn05 run continuously: each
     * arriving micro-batch of vectors is admitted into the persisted
     * HNSW ladder under the FROZEN quantizer (hierarchical assign +
-    * hash-geometric level + affected-bucket edge rebuild), with the
-    * node and edge tables kept as versioned parquet snapshots
-    * (`indexRoot/nodes_v_<n>`, `edges_v_<n>`) — the [[cdcApply]] /
-    * [[evolvingAdmission]] exactly-once discipline: batch n reads v_n
-    * and deterministically rewrites v_{n+1}, so a replayed micro-batch
-    * (crash between sink write and offset commit) reproduces identical
-    * snapshots. A real deployment swaps the chain for MERGE INTO on a
-    * (layer, bucket)-bucketed lakehouse edge table — the admit joins
-    * and the append are the identical plans, and bucketing means the
-    * carry side never reshuffles.
+    * hash-geometric level + affected-bucket edge rebuild), with
+    * O(delta) writes per micro-batch against ONE in-place store:
+    * `indexRoot/nodes` partitioned by micro-batch id (each batch
+    * dynamic-overwrites exactly its own `batch=<id>` partition) and
+    * `indexRoot/edges` partitioned by (layer, bucket-group), where a
+    * batch dynamic-overwrites ONLY the partitions its affected
+    * buckets live in with a partition-local carry
+    * ([[graft.operators.IvfQueries.ladderEdgeUpsert]]) — the
+    * unaffected carry side is never read and never rewritten, the
+    * O(index)-per-batch snapshot rewrite of the former versioned-
+    * snapshot chain. This IS the lakehouse MERGE INTO shape, expressed
+    * directly in parquet partitions.
     *
-    * The admit kernel and the quantizer are EXACTLY the oracle-checked
-    * hn05 batch twin's ([[graft.operators.IvfQueries.ladderAdmit]] /
+    * Exactly-once without a transactional format, now per PARTITION
+    * instead of per snapshot: every overwritten partition's final
+    * content is a pure function of the frozen quantizer and the
+    * affected buckets' full membership, so a replayed micro-batch
+    * (crash between sink write and offset commit — even mid-commit,
+    * with some partitions already moved) rewrites identical bytes:
+    * the node write re-overwrites `batch=<id>` with the same rows,
+    * and the edge carry anti-joins recomputed rows back out of any
+    * partition the crashed attempt already committed.
+    *
+    * The recompute kernel and the quantizer are EXACTLY the oracle-
+    * checked hn05 batch twin's
+    * ([[graft.operators.IvfQueries.ladderRecompute]] /
     * `ladderAssignDelta` against the persisted codebook), and the
     * kernel is batch-split- and arrival-order-invariant by
     * construction: bucket membership and levels are pure per-node
@@ -624,21 +637,31 @@ object EventStreams {
     * full membership — any micro-batch partition of the delta lands
     * on the full rebuild's edge table. StreamingSpec pins stream ≡
     * batch on the per-layer edge checksum through a checkpointed
-    * restart. */
+    * restart. [[graft.operators.LadderGuard]] fail-fasts a delta past
+    * the upsert-vs-rebuild mass crossover when its conf is set. */
   def ladderUpsert(deltaVecs: DataFrame, indexRoot: String, lmax: Int)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     deltaVecs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val spark = batch.sparkSession
       val delta = graft.operators.IvfQueries.ladderAssignDelta(
         batch, spark.read.parquet(s"$indexRoot/cents"), lmax)
-        .persist() // two readers: the node append and the admit fold
+        .persist() // three readers: node upsert, affected set, members
       try {
-        val (_, _, edges) = graft.operators.IvfQueries.ladderAdmit(
-          spark.read.parquet(s"$indexRoot/nodes_v_$id"),
-          spark.read.parquet(s"$indexRoot/edges_v_$id"), delta)
-        edges.write.mode("overwrite").parquet(s"$indexRoot/edges_v_${id + 1}")
-        spark.read.parquet(s"$indexRoot/nodes_v_$id").unionByName(delta)
-          .write.mode("overwrite").parquet(s"$indexRoot/nodes_v_${id + 1}")
+        delta.withColumn("batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$indexRoot/nodes")
+        val nodes = spark.read.parquet(s"$indexRoot/nodes")
+          .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"))
+        val (members, affected, rec) =
+          graft.operators.IvfQueries.ladderRecompute(nodes, delta)
+        try {
+          graft.operators.LadderGuard.check(spark, "ladderUpsert",
+            members.count(),
+            graft.operators.IvfQueries.ladderByLayer(nodes).count())
+          graft.operators.IvfQueries.ladderEdgeUpsert(spark,
+            s"$indexRoot/edges", affected, rec)
+        } finally { members.unpersist(); () }
       } finally { delta.unpersist(); () }
     }
 }

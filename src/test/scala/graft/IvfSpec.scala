@@ -184,6 +184,133 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ serving recall: trained books >= seeded, residual encoding >= raw (full IVF-PQ path)") {
+    // exact top-5 per PQ query (vec_id < 3) under the SAME quantized
+    // cosine the pq family ranks by — the ground truth for all three
+    val qv = Tables.embeddings(spark, sf).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("n2", expr("aggregate(q, 0L, (acc, x) -> acc + x * x)"))
+    val q3 = qv.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id"))
+    val exact: Map[Long, Set[Long]] = broadcast(q3)
+      .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+        col("n2").as("cn2")), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+          .cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double"))))
+          .as("qcos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def rec(name: String): Double = {
+      val byQ = resultPairs(name).groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (qid, t) =>
+        byQ.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+      }.sum / exact.size
+    }
+    val seeded = rec("pq02_ivfpq_search")
+    val trained = rec("pq03_trained_pq")
+    val residual = rec("pq04_residual_pq")
+    assert(trained >= seeded,
+      s"trained codebooks must not lose recall: trained=$trained seeded=$seeded")
+    assert(residual >= seeded,
+      s"residual encoding must not lose recall: residual=$residual raw=$seeded")
+    assert(trained > 0.0 && residual > 0.0, "PQ serving found none of the true top-5")
+  }
+
+  test("ladder edge store: delete ∘ insert ≡ identity on the per-layer edge checksum") {
+    val (dir, lmax) = IvfQueries.h5IndexDir(spark, sf)
+    def chks(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] =
+      df.groupBy(col("layer").cast("int").as("layer"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
+            .cast("long").as("chk"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val baseChk = chks(spark.read.parquet(s"$dir/edges"))
+    // a COPY of the partitioned edge store to mutate in place
+    val tmp = java.nio.file.Files.createTempDirectory("graft-delins")
+      .toString + "/edges"
+    spark.read.parquet(s"$dir/edges")
+      .write.partitionBy("layer", "egrp").parquet(tmp)
+    val delta = IvfQueries.ladderAssignDelta(
+      spark.read.parquet(s"$dir/delta_src"),
+      spark.read.parquet(s"$dir/cents"), lmax).cache()
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    // INSERT the delta (hn05's admit through the O(delta) edge upsert)
+    val (m1, a1, r1) = IvfQueries.ladderRecompute(nodes.unionByName(delta), delta)
+    IvfQueries.ladderEdgeUpsert(spark, tmp, a1, r1)
+    m1.unpersist()
+    // the inserted store must equal the hn05 census (oracle-checked ≡
+    // a full rebuild over base ∪ delta)
+    val census = SparkEntry.queries("hn05_ladder_upsert")(spark, sf)
+      .collect().filter(_.getLong(4) > 0)
+      .map(r => r.getInt(0) -> (r.getLong(4), r.getLong(5))).toMap
+    val inserted = chks(spark.read.parquet(tmp))
+    assert(inserted == census,
+      s"insert diverged from the oracle-checked census: $inserted vs $census")
+    // DELETE the same delta: survivors = base, touched = delta
+    val (m2, a2, r2) = IvfQueries.ladderRecompute(nodes, delta)
+    IvfQueries.ladderEdgeUpsert(spark, tmp, a2, r2)
+    m2.unpersist(); delta.unpersist()
+    val restored = chks(spark.read.parquet(tmp))
+    assert(restored == baseChk,
+      s"delete ∘ insert must restore the base edge store: $restored vs $baseChk")
+  }
+
+  test("hn06: deletion exercises both paths — buckets affected, buckets carried, census self-consistent") {
+    val rows = SparkEntry.queries("hn06_ladder_delete")(spark, sf).collect()
+    assert(rows.length == 3, "one census row per ladder layer (lmax=2)")
+    val base = rows.find(_.getInt(0) == 0).get
+    assert(base.getLong(3) > 0L,
+      "the %211=105 deletion must affect somewhere at the base layer")
+    assert(base.getLong(3) < base.getLong(2),
+      s"base layer must CARRY some buckets (affected ${base.getLong(3)} " +
+        s"of ${base.getLong(2)})")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        "at least one node per non-empty bucket")
+    }
+  }
+
+  test("hn05 oracle mod pin: a deltaMod override fails loudly unless probeMode is declared") {
+    // the census SQL hard-codes the %211 split; a conf override on an
+    // oracle-compared path must fail at build, not as a hash mismatch
+    spark.conf.set("spark.graft.hn05.deltaMod", "7")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        SparkEntry.queries("hn05_ladder_upsert")(spark, sf)
+      }
+      assert(ex.getMessage.contains("probeMode"),
+        s"diagnostic must name the probe-mode escape hatch: ${ex.getMessage}")
+    } finally spark.conf.unset("spark.graft.hn05.deltaMod")
+  }
+
+  test("LadderGuard: admits a delta below the mass threshold, refuses one above, names the rebuild") {
+    val key = graft.operators.LadderGuard.ConfKey
+    try {
+      // threshold below any real ratio → the dense branch REFUSES,
+      // naming the rebuild path (the PairGuard fail-fast discipline)
+      spark.conf.set(key, "1e-9")
+      val ex = intercept[IllegalStateException] {
+        SparkEntry.queries("hn05_ladder_upsert")(spark, sf)
+      }
+      assert(ex.getMessage.contains("rebuild") &&
+        ex.getMessage.contains(key),
+        s"diagnostic must name the rebuild path and the conf: ${ex.getMessage}")
+      // threshold above the split's real affected-mass ratio → the
+      // sparse branch ADMITS with the guard ENABLED (mass computed)
+      spark.conf.set(key, "0.999")
+      val rows = SparkEntry.queries("hn05_ladder_upsert")(spark, sf).collect()
+      assert(rows.length == 3, "guarded admit still produces the census")
+    } finally spark.conf.unset(key)
+  }
+
   test("hn04: the upsert's carry path is real — some buckets carried, census self-consistent") {
     // the VALUES are oracle-checked (census ≡ full rebuild); this pins
     // the harness property the oracle cannot see: if the delta split

@@ -631,10 +631,15 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming ladder upsert: micro-batched ANN ingestion ≡ oracle-checked hn05 batch twin; restart-safe") {
     graft.plans.VectorExpressions.register(spark)
     val root = Files.createTempDirectory("graft-ladder").toString
-    // seed v_0 with hn05's persisted production-shape base ladder
+    // seed the in-place store with hn05's persisted production-shape
+    // base ladder: nodes partitioned by ingest batch (the base is
+    // batch=-1), edges partitioned by (layer, bucket-group) — the
+    // layout ladderUpsert dynamic-overwrites O(delta) partitions of
     val (idxDir, lmax) = graft.operators.IvfQueries.h5IndexDir(spark, sf)
-    spark.read.parquet(s"$idxDir/nodes").write.parquet(s"$root/idx/nodes_v_0")
-    spark.read.parquet(s"$idxDir/edges").write.parquet(s"$root/idx/edges_v_0")
+    spark.read.parquet(s"$idxDir/nodes").withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").parquet(s"$root/idx/nodes")
+    spark.read.parquet(s"$idxDir/edges")
+      .write.partitionBy("layer", "egrp").parquet(s"$root/idx/edges")
     spark.read.parquet(s"$idxDir/cents").write.parquet(s"$root/idx/cents")
     val delta = Tables.embeddings(spark, sf)
       .filter(col("vec_id") % 211 === 0)
@@ -665,18 +670,21 @@ class StreamingSpec extends AnyFunSuite {
     run() // batches 0, 1
     stage(t3)
     run() // RESTART from the checkpoint: only the new file admits
-    assert(new java.io.File(s"$root/idx/edges_v_3").exists(),
-      "three batches → edges_v_3")
-    assert(!new java.io.File(s"$root/idx/edges_v_4").exists(),
-      "restart must not readmit committed batches")
+    // three batches → node partitions {-1 (base), 0, 1, 2} and a
+    // restart must not re-admit committed batches as NEW partitions
+    val batches = spark.read.parquet(s"$root/idx/nodes")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L, 0L, 1L, 2L),
+      s"expected node partitions for base + 3 batches, got $batches")
     // exactly-once node admission: every vector present exactly once
-    val nodesN = spark.read.parquet(s"$root/idx/nodes_v_3")
+    val nodesN = spark.read.parquet(s"$root/idx/nodes")
     val total = Tables.embeddings(spark, sf).count()
     assert(nodesN.count() == total, s"node table must hold base+delta = $total")
     assert(nodesN.select("vec_id").distinct().count() == total)
     // per-layer edge count + checksum ≡ the hn05 batch twin (itself
     // oracle-checked ≡ a full rebuild), so stream ≡ full rebuild
-    val got = spark.read.parquet(s"$root/idx/edges_v_3")
+    val got = spark.read.parquet(s"$root/idx/edges")
       .groupBy(col("layer").cast("int").as("layer"))
       .agg(count(lit(1)).as("n_edges"),
         sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
