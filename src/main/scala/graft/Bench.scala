@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only: comma-separated k=v runtime SQL confs for probe
+    // experiments (e.g. SPARK_GRAFT_BENCH_CONF=spark.sql.adaptive.enabled=false);
+    // the driver never sets this → production bench confs above
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     // Machine contention context: without it a uniformly-slow run (a
     // loaded host) is indistinguishable from a real regression in the
     // artifact (round-7 driver run: uniform ~1.4x vs same-day builder

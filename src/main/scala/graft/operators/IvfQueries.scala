@@ -1501,10 +1501,25 @@ object IvfQueries {
          |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
          |FROM hits h JOIN nv ON nv.query_id = h.query_id
          |GROUP BY h.query_id, nv.n_visited
-         |ORDER BY h.query_id""".stripMargin) { (s, d) =>
+         |ORDER BY h.query_id""".stripMargin) { (s0, d) =>
+      // Every SHUFFLED frame in the descent/beam is query-count-
+      // bounded (≤ NQ·E·(1+M+M²) rows at any corpus size), but the
+      // session default fans each of the ~18 micro-stages into 32
+      // near-empty tasks — and AQE's coalescer is parallelism-first
+      // by default, refusing to shrink below the core count, so the
+      // scheduling overhead never amortizes (measured ~2 s of the
+      // sf0.1 floor). The search therefore runs on a CHILD session
+      // (shared context, cache and scans; isolated conf — the
+      // ad02/sy03 idiom, so nothing leaks to the parent) pinned to a
+      // handful of shuffle partitions. Corpus-side reads are split by
+      // the FILE source, not this knob — nothing corpus-sized narrows,
+      // at sf0.1 or at the 1000× probe.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      VectorExpressions.register(s)
       import s.implicits._
-      val dir = h3IndexDir(s, d)
-      val lmax = h3Lmax(dynCells(s, d))
+      val dir = h3IndexDir(s0, d)
+      val lmax = h3Lmax(dynCells(s0, d))
       val vecs = s.read.parquet(s"$dir/vecs").pinnedLazily
       // The whole search (descent + beam + recall readout) builds as
       // ONE ZERO-ACTION plan chain: no per-round collect or manual
@@ -1516,7 +1531,9 @@ object IvfQueries {
       // decade). The query vectors collect once (NQ rows — fixed
       // harness size, scale-invariant) and ride the front as a qe
       // column, which removes the per-round qvecs re-broadcast.
-      val (qe, entryId) = h3Fixtures.getOrElseUpdate((s, d), {
+      // fixtures memoize under the PARENT session: child sessions are
+      // per-build, and the values are plain collected data
+      val (qe, entryId) = h3Fixtures.getOrElseUpdate((s0, d), {
         (vecs.filter(col("vec_id") < HnNQ).collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap,
           s.read.parquet(s"$dir/entry").head().getLong(0))
@@ -1548,6 +1565,14 @@ object IvfQueries {
       def truncate(df: DataFrame): DataFrame =
         if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
         else df.localCheckpoint(false)
+      // Plan-growth triage: the per-round truncation exists for the
+      // 3^rounds logical-tree blowup at deep ladders (7+ rounds at the
+      // 1000× probe: 18 s of planning / 32 MB task binaries without
+      // it). A SHALLOW ladder's 2-round chain is 3² subtrees — cheaper
+      // to plan whole than to materialize per round, so descent rounds
+      // skip the cut when the depth can't blow up.
+      def truncateDeep(df: DataFrame): DataFrame =
+        if (lmax <= 3) df else truncate(df)
       // greedy descent: an ef=E front from the entry, ONE 2-ball step
       // per layer over the PRECOMPUTED closure index (edges2 = e ∪ e²,
       // built at index time) — itself ∪ neighbors ∪ neighbors² as one
@@ -1579,7 +1604,7 @@ object IvfQueries {
               col("src") === col("cr"))
             .select(col("query_id"), col("dst").as("cand_id"), col("qe")))
           .dropDuplicates("query_id", "cand_id")
-        val scored = truncate(score(exp)) // round-sized plan, 2 readers
+        val scored = truncateDeep(score(exp)) // round-sized plan, 2 readers
         visited = if (visited == null) scored else visited.union(scored)
         // ef=E descent front via the k-bounded heap operator (partial
         // per-partition heaps, no window sort); ties to the smallest
@@ -1598,12 +1623,16 @@ object IvfQueries {
       visited = truncate(visited.distinct())
       var beam = topOf(visited, H3B).join(broadcast(qeDf), Seq("query_id"))
       for (_ <- 1 to HnH) {
+        // no pre-score dedup: scoring a duplicate (query, cand) pair
+        // is one cheap expression row, and the union's distinct
+        // collapses it identically (cos_q is a pure function of the
+        // pair) — the dropDuplicates here was a whole extra shuffle
+        // per hop for rows the next line dedupes anyway
         val expd = se
           .join(broadcast(beam.withColumnRenamed("cand_id", "cr")),
             col("src") === col("cr"))
           .select(col("query_id"), col("dst").as("cand_id"), col("qe"))
-          .dropDuplicates("query_id", "cand_id")
-        visited = visited.union(score(expd)).distinct().pinned
+        visited = truncate(visited.union(score(expd)).distinct())
         beam = topOf(visited, H3B).join(broadcast(qeDf), Seq("query_id"))
       }
       val approx = topOf(visited.filter(col("cand_id") =!= col("query_id")),
