@@ -2069,6 +2069,10 @@ object IvfQueries {
       .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst"))
     carried.unionByName(rec.withColumn("egrp", h5EdgeGrp(col("bkt")))
         .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst")))
+      // cluster by target partition (one writing task per dir — the
+      // small-file guard the base build documents), then materialize
+      // out of the plan so the overwrite doesn't read its own output
+      .repartition(col("layer"), col("egrp"))
       .localCheckpoint(true)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("layer", "egrp").parquet(path)
@@ -2217,6 +2221,13 @@ object IvfQueries {
               .withColumn("layer", lit(l))
           }.reduce(_ unionByName _)
             .withColumn("egrp", h5EdgeGrp(col("bkt")))
+            // cluster rows by their target partition before the
+            // partitioned write: without this every write task emits a
+            // file into every (layer, egrp) dir it sees — tasks ×
+            // partitions small files (measured 570 s vs 48 s setup at
+            // the 100× probe); hashed together, each dir is written by
+            // exactly one task
+            .repartition(col("layer"), col("egrp"))
             .write.mode("overwrite").partitionBy("layer", "egrp")
             .parquet(s"$dir/edges")
           // per-(layer, bucket) summaries: node counts, edge counts +
