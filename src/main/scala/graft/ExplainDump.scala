@@ -29,7 +29,13 @@ object ExplainDump {
     "pq02_ivfpq_search" ->
       "IVF-PQ composed serving: candidates meet the query ONLY through the cell equi-join; ADC scoring is per-row lookups against the broadcast NQ×K distance tables (the raw corpus is never scanned at serving time); the shortlist rides the k-bounded TopK operator and exact rerank touches NQ·C rows.",
     "hn05_ladder_upsert" ->
-      "Production-shape incremental ladder admit: one layer-exploded plan, the delta's affected buckets broadcast into a left-semi (recompute) and left-anti (verbatim carry) pair, within-bucket kNN through the salted self-join + k-bounded heaps — no window sort over the pair set, no per-layer driver loop.",
+      "Production-shape incremental ladder admit at O(delta-bucket mass): the staged ingest batch assigns against the broadcast codebook; affected buckets broadcast into ONE left-semi member fetch (the single corpus-order pass — a map-side scan, never a shuffle or a write); within-bucket kNN through the salted self-join + k-bounded heaps; and the census reads the per-bucket SUMMARIES (subtract affected, add recompute) — the stored edge table, (layer, bucket-group)-partitioned for in-place partition overwrites, is never scanned at all.",
+    "hn06_ladder_delete" ->
+      "Index deletion by the same affected-bucket discipline: the deleted set reads from the PERSISTED node table (never the corpus or codebook), survivors of exactly the affected buckets recompute their kNN, and the summary census subtracts deleted nodes (sign = -1) with fully-emptied buckets leaving structurally — cost is affected-bucket mass, the carry never moves.",
+    "pq03_trained_pq" ->
+      "Trained product quantization: M=4 independent per-subspace Lloyd loops — each round is ONE map-side assignment pass against a broadcast 8-row codebook plus a K-row aggregation (rounded-mean recompute) — then pq02's serving pipeline under the trained books with a sparse-id-safe per-(m,k) ADC join; training cost is 2M corpus passes with zero corpus shuffle.",
+    "pq04_residual_pq" ->
+      "Residual IVF-PQ: one extra 16-row broadcast equi-join fetches each vector's cell centroid, residuals are a zip_with in the same map pass, and everything downstream is pq02's shape — codes bound WHAT is read per candidate, the probed cell bounds WHICH candidates are read, and both ADC sides are offsets from the SAME centroid.",
     "q33_topk_operator" ->
       "The custom k-bounded TopKPerGroup physical operator replaces window-rank-filter: per-partition k-heaps, no full-group sort, k rows per group cross the exchange.",
     "dd10_production_lsh" ->
@@ -97,7 +103,7 @@ object ExplainDump {
     "hn02_graph_serving" ->
       "Graph-ANN serving: the NSW index (edges repartitioned by src, hubs with embeddings, id->vector fetch table) persists ONCE per session/dir (bench reports it as setup_write) and the timed plan is pure search — hub entry scan x broadcast(queries), HnH beam rounds whose every join broadcasts only beam-bounded candidate lists against storage-side fetch joins. The serving fleet shape: index offline, answer online.",
     "hn03_hnsw_ann" ->
-      "Multi-layer HNSW serving: the ladder's edges persist partitioned BY LAYER, so every descent round's scan is one layer partition (partition pruning on `layer`); each of the log₄(cells) descent rounds joins that slice against a BROADCAST front of ≤ NQ·E candidates and scores via storage-side fetch joins (vecs looked up by id, the corpus is never rescanned); per-round frames are LogicalRDD-truncated so round-N plans stay round-sized. Search cost follows ladder depth, not corpus size — measured 6.2 → 13.7 s across a 1000× corpus growth (BENCH_1000X_hn03_r12.json).",
+      "Multi-layer HNSW serving: the ladder's edges persist partitioned BY LAYER, so every descent round's scan is one layer partition (partition pruning on `layer`); each of the log₄(cells) descent rounds joins that slice against a BROADCAST front of ≤ NQ·E candidates and scores via storage-side fetch joins (vecs looked up by id, the corpus is never rescanned); per-round frames are LogicalRDD-truncated so round-N plans stay round-sized (skipped when the ladder is too shallow to blow up). Every SHUFFLED frame here is query-count-bounded, so the search runs on a child session pinned to 4 shuffle partitions — the session default fanned ~18 micro-stages into 32 near-empty tasks each, and AQE's parallelism-first coalescer never shrinks below core count (round-14: 4.9 → 2.3 s min-of-5 at sf0.1). Search cost follows ladder depth, not corpus size — measured 6.2 → 13.7 s across a 1000× corpus growth (BENCH_1000X_hn03_r12.json).",
     "hn04_hnsw_upsert" ->
       "Incremental ladder upsert as ONE fused plan: the delta assigns+levels against a 16-row broadcast codebook map-side; nodes explode to their layers once and (layer, bucket) keys every join; the affected-bucket recompute is a semi-join-bounded self-join, the carry is a broadcast ANTI join against the stored per-layer edges (partition-pruned by layer), and the census is two 3-row groupBys — the corpus is never rescanned and no stage depends on layer count sequentially.",
     "q61_min_cost_supplier" ->
