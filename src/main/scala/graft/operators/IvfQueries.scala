@@ -2217,8 +2217,22 @@ object IvfQueries {
         else (lo, hi) :: (lo0, hi0) :: rest
       case (Nil, iv) => iv :: Nil
     }
-    merged.map { case (lo, hi) => col("cid") >= lo && col("cid") < hi }
-      .reduce(_ || _)
+    // A DENSE delta defeats the point: past ~256 disjoint spans the
+    // predicate itself (a giant Or tree per scanned row, and a giant
+    // pushed filter) costs more than the full scan it replaces —
+    // measured 27 s vs 12 s at the 100× probe's 948-interval %211
+    // split. Fall back to the plain scan there; the sparse-ingest
+    // regime this pruning exists for stays well under the cap.
+    if (merged.size > 256) return lit(true)
+    // singleton spans (layer-0 buckets of lvl-0 delta nodes — the bulk
+    // of any sparse ingest) collapse into ONE InSet membership test;
+    // only genuine ranges stay as comparisons
+    val (singles, ranges) = merged.partition { case (lo, hi) => hi - lo == 1 }
+    val conds =
+      (if (singles.nonEmpty) Seq(col("cid").isInCollection(singles.map(_._1)))
+       else Nil) ++
+        ranges.map { case (lo, hi) => col("cid") >= lo && col("cid") < hi }
+    conds.reduce(_ || _)
   }
 
   /** Build + persist the production-shape BASE ladder once per
@@ -2256,16 +2270,21 @@ object IvfQueries {
             .select(col("cid"), col("embedding").as("cemb"))
             .write.mode("overwrite").parquet(s"$dir/cents")
           val cents = s.read.parquet(s"$dir/cents")
-          h5HierAssign(base, cents)
-            .withColumn("lvl", ladderLevel(h3HashCol, lmax))
-            // cid-range-partitioned + cid-sorted files give every file
-            // and row group a TIGHT cid min/max — what lets the member
-            // fetch's pushed interval predicate ([[h5MemberFetchPred]])
-            // skip everything outside the affected buckets' spans
-            .repartitionByRange(math.max(8L, nBase / 32768L + 1L).toInt,
+          // pinned: repartitionByRange SAMPLES its child to pick the
+          // range bounds, and an unpinned child re-executes the whole
+          // hierarchical assignment for the sample pass (measured
+          // +420 s on the 2M-vector build)
+          val asg = h5HierAssign(base, cents)
+            .withColumn("lvl", ladderLevel(h3HashCol, lmax)).pinned
+          // cid-range-partitioned + cid-sorted files give every file
+          // and row group a TIGHT cid min/max — what lets the member
+          // fetch's pushed interval predicate ([[h5MemberFetchPred]])
+          // skip everything outside the affected buckets' spans
+          asg.repartitionByRange(math.max(8L, nBase / 32768L + 1L).toInt,
               col("cid"))
             .sortWithinPartitions("cid")
             .write.mode("overwrite").parquet(s"$dir/nodes")
+          asg.unpersist()
           val nodes = s.read.parquet(s"$dir/nodes")
           (0 to lmax).map { l =>
             val div = math.pow(4, l).toLong
