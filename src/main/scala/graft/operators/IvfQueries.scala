@@ -2174,67 +2174,6 @@ object IvfQueries {
   private[graft] def h5EdgeGrp(bkt: Column): Column =
     pmod(bkt, lit(H5EdgeGroups.toLong)).cast(IntegerType)
 
-  /** Ladder depth at which the member FETCH switches from a full node
-    * scan to a pushed cid-interval predicate (the default skips toy
-    * indexes — see [[h5MemberFetchPred]]); IvfSpec forces 0 to
-    * oracle-exercise the pruned path at driver scales. */
-  private val H5FetchPruneConf = "spark.graft.ladder.fetchPruneLmax"
-
-  /** Merged cid-interval predicate covering every affected bucket of
-    * an assigned+leveled `touched` set — collected driver-side
-    * (O(|touched|), the [[ladderEdgeUpsert]] discipline), so the
-    * member fetch PUSHES a range predicate into the node scan: the
-    * node store is written cid-range-partitioned and cid-sorted, so
-    * parquet file- and row-group stats skip everything outside the
-    * affected buckets' cid spans and the fetch stops being an
-    * O(index) pass. A layer-l bucket b spans exactly
-    * [b·4^l, (b+1)·4^l), so the union of per-node spans over l ≤ lvl
-    * is a superset of every affected bucket's membership — the exact
-    * (layer, bkt) semi-join inside [[ladderRecompute]] stays the
-    * correctness boundary. Below the [[H5FetchPruneConf]] depth
-    * (default 4 ≈ >2k cells) the collect job costs more than the scan
-    * it saves, so toy indexes keep the plain full scan — which also
-    * keeps the un-pruned path oracle-exercised at every driver SF
-    * (IvfSpec separately pins pruned ≡ un-pruned by forcing the conf
-    * to 0). */
-  private[graft] def h5MemberFetchPred(s: SparkSession, touched: DataFrame,
-      lmax: Int): Column = {
-    if (lmax < s.conf.get(H5FetchPruneConf, "4").toInt) return lit(true)
-    val ivs = touched.select(col("cid"), col("lvl")).collect()
-      .flatMap { r =>
-        val cid = r.getLong(0)
-        val lvl = r.getInt(1)
-        (0 to lvl).map { l =>
-          val w = 1L << (2 * l)
-          val lo = cid / w * w
-          (lo, lo + w)
-        }
-      }.sortBy(_._1).toList
-    if (ivs.isEmpty) return lit(false)
-    val merged = ivs.tail.foldLeft(List(ivs.head)) {
-      case ((lo0, hi0) :: rest, (lo, hi)) =>
-        if (lo <= hi0) (lo0, math.max(hi0, hi)) :: rest
-        else (lo, hi) :: (lo0, hi0) :: rest
-      case (Nil, iv) => iv :: Nil
-    }
-    // A DENSE delta defeats the point: past ~256 disjoint spans the
-    // predicate itself (a giant Or tree per scanned row, and a giant
-    // pushed filter) costs more than the full scan it replaces —
-    // measured 27 s vs 12 s at the 100× probe's 948-interval %211
-    // split. Fall back to the plain scan there; the sparse-ingest
-    // regime this pruning exists for stays well under the cap.
-    if (merged.size > 256) return lit(true)
-    // singleton spans (layer-0 buckets of lvl-0 delta nodes — the bulk
-    // of any sparse ingest) collapse into ONE InSet membership test;
-    // only genuine ranges stay as comparisons
-    val (singles, ranges) = merged.partition { case (lo, hi) => hi - lo == 1 }
-    val conds =
-      (if (singles.nonEmpty) Seq(col("cid").isInCollection(singles.map(_._1)))
-       else Nil) ++
-        ranges.map { case (lo, hi) => col("cid") >= lo && col("cid") < hi }
-    conds.reduce(_ || _)
-  }
-
   /** Build + persist the production-shape BASE ladder once per
     * (session, sf dir, delta-mod): the frozen dense-keyed codebook,
     * base nodes (id, embedding, cell, level), per-layer bucketed edges
@@ -2270,21 +2209,9 @@ object IvfQueries {
             .select(col("cid"), col("embedding").as("cemb"))
             .write.mode("overwrite").parquet(s"$dir/cents")
           val cents = s.read.parquet(s"$dir/cents")
-          // pinned: repartitionByRange SAMPLES its child to pick the
-          // range bounds, and an unpinned child re-executes the whole
-          // hierarchical assignment for the sample pass (measured
-          // +420 s on the 2M-vector build)
-          val asg = h5HierAssign(base, cents)
-            .withColumn("lvl", ladderLevel(h3HashCol, lmax)).pinned
-          // cid-range-partitioned + cid-sorted files give every file
-          // and row group a TIGHT cid min/max — what lets the member
-          // fetch's pushed interval predicate ([[h5MemberFetchPred]])
-          // skip everything outside the affected buckets' spans
-          asg.repartitionByRange(math.max(8L, nBase / 32768L + 1L).toInt,
-              col("cid"))
-            .sortWithinPartitions("cid")
+          h5HierAssign(base, cents)
+            .withColumn("lvl", ladderLevel(h3HashCol, lmax))
             .write.mode("overwrite").parquet(s"$dir/nodes")
-          asg.unpersist()
           val nodes = s.read.parquet(s"$dir/nodes")
           (0 to lmax).map { l =>
             val div = math.pow(4, l).toLong
@@ -2400,7 +2327,6 @@ object IvfQueries {
       val delta = ladderAssignDelta(s.read.parquet(s"$dir/delta_src"),
         s.read.parquet(s"$dir/cents"), lmax).pinned
       val nodes = s.read.parquet(s"$dir/nodes")
-        .filter(h5MemberFetchPred(s, delta, lmax))
       val nsum = s.read.parquet(s"$dir/nsum")
       val (members, affected, rec) =
         ladderRecompute(nodes.unionByName(delta), delta)
@@ -2511,9 +2437,8 @@ object IvfQueries {
       // the deletion names INDEXED ids: both the deleted rows (with
       // their stored cell + level — no re-assignment, no codebook
       // read) and the survivors come from the persisted node table
-      val del = nodes.filter(col("vec_id") % 211 === DelRes).pinned
+      val del = nodes.filter(col("vec_id") % 211 === DelRes)
       val remaining = nodes.filter(col("vec_id") % 211 =!= DelRes)
-        .filter(h5MemberFetchPred(s, del, lmax))
       val nsum = s.read.parquet(s"$dir/nsum")
       val (members, affected, rec) = ladderRecompute(remaining, del)
       LadderGuard.check(s, "hn06_ladder_delete",

@@ -651,18 +651,14 @@ object EventStreams {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch").parquet(s"$indexRoot/nodes")
-        val allNodes = spark.read.parquet(s"$indexRoot/nodes")
+        val nodes = spark.read.parquet(s"$indexRoot/nodes")
           .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"))
-        // member fetch prunes to the affected buckets' cid spans; the
-        // guard's total-mass denominator stays the UNFILTERED store
-        val nodes = allNodes.filter(graft.operators.IvfQueries
-          .h5MemberFetchPred(spark, delta, lmax))
         val (members, affected, rec) =
           graft.operators.IvfQueries.ladderRecompute(nodes, delta)
         try {
           graft.operators.LadderGuard.check(spark, "ladderUpsert",
             members.count(),
-            graft.operators.IvfQueries.ladderByLayer(allNodes).count())
+            graft.operators.IvfQueries.ladderByLayer(nodes).count())
           graft.operators.IvfQueries.ladderEdgeUpsert(spark,
             s"$indexRoot/edges", affected, rec)
         } finally { members.unpersist(); () }

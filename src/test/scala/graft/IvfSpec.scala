@@ -278,24 +278,6 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
-  test("pruned member fetch ≡ full scan: forcing the cid-interval pushdown changes nothing") {
-    // the growth probes run the pruned path (lmax ≥ 4); driver SFs run
-    // the full scan — this pins the two paths identical by forcing the
-    // pushdown at toy scale
-    val key = "spark.graft.ladder.fetchPruneLmax"
-    def rows(name: String): Seq[Seq[Any]] =
-      SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toSeq)
-    val h5Full = rows("hn05_ladder_upsert")
-    val h6Full = rows("hn06_ladder_delete")
-    spark.conf.set(key, "0")
-    try {
-      assert(rows("hn05_ladder_upsert") == h5Full,
-        "hn05 census must be identical under the pruned fetch")
-      assert(rows("hn06_ladder_delete") == h6Full,
-        "hn06 census must be identical under the pruned fetch")
-    } finally spark.conf.unset(key)
-  }
-
   test("hn05 oracle mod pin: a deltaMod override fails loudly unless probeMode is declared") {
     // the census SQL hard-codes the %211 split; a conf override on an
     // oracle-compared path must fail at build, not as a hash mismatch
