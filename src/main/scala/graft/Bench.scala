@@ -26,7 +26,11 @@ object Bench {
     // experiments (e.g. SPARK_GRAFT_BENCH_CONF=spark.sql.adaptive.enabled=false);
     // the driver never sets this → production bench confs above
     sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
+        case _ if kv.trim.isEmpty => () // trailing comma / blank token
+        case _ => sys.error(s"SPARK_GRAFT_BENCH_CONF: malformed token '$kv' (want k=v)")
+      }
     })
     // Machine contention context: without it a uniformly-slow run (a
     // loaded host) is indistinguishable from a real regression in the

@@ -1997,20 +1997,18 @@ object IvfQueries {
     * new edge table) — callers census or persist as they need. */
   private[graft] def ladderAdmit(nodes: DataFrame, edges: DataFrame,
       delta: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val lnD = ladderByLayer(delta)
-    val ln = ladderByLayer(nodes).unionByName(lnD)
-      .pinnedLazily // members semi-join + node census read it
-    val affected = lnD.select(col("layer"), col("bkt")).distinct()
-    val members = ln.join(broadcast(affected),
-      Seq("layer", "bkt"), "left_semi")
-    val knn = layerKnn(members.filter(col("layer") === 0), 2 * HnM)
-      .unionByName(layerKnn(members.filter(col("layer") > 0), HnM))
-    val rec = knn.union(knn.select(col("layer"), col("bkt"),
-      col("dst").as("src"), col("src").as("dst"))).distinct()
+    // ONE kernel: the recompute half delegates to [[ladderRecompute]]
+    // (hn05/hn06/streaming run it verbatim), so the band convention
+    // and the rec symmetrization can never fork between the faces;
+    // this face adds the carry and the census's layer-exploded frame
+    // (a map-side pass its one aggregate reader streams — the old
+    // pinned full-ln was a heavier materialization for the same read)
+    val all = nodes.unionByName(delta)
+    val (_, affected, rec) = ladderRecompute(all, delta)
     val carried = edges
       .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
       .select(col("layer"), col("bkt"), col("src"), col("dst"))
-    (ln, affected, carried.unionByName(rec))
+    (ladderByLayer(all), affected, carried.unionByName(rec))
   }
 
   /** The O(delta-bucket-mass) half of the admit/delete: recompute
@@ -2053,8 +2051,17 @@ object IvfQueries {
     * eager materialization of a delta-bucket-sized frame is the cost.
     * Idempotent under replay at any crash point: a partition's final
     * content is a pure function of the affected buckets' full
-    * membership, and re-deriving the carry from an already-overwritten
-    * partition anti-joins the recomputed rows right back out. */
+    * membership, re-deriving the carry from an already-overwritten
+    * partition anti-joins the recomputed rows right back out, and the
+    * emptied-partition delete below is a no-op the second time.
+    *
+    * EMPTIED partitions are deleted explicitly: dynamic overwrite only
+    * replaces partitions PRESENT in the written frame, so an affected
+    * partition whose post-operation content is zero rows (a deletion
+    * that kills every edge-bearing bucket in its group — possible
+    * whenever a group holds one bucket, the small-corpus layout) would
+    * otherwise keep its stale files and silently diverge from the
+    * from-scratch rebuild. */
   private[graft] def ladderEdgeUpsert(s: SparkSession, path: String,
       affected: DataFrame, rec: DataFrame): Unit = {
     val parts = affected
@@ -2067,15 +2074,24 @@ object IvfQueries {
       .filter(partCond) // literal partition predicate → static pruning
       .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
       .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst"))
-    carried.unionByName(rec.withColumn("egrp", h5EdgeGrp(col("bkt")))
+    val out = carried
+      .unionByName(rec.withColumn("egrp", h5EdgeGrp(col("bkt")))
         .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst")))
       // cluster by target partition (one writing task per dir — the
       // small-file guard the base build documents), then materialize
       // out of the plan so the overwrite doesn't read its own output
       .repartition(col("layer"), col("egrp"))
       .localCheckpoint(true)
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    val written = out.select(col("layer"), col("egrp")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("layer", "egrp").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    parts.filterNot(written).foreach { case (l, g) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/layer=$l/egrp=$g"),
+        true); ()
+    }
   }
 
   /** Census over the POST-operation ladder computed from per-bucket

@@ -43,8 +43,8 @@ object LadderGuard {
       f"$query: incremental upsert would recompute $am of $tm ladder member " +
         f"rows (${am.toDouble / tm}%.2f > $ConfKey=$threshold). Past the " +
         "measured crossover an affected-bucket recompute costs MORE than the " +
-        "rebuild it replaces (SCALING.md: a uniform 0.47%% delta touching " +
-        "~45%% of buckets ran 2.3x the rebuild at 1000x). Route this delta " +
+        "rebuild it replaces (SCALING.md: a uniform 0.47% delta touching " +
+        "~45% of buckets ran above rebuild cost at 1000x). Route this delta " +
         "through the full per-layer rebuild (hn05: h5IndexDir; streaming: " +
         "rebuild the snapshot and resume ingest), batch it into sparser " +
         "ingests, or raise the threshold if the incremental path is intended.")

@@ -647,18 +647,35 @@ object EventStreams {
         batch, spark.read.parquet(s"$indexRoot/cents"), lmax)
         .persist() // three readers: node upsert, affected set, members
       try {
-        delta.withColumn("batch", lit(id))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch").parquet(s"$indexRoot/nodes")
-        val nodes = spark.read.parquet(s"$indexRoot/nodes")
+        // membership = stored ∖ delta ∪ delta (the broadcast anti-join
+        // makes a REPLAYED batch — whose node partition is already on
+        // disk — count each vector once; a fresh batch's anti-join is
+        // a no-op). Built BEFORE any write so the guard below can
+        // refuse a dense delta while the store is still untouched.
+        val stored = spark.read.parquet(s"$indexRoot/nodes")
           .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"))
+        val nodes = stored
+          .join(broadcast(delta.select(col("vec_id"))),
+            Seq("vec_id"), "left_anti")
+          .unionByName(delta)
         val (members, affected, rec) =
           graft.operators.IvfQueries.ladderRecompute(nodes, delta)
         try {
+          // guard FIRST — a refusal must leave the store untouched
+          // (node write included), or the admitted-nodes/stale-edges
+          // half-state would silently break stream ≡ batch. The
+          // total-mass denominator is one column-pruned aggregate over
+          // the UNEXPLODED store (Σ lvl+1 ≡ the exploded count), never
+          // a 3× explode — and it only evaluates when the guard conf
+          // is set below 1.0.
           graft.operators.LadderGuard.check(spark, "ladderUpsert",
             members.count(),
-            graft.operators.IvfQueries.ladderByLayer(nodes).count())
+            stored.agg(coalesce(sum(col("lvl").cast("long") + 1L),
+              lit(0L))).head().getLong(0))
+          delta.withColumn("batch", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(s"$indexRoot/nodes")
           graft.operators.IvfQueries.ladderEdgeUpsert(spark,
             s"$indexRoot/edges", affected, rec)
         } finally { members.unpersist(); () }

@@ -263,6 +263,30 @@ class IvfSpec extends AnyFunSuite {
       s"delete ∘ insert must restore the base edge store: $restored vs $baseChk")
   }
 
+  test("ladderEdgeUpsert deletes partitions the operation empties — no stale edges survive") {
+    // dynamic overwrite only replaces partitions PRESENT in the output,
+    // so an affected (layer, egrp) partition whose post-delete content
+    // is zero rows must be removed explicitly — otherwise a deletion
+    // that kills a group's only edge-bearing bucket leaves stale edges
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-emptypart")
+      .toString + "/edges"
+    Seq((0, 3L, 10L, 11L), (0, 3L, 11L, 10L),
+        (0, 5L, 20L, 21L), (0, 5L, 21L, 20L))
+      .toDF("layer", "bkt", "src", "dst")
+      .withColumn("egrp", pmod(col("bkt"), lit(512L)).cast("int"))
+      .write.partitionBy("layer", "egrp").parquet(tmp)
+    val affected = Seq((0, 3L)).toDF("layer", "bkt")
+    val rec = Seq.empty[(Int, Long, Long, Long)]
+      .toDF("layer", "bkt", "src", "dst")
+    IvfQueries.ladderEdgeUpsert(spark, tmp, affected, rec)
+    val left = spark.read.parquet(tmp).select(col("bkt"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(left == Set(5L),
+      s"emptied bucket's partition must be deleted from the store, got $left")
+  }
+
   test("hn06: deletion exercises both paths — buckets affected, buckets carried, census self-consistent") {
     val rows = SparkEntry.queries("hn06_ladder_delete")(spark, sf).collect()
     assert(rows.length == 3, "one census row per ladder layer (lmax=2)")
