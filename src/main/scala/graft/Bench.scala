@@ -22,16 +22,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // dev-only: comma-separated k=v runtime SQL confs for probe
-    // experiments (e.g. SPARK_GRAFT_BENCH_CONF=spark.sql.adaptive.enabled=false);
-    // the driver never sets this → production bench confs above
-    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(",").foreach { kv =>
+    // dev-only: k=v runtime SQL confs for probe experiments (e.g.
+    // SPARK_GRAFT_BENCH_CONF=spark.sql.adaptive.enabled=false);
+    // the driver never sets this → production bench confs above.
+    // Delimiter: ';' when present, else ',' — a conf VALUE that itself
+    // contains commas (spark.sql.extensions lists, codec chains) would
+    // be torn into malformed tokens by a bare comma split, so
+    // multi-conf probes with comma-valued confs must use ';'
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach { raw =>
+      val toks = if (raw.contains(";")) raw.split(";") else raw.split(",")
+      toks.foreach { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.nonEmpty => spark.conf.set(k, v)
-        case _ if kv.trim.isEmpty => () // trailing comma / blank token
+        case _ if kv.trim.isEmpty => () // trailing delimiter / blank token
         case _ => sys.error(s"SPARK_GRAFT_BENCH_CONF: malformed token '$kv' (want k=v)")
       }
-    })
+      }
+    }
     // Machine contention context: without it a uniformly-slow run (a
     // loaded host) is indistinguishable from a real regression in the
     // artifact (round-7 driver run: uniform ~1.4x vs same-day builder

@@ -194,6 +194,29 @@ object Pin {
   }
 }
 
+/** Child sessions (the ad02 idiom): same SparkContext, cache, and
+  * injected extensions, but an ISOLATED conf so a query-local opt-in
+  * (SPJ bucketing, approx-distinct rewrite, a shuffle-partition pin)
+  * can never leak into later registry queries. `newSession()` starts
+  * from the CONTEXT defaults, not the parent's runtime conf — so
+  * probe overrides (Bench's SPARK_GRAFT_BENCH_CONF) and spark.graft.*
+  * flags set on the parent would silently vanish inside the child,
+  * and a conf experiment on hn03/ad02/sy03 would report unchanged
+  * numbers with no indication. This helper copies the parent's
+  * runtime SQL confs onto the child FIRST, then applies the caller's
+  * isolated overrides; static confs that refuse a runtime set are
+  * skipped (they cannot differ within one context anyway). */
+object Sessions {
+  def child(parent: SparkSession, overrides: (String, String)*): SparkSession = {
+    val s = parent.newSession()
+    parent.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v) catch { case _: Exception => () }
+    }
+    overrides.foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
+}
+
 /** Wall-clock sub-phase recorder for queries whose single timing mixes
   * unlike costs (zo01/q47 each pay a full layout WRITE before the read
   * path under test). The write phase records itself here; the bench

@@ -1514,8 +1514,7 @@ object IvfQueries {
       // handful of shuffle partitions. Corpus-side reads are split by
       // the FILE source, not this knob — nothing corpus-sized narrows,
       // at sf0.1 or at the 1000× probe.
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val s = graft.Sessions.child(s0, "spark.sql.shuffle.partitions" -> "4")
       VectorExpressions.register(s)
       import s.implicits._
       val dir = h3IndexDir(s0, d)
@@ -2342,20 +2341,31 @@ object IvfQueries {
       // only corpus-order term.
       val delta = ladderAssignDelta(s.read.parquet(s"$dir/delta_src"),
         s.read.parquet(s"$dir/cents"), lmax).pinned
-      val nodes = s.read.parquet(s"$dir/nodes")
-      val nsum = s.read.parquet(s"$dir/nsum")
-      val (members, affected, rec) =
-        ladderRecompute(nodes.unionByName(delta), delta)
-      LadderGuard.check(s, "hn05_ladder_upsert",
-        members.count(),
-        nsum.agg(sum(col("n"))).head().getLong(0)
-          + ladderByLayer(delta).count())
-      summaryCensus(s, lmax, nsum, s.read.parquet(s"$dir/esum"),
-        affected, rec,
-        nodeDelta = ladderByLayer(delta).select(col("layer"), col("bkt")),
-        bucketDelta = affected
-          .join(broadcast(nsum), Seq("layer", "bkt"), "left_anti"),
-        sign = 1)
+      try {
+        val nodes = s.read.parquet(s"$dir/nodes")
+        val nsum = s.read.parquet(s"$dir/nsum")
+        val (members, affected, rec) =
+          ladderRecompute(nodes.unionByName(delta), delta)
+        try {
+          LadderGuard.check(s, "hn05_ladder_upsert",
+            members.count(),
+            nsum.agg(sum(col("n"))).head().getLong(0)
+              + ladderByLayer(delta).count())
+          // the census is O(lmax) rows — materialize it EAGERLY so the
+          // pinned members/delta frames can unpersist in the finally
+          // blocks (the streaming face's discipline; without this a
+          // 258-query sweep / min-of-5 bench accumulates executor
+          // cache it never releases). Bench times build+force
+          // together, so moving the work to build time is
+          // timing-neutral.
+          summaryCensus(s, lmax, nsum, s.read.parquet(s"$dir/esum"),
+            affected, rec,
+            nodeDelta = ladderByLayer(delta).select(col("layer"), col("bkt")),
+            bucketDelta = affected
+              .join(broadcast(nsum), Seq("layer", "bkt"), "left_anti"),
+            sign = 1).localCheckpoint(true)
+        } finally { members.unpersist(); () }
+      } finally { delta.unpersist(); () }
     }
   }
 
@@ -2457,19 +2467,23 @@ object IvfQueries {
       val remaining = nodes.filter(col("vec_id") % 211 =!= DelRes)
       val nsum = s.read.parquet(s"$dir/nsum")
       val (members, affected, rec) = ladderRecompute(remaining, del)
-      LadderGuard.check(s, "hn06_ladder_delete",
-        members.count(),
-        nsum.agg(sum(col("n"))).head().getLong(0))
-      // a bucket whose members ALL died: affected but absent from the
-      // surviving member set — it leaves the bucket census
-      val emptied = affected.join(
-        members.select(col("layer"), col("bkt")).distinct(),
-        Seq("layer", "bkt"), "left_anti")
-      summaryCensus(s, lmax, nsum, s.read.parquet(s"$dir/esum"),
-        affected, rec,
-        nodeDelta = ladderByLayer(del).select(col("layer"), col("bkt")),
-        bucketDelta = emptied,
-        sign = -1)
+      try {
+        LadderGuard.check(s, "hn06_ladder_delete",
+          members.count(),
+          nsum.agg(sum(col("n"))).head().getLong(0))
+        // a bucket whose members ALL died: affected but absent from the
+        // surviving member set — it leaves the bucket census
+        val emptied = affected.join(
+          members.select(col("layer"), col("bkt")).distinct(),
+          Seq("layer", "bkt"), "left_anti")
+        // eager O(lmax)-row materialization so the pinned members frame
+        // unpersists here (hn05's discipline — see its comment)
+        summaryCensus(s, lmax, nsum, s.read.parquet(s"$dir/esum"),
+          affected, rec,
+          nodeDelta = ladderByLayer(del).select(col("layer"), col("bkt")),
+          bucketDelta = emptied,
+          sign = -1).localCheckpoint(true)
+      } finally { members.unpersist(); () }
     }
   }
 

@@ -24,6 +24,20 @@ import org.apache.spark.sql.SparkSession
   * DuckDB oracle checks. Deployments ingesting real (clustered, small)
   * batches set ~0.25–0.5; both sides of the mass ratio are lazy
   * by-name arguments, so a disabled guard costs zero actions.
+  *
+  * Ratio semantics (threshold guidance): the NUMERATOR is the
+  * affected buckets' post-operation member mass — for an admit it
+  * INCLUDES the incoming delta's exploded rows, for a delete it
+  * counts survivors — while the DENOMINATOR is the PRE-operation
+  * stored mass. The two populations differ by the delta itself, so
+  * for a delta that is large relative to the store the measured
+  * fraction skews HIGH on admits (a conservative bias: the guard
+  * refuses slightly early, never late) and can exceed 1.0 outright
+  * when the delta outweighs the base. Thresholds calibrated from the
+  * 1000× receipts (where |delta| ≪ |store|, skew ≈ 0) transfer
+  * directly to the sparse-ingest regime they describe; for
+  * bulk-load-sized deltas the rebuild path is the right tool anyway,
+  * and the early refusal says so.
   */
 object LadderGuard {
   val ConfKey = "spark.graft.ladder.maxAffectedFrac"

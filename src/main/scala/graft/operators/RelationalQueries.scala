@@ -889,8 +889,7 @@ object RelationalQueries {
     (s, d) => {
       // child session: same SparkContext and injected extensions, but
       // the opt-in flag can't leak into any other registry query
-      val s2 = s.newSession()
-      s2.conf.set("spark.graft.approxDistinct", "true")
+      val s2 = graft.Sessions.child(s, "spark.graft.approxDistinct" -> "true")
       adDistincts(s2, d)
     },
     None,

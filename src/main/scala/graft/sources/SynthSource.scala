@@ -539,8 +539,8 @@ object SynthQueries {
       // child session (ad02's idiom): same SparkContext + extensions,
       // but the SPJ planner opt-in can't leak into later queries —
       // ConfHygieneSpec sweeps every registry query for exactly this
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val s2 = graft.Sessions.child(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true")
       def rd(rows: Int) = s2.read.format("graft.sources.SynthSource")
         .option("rows", rows.toString).option("layout", "grp").load()
       val ga = rd(100000).groupBy("grp")

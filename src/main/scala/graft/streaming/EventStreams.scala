@@ -642,43 +642,63 @@ object EventStreams {
   def ladderUpsert(deltaVecs: DataFrame, indexRoot: String, lmax: Int)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     deltaVecs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val spark = batch.sparkSession
-      val delta = graft.operators.IvfQueries.ladderAssignDelta(
-        batch, spark.read.parquet(s"$indexRoot/cents"), lmax)
-        .persist() // three readers: node upsert, affected set, members
-      try {
-        // membership = stored ∖ delta ∪ delta (the broadcast anti-join
-        // makes a REPLAYED batch — whose node partition is already on
-        // disk — count each vector once; a fresh batch's anti-join is
-        // a no-op). Built BEFORE any write so the guard below can
-        // refuse a dense delta while the store is still untouched.
-        val stored = spark.read.parquet(s"$indexRoot/nodes")
-          .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"))
-        val nodes = stored
-          .join(broadcast(delta.select(col("vec_id"))),
-            Seq("vec_id"), "left_anti")
-          .unionByName(delta)
-        val (members, affected, rec) =
-          graft.operators.IvfQueries.ladderRecompute(nodes, delta)
-        try {
-          // guard FIRST — a refusal must leave the store untouched
-          // (node write included), or the admitted-nodes/stale-edges
-          // half-state would silently break stream ≡ batch. The
-          // total-mass denominator is one column-pruned aggregate over
-          // the UNEXPLODED store (Σ lvl+1 ≡ the exploded count), never
-          // a 3× explode — and it only evaluates when the guard conf
-          // is set below 1.0.
-          graft.operators.LadderGuard.check(spark, "ladderUpsert",
-            members.count(),
-            stored.agg(coalesce(sum(col("lvl").cast("long") + 1L),
-              lit(0L))).head().getLong(0))
-          delta.withColumn("batch", lit(id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch").parquet(s"$indexRoot/nodes")
-          graft.operators.IvfQueries.ladderEdgeUpsert(spark,
-            s"$indexRoot/edges", affected, rec)
-        } finally { members.unpersist(); () }
-      } finally { delta.unpersist(); () }
+      ladderUpsertBatch(batch, id, indexRoot, lmax)
     }
+
+  /** One [[ladderUpsert]] micro-batch, exposed so StreamingSpec can
+    * REPLAY a committed batch id directly (the crash-between-sink-
+    * write-and-offset-commit window the exactly-once claim covers). */
+  private[graft] def ladderUpsertBatch(batch: DataFrame, id: Long,
+      indexRoot: String, lmax: Int): Unit = {
+    val spark = batch.sparkSession
+    val delta = graft.operators.IvfQueries.ladderAssignDelta(
+      batch, spark.read.parquet(s"$indexRoot/cents"), lmax)
+      .persist() // three readers: node upsert, affected set, members
+    try {
+      // membership = stored ∖ delta ∪ delta (the broadcast anti-join
+      // makes a REPLAYED batch — whose node partition is already on
+      // disk — count each vector once; a fresh batch's anti-join is
+      // a no-op). Built BEFORE any write so the guard below can
+      // refuse a dense delta while the store is still untouched.
+      val stored = spark.read.parquet(s"$indexRoot/nodes")
+        .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"))
+      val nodes = stored
+        .join(broadcast(delta.select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .unionByName(delta)
+      val (members, affected, rec) =
+        graft.operators.IvfQueries.ladderRecompute(nodes, delta)
+      try {
+        // guard FIRST — a refusal must leave the store untouched
+        // (node write included), or the admitted-nodes/stale-edges
+        // half-state would silently break stream ≡ batch. The
+        // total-mass denominator is one column-pruned aggregate over
+        // the UNEXPLODED store (Σ lvl+1 ≡ the exploded count), never
+        // a 3× explode — and it only evaluates when the guard conf
+        // is set below 1.0.
+        graft.operators.LadderGuard.check(spark, "ladderUpsert",
+          members.count(),
+          stored.agg(coalesce(sum(col("lvl").cast("long") + 1L),
+            lit(0L))).head().getLong(0))
+        // EDGES BEFORE NODES. The edge upsert is what materializes the
+        // recompute, and the recompute's member fetch reads the node
+        // store through `stored`'s file listing — captured at creation.
+        // Writing nodes first broke REPLAY: the batch=<id> dynamic
+        // overwrite deletes the crashed attempt's files out from under
+        // that listing, the later member scan hits
+        // FileNotFoundException, and every retry crash-loops on the
+        // same sequence (nodes updated, edges stale). Edges-first makes
+        // both writes pure functions of the PRE-mutation store ∖∪
+        // delta: a replay at ANY crash point rewrites identical bytes
+        // (nodes: the same batch=<id> rows; edges: the carry anti-joins
+        // recomputed rows back out of already-overwritten partitions).
+        graft.operators.IvfQueries.ladderEdgeUpsert(spark,
+          s"$indexRoot/edges", affected, rec)
+        delta.withColumn("batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$indexRoot/nodes")
+      } finally { members.unpersist(); () }
+    } finally { delta.unpersist(); () }
+  }
 }

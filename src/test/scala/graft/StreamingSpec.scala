@@ -699,6 +699,49 @@ class StreamingSpec extends AnyFunSuite {
     delta.unpersist()
   }
 
+  test("ladder upsert REPLAY: re-running a committed batch id rewrites identical bytes (crash between sink write and offset commit)") {
+    // The exactly-once claim's exact window: the sink writes land but
+    // the offset commit doesn't, so the engine re-runs the SAME batch
+    // id over the already-mutated store. Before the edges-before-nodes
+    // ordering fix this crash-looped: the batch=<id> node overwrite
+    // deleted the first attempt's files out from under the captured
+    // file listing, and the edge recompute's member fetch then hit
+    // FileNotFoundException on every retry.
+    graft.plans.VectorExpressions.register(spark)
+    val root = Files.createTempDirectory("graft-ladder-replay").toString
+    val (idxDir, lmax) = graft.operators.IvfQueries.h5IndexDir(spark, sf)
+    spark.read.parquet(s"$idxDir/nodes").withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").parquet(s"$root/idx/nodes")
+    spark.read.parquet(s"$idxDir/edges")
+      .write.partitionBy("layer", "egrp").parquet(s"$root/idx/edges")
+    spark.read.parquet(s"$idxDir/cents").write.parquet(s"$root/idx/cents")
+    val batch = spark.read.parquet(s"$idxDir/delta_src")
+    def snapshot(): (Long, Long, Map[Int, (Long, Long)]) = {
+      val n = spark.read.parquet(s"$root/idx/nodes")
+      val e = spark.read.parquet(s"$root/idx/edges")
+        .groupBy(col("layer").cast("int").as("layer"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
+            .cast("long").as("chk"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      (n.count(), n.select("vec_id").distinct().count(), e)
+    }
+    EventStreams.ladderUpsertBatch(batch, 0L, s"$root/idx", lmax)
+    val first = snapshot()
+    // the replay: same batch id over the post-commit store — must not
+    // throw and must leave every byte-equivalent aggregate unchanged
+    EventStreams.ladderUpsertBatch(batch, 0L, s"$root/idx", lmax)
+    val second = snapshot()
+    assert(second == first,
+      s"replayed batch mutated the store: $second vs $first")
+    // and the replayed store still equals the oracle-checked batch twin
+    val want = SparkEntry.queries("hn05_ladder_upsert")(spark, sf)
+      .collect().filter(_.getLong(4) > 0)
+      .map(r => r.getInt(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(second._3 == want,
+      s"replayed ladder diverged from the batch twin: ${second._3} vs $want")
+  }
+
   test("streaming MV refresh: foreachBatch γ-merges ≡ batch γ of all ingested rows; restart-safe") {
     val root = Files.createTempDirectory("graft-mvstream").toString
     val li = Tables.lineitem(spark, sf).cache()
