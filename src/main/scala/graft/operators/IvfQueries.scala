@@ -2487,6 +2487,172 @@ object IvfQueries {
     }
   }
 
+  /** Shared text/kernel builders for the PQ family (pq01–pq05): the
+    * quantized-space SQL primitives, the qv/qvn/cents/asg oracle
+    * scaffolding, the codes/ADC join shapes, and the ADC-shortlist →
+    * exact-rerank tail — hoisted so the queries can never fork on the
+    * conventions they share (the [[sqlH3LayerEdges]] precedent).
+    * Pure-text refactor: every string below is byte-identical to the
+    * per-query originals it replaced (pq01–pq04 oracle rows proved
+    * unchanged at all three SFs). */
+  private object PqSql {
+    val M = 4 // subspaces
+    val K = 8 // codewords per subspace
+    val SUB = Dim / M // dims per subspace
+    val NQ = 3 // query prefix
+    val C = 20 // ADC shortlist size fed to the exact rerank
+    def sqlQDot(a: String, b: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $b.q[$i]").mkString("(", " + ", ")")
+    def sqlQN2(a: String): String =
+      (1 to Dim).map(i => s"$a.q[$i] * $a.q[$i]").mkString("(", " + ", ")")
+    def sqlQCos(a: String, b: String): String =
+      s"CAST(${sqlQDot(a, b)} AS DOUBLE) / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))"
+    // Σ (v.q[i] − c.q[i])² over subspace m, unrolled — int64-exact
+    def sqlSubDist(v: String, c: String, m: Int): String =
+      (m * SUB + 1 to (m + 1) * SUB).map(i =>
+        s"($v.q[$i] - $c.q[$i]) * ($v.q[$i] - $c.q[$i])")
+        .mkString("(", " + ", ")")
+    /** qv → qvn → cents → asg: quantize, norm, seed cells, probe-1
+      * coarse assignment (ties → smallest cid). */
+    def sqlPrefix: String =
+      s"""qv AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding,
+         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qvn AS MATERIALIZED (
+         |  SELECT vec_id, q, ${sqlQN2("qv")} AS n2 FROM qv),
+         |cents AS MATERIALIZED (
+         |  SELECT vec_id AS cid, q, n2 FROM qvn WHERE vec_id < $CELLS),
+         |asg0 AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqlQCos("v", "c")} DESC, c.cid) AS rc
+         |  FROM qvn v CROSS JOIN cents c),
+         |asg AS MATERIALIZED (SELECT vec_id, cid FROM asg0 WHERE rc = 1)""".stripMargin
+    /** per-subspace argmin encode CTEs against `book(m)` (a shared
+      * book for the seeded/residual variants, per-subspace trained
+      * books for pq03), with the family's distance text plugged per
+      * variant. */
+    def sqlCodesCtes(src: String, book: Int => String,
+        dist: (String, String, Int) => String): String =
+      (0 until M).map { m =>
+        s"""codes$m AS MATERIALIZED (
+           |  SELECT vec_id, k AS code$m FROM (
+           |    SELECT v.vec_id, c.k,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${dist("v", "c", m)} ASC, c.k) AS r
+           |    FROM $src v CROSS JOIN ${book(m)} c) WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+    /** the M per-subspace code columns zipped into one row per vector */
+    def sqlCodes: String =
+      s"""codes AS MATERIALIZED (
+         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
+         |  FROM codes0 ${(1 until M).map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")})""".stripMargin
+    /** ADC lookup joins against a single shared-key qd table. */
+    def sqlQdJoins: String = (1 until M).map(m =>
+      s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
+      .mkString("\n  ")
+    /** shortlist (top-C by ADC over cand0) → exact rerank on the raw
+      * quantized vectors → final top-5 readout. */
+    def sqlTail: String =
+      s"""shortlist AS (
+         |  SELECT query_id, cand_id, adc FROM (
+         |    SELECT query_id, cand_id, adc,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY adc, cand_id) AS rc
+         |    FROM cand0) WHERE rc <= $C),
+         |rer AS (
+         |  SELECT t.query_id, t.cand_id, t.adc,
+         |    ${sqlQCos("vq", "vc")} AS qcos
+         |  FROM shortlist t
+         |  JOIN qvn vq ON vq.vec_id = t.query_id
+         |  JOIN qvn vc ON vc.vec_id = t.cand_id)
+         |SELECT query_id, cand_id, adc, qcos, rn FROM (
+         |  SELECT query_id, cand_id, adc, qcos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
+         |  FROM rer) WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin
+  }
+
+  /** exact int64 dot of two quantized vectors (left-associated fold —
+    * the hash-proven chain every quantized query shares). */
+  private def qdotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** one IEEE divide of exact integers — bit-identical across engines */
+  private def qcosCol(da: Column, na: Column, nb: Column): Column =
+    da.cast(DoubleType) /
+      (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
+
+  /** Σ (v−c)² over subspace m of two Dim-length quantized arrays */
+  private def pqSubDist(vq: Column, cq: Column, m: Int): Column =
+    aggregate(
+      zip_with(slice(vq, m * PqSql.SUB + 1, PqSql.SUB),
+        slice(cq, m * PqSql.SUB + 1, PqSql.SUB),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Coarse probe-1 assignment in the quantized space: ONE broadcast
+    * row of seed (cid, cq, cn2) structs, per-row argmax — assignedDf's
+    * idiom (zero corpus shuffle; ties to the smallest cid). */
+  private def pqCoarseAsg(qv: DataFrame): DataFrame = {
+    val centArr = qv.filter(col("vec_id") < CELLS)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
+    qv.crossJoin(broadcast(centArr))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          qcosCol(qdotCol(col("q"), c.getField("cq")), col("n2"),
+            c.getField("cn2")).as("cos_c"),
+          (-c.getField("cid")).as("neg_cid"),
+          c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+  }
+
+  /** Seeded codebook: one broadcast row of k-sorted (k, subvector
+    * source) structs — pq01's convention, shared by pq02. */
+  private def pqSeedBooks(qv: DataFrame): DataFrame =
+    qv.filter(col("vec_id") < PqSql.K)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast(IntegerType).as("k"), col("q").as("cq"))))
+        .as("cbs"))
+
+  /** PQ encode (pq01's map-side shape): shared broadcast codebook,
+    * per-row argmin per subspace. */
+  private def pqEncode(qv: DataFrame, cbArr: DataFrame): DataFrame =
+    qv.crossJoin(broadcast(cbArr)).select(
+      col("vec_id") +:
+        (0 until PqSql.M).map(m => array_min(transform(col("cbs"), c =>
+          struct(pqSubDist(col("q"), c.getField("cq"), m).as("dist"),
+            c.getField("k").as("k"))))
+          .getField("k").as(s"code$m")): _*)
+
+  /** top-C ADC shortlist through the k-bounded heap operator, then the
+    * exact rerank on raw quantized vectors (NQ·C fetch rows only) and
+    * the final top-5 readout — the serving tail every IVF-PQ variant
+    * shares. */
+  private def pqShortlistRerank(scored: DataFrame, qv: DataFrame): DataFrame = {
+    val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
+      Seq(col("query_id")), struct(col("adc"), col("cand_id")),
+      k = PqSql.C, desc = false)
+    val rer = shortlist
+      .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2")), Seq("query_id"))
+      .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
+        col("n2").as("cn2")), Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("adc"),
+        qcosCol(qdotCol(col("qq"), col("cq")), col("qn2"), col("cn2"))
+          .as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cand_id"))
+    rer.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("cand_id"), col("adc"), col("qcos"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Product quantization + ADC search (Jégou et al. 2011) — the
     * memory-cheapening axis IVF doesn't cover: each vector's 64 dims
     * split into M=4 subspaces of 16; every subspace has its own
@@ -2510,27 +2676,7 @@ object IvfQueries {
     * vectors). All distances are exact int64 on the ×1000-quantized
     * grid, so codes, tables, and ADC sums hash-match DuckDB. */
   val pq01AdcSearch: GraftQuery = {
-    val M = 4 // subspaces
-    val K = 8 // codewords per subspace
-    val SUB = Dim / M // dims per subspace
-    // Σ (v.q[i] − c.q[i])² over subspace m, unrolled — int64-exact
-    def sqlSubDist(v: String, c: String, m: Int): String =
-      (m * SUB + 1 to (m + 1) * SUB).map(i =>
-        s"($v.q[$i] - $c.q[$i]) * ($v.q[$i] - $c.q[$i])")
-        .mkString("(", " + ", ")")
-    val codesCtes = (0 until M).map { m =>
-      s"""codes$m AS MATERIALIZED (
-         |  SELECT vec_id, k AS code$m FROM (
-         |    SELECT v.vec_id, c.k,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${sqlSubDist("v", "c", m)} ASC, c.k) AS r
-         |    FROM qv v CROSS JOIN cb c) WHERE r = 1)""".stripMargin
-    }.mkString(",\n")
-    val codesJoin = (1 until M)
-      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
-    val qdJoins = (1 until M).map(m =>
-      s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
-      .mkString("\n  ")
+    import PqSql.{M, K}
     q("pq01_pq_adc_search",
       "product quantization: M=4xK=8 codebooks, 4-byte codes, ADC top-5 per query",
       s"""WITH qv AS MATERIALIZED (
@@ -2538,20 +2684,18 @@ object IvfQueries {
          |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
          |cb AS MATERIALIZED (SELECT vec_id AS k, q FROM qv WHERE vec_id < $K),
-         |$codesCtes,
-         |codes AS MATERIALIZED (
-         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
-         |  FROM codes0 $codesJoin),
+         |${PqSql.sqlCodesCtes("qv", _ => "cb", PqSql.sqlSubDist)},
+         |${PqSql.sqlCodes},
          |qd AS MATERIALIZED (
          |  SELECT v.vec_id AS query_id, c.k,
-         |    ${(0 until M).map(m => s"${sqlSubDist("v", "c", m)} AS t$m").mkString(", ")}
+         |    ${(0 until M).map(m => s"${PqSql.sqlSubDist("v", "c", m)} AS t$m").mkString(", ")}
          |  FROM qv v CROSS JOIN cb c WHERE v.vec_id < 3),
          |adc0 AS (
          |  SELECT q0.query_id, x.vec_id AS cand_id,
          |    ${(0 until M).map(m => s"q$m.t$m").mkString(" + ")} AS adc
          |  FROM codes x
          |  JOIN qd q0 ON q0.k = x.code0
-         |  $qdJoins
+         |  ${PqSql.sqlQdJoins}
          |  WHERE x.vec_id <> q0.query_id),
          |ranked AS (
          |  SELECT query_id, cand_id, adc,
@@ -2562,28 +2706,15 @@ object IvfQueries {
          |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
       val qv = quantizedDf(s, d).select(col("vec_id"), col("q"))
       // codebook: one broadcast row of k-sorted (k, subvector source)
-      val cbArr = qv.filter(col("vec_id") < K)
-        .agg(sort_array(collect_list(struct(
-          col("vec_id").cast(IntegerType).as("k"), col("q").as("cq"))))
-          .as("cbs"))
-      def subDist(vq: Column, cq: Column, m: Int): Column =
-        aggregate(
-          zip_with(slice(vq, m * SUB + 1, SUB), slice(cq, m * SUB + 1, SUB),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
+      val cbArr = pqSeedBooks(qv)
       // encode: per-row argmin per subspace (struct-min: dist asc, k asc)
-      val coded = qv.crossJoin(broadcast(cbArr)).select(
-        col("vec_id") +:
-          (0 until M).map(m => array_min(transform(col("cbs"), c =>
-            struct(subDist(col("q"), c.getField("cq"), m).as("dist"),
-              c.getField("k").as("k"))))
-            .getField("k").as(s"code$m")): _*)
+      val coded = pqEncode(qv, cbArr)
       // query-side ADC tables: K distances per subspace, k-ordered
       // (cbs is k-sorted, transform preserves order → index = k+1)
       val qd = qv.filter(col("vec_id") < 3).crossJoin(broadcast(cbArr)).select(
         col("vec_id").as("query_id") +:
           (0 until M).map(m => transform(col("cbs"),
-            c => subDist(col("q"), c.getField("cq"), m)).as(s"dt$m")): _*)
+            c => pqSubDist(col("q"), c.getField("cq"), m)).as(s"dt$m")): _*)
       val scored = coded.crossJoin(broadcast(qd))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("cand_id"),
@@ -2622,58 +2753,16 @@ object IvfQueries {
     * the rerank cosine is one IEEE divide of exact integers, so codes,
     * ADC sums, and the reranked order hash-match DuckDB. */
   val pq02IvfPqSearch: GraftQuery = {
-    val M = 4 // subspaces
-    val K = 8 // codewords per subspace
-    val SUB = Dim / M
-    val NQ = 3 // query prefix
-    val C = 20 // ADC shortlist size fed to the exact rerank
-    def sqlQDot(a: String, b: String): String =
-      (1 to Dim).map(i => s"$a.q[$i] * $b.q[$i]").mkString("(", " + ", ")")
-    def sqlQN2(a: String): String =
-      (1 to Dim).map(i => s"$a.q[$i] * $a.q[$i]").mkString("(", " + ", ")")
-    def sqlQCos(a: String, b: String): String =
-      s"CAST(${sqlQDot(a, b)} AS DOUBLE) / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))"
-    def sqlSubDist(v: String, c: String, m: Int): String =
-      (m * SUB + 1 to (m + 1) * SUB).map(i =>
-        s"($v.q[$i] - $c.q[$i]) * ($v.q[$i] - $c.q[$i])")
-        .mkString("(", " + ", ")")
-    val codesCtes = (0 until M).map { m =>
-      s"""codes$m AS MATERIALIZED (
-         |  SELECT vec_id, k AS code$m FROM (
-         |    SELECT v.vec_id, c.k,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${sqlSubDist("v", "c", m)} ASC, c.k) AS r
-         |    FROM qv v CROSS JOIN cb c) WHERE r = 1)""".stripMargin
-    }.mkString(",\n")
-    val codesJoin = (1 until M)
-      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
-    val qdJoins = (1 until M).map(m =>
-      s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
-      .mkString("\n  ")
+    import PqSql.{M, K, NQ, C}
     q("pq02_ivfpq_search",
       s"IVF-PQ composed serving: probe-1 cell, ADC top-$C from codes only, exact rerank to top-5",
-      s"""WITH qv AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding,
-         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |qvn AS MATERIALIZED (
-         |  SELECT vec_id, q, ${sqlQN2("qv")} AS n2 FROM qv),
-         |cents AS MATERIALIZED (
-         |  SELECT vec_id AS cid, q, n2 FROM qvn WHERE vec_id < $CELLS),
-         |asg0 AS (
-         |  SELECT v.vec_id, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${sqlQCos("v", "c")} DESC, c.cid) AS rc
-         |  FROM qvn v CROSS JOIN cents c),
-         |asg AS MATERIALIZED (SELECT vec_id, cid FROM asg0 WHERE rc = 1),
+      s"""WITH ${PqSql.sqlPrefix},
          |cb AS MATERIALIZED (SELECT vec_id AS k, q FROM qv WHERE vec_id < $K),
-         |$codesCtes,
-         |codes AS MATERIALIZED (
-         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
-         |  FROM codes0 $codesJoin),
+         |${PqSql.sqlCodesCtes("qv", _ => "cb", PqSql.sqlSubDist)},
+         |${PqSql.sqlCodes},
          |qd AS MATERIALIZED (
          |  SELECT v.vec_id AS query_id, c.k,
-         |    ${(0 until M).map(m => s"${sqlSubDist("v", "c", m)} AS t$m").mkString(", ")}
+         |    ${(0 until M).map(m => s"${PqSql.sqlSubDist("v", "c", m)} AS t$m").mkString(", ")}
          |  FROM qv v CROSS JOIN cb c WHERE v.vec_id < $NQ),
          |qa AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < $NQ),
          |cand0 AS (
@@ -2683,62 +2772,13 @@ object IvfQueries {
          |  JOIN asg ax ON ax.vec_id = x.vec_id
          |  JOIN qa ON qa.cid = ax.cid AND x.vec_id <> qa.query_id
          |  JOIN qd q0 ON q0.query_id = qa.query_id AND q0.k = x.code0
-         |  $qdJoins),
-         |shortlist AS (
-         |  SELECT query_id, cand_id, adc FROM (
-         |    SELECT query_id, cand_id, adc,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY adc, cand_id) AS rc
-         |    FROM cand0) WHERE rc <= $C),
-         |rer AS (
-         |  SELECT t.query_id, t.cand_id, t.adc,
-         |    ${sqlQCos("vq", "vc")} AS qcos
-         |  FROM shortlist t
-         |  JOIN qvn vq ON vq.vec_id = t.query_id
-         |  JOIN qvn vc ON vc.vec_id = t.cand_id)
-         |SELECT query_id, cand_id, adc, qcos, rn FROM (
-         |  SELECT query_id, cand_id, adc, qcos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
-         |  FROM rer) WHERE rn <= 5
-         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+         |  ${PqSql.sqlQdJoins}),
+         |${PqSql.sqlTail}""".stripMargin) { (s, d) =>
       val qv = quantizedDf(s, d) // (vec_id, q, n2)
-      def qdot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      def qcos(da: Column, na: Column, nb: Column): Column =
-        da.cast(DoubleType) /
-          (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
-      // coarse assignment: ONE broadcast row of seed (cid, cq, cn2)
-      // structs, per-row argmax — assignedDf's idiom in the quantized
-      // space (zero corpus shuffle; ties to the smallest cid)
-      val centArr = qv.filter(col("vec_id") < CELLS)
-        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
-      val asg = qv.crossJoin(broadcast(centArr))
-        .withColumn("best", array_max(transform(col("cents"), c =>
-          struct(
-            qcos(qdot(col("q"), c.getField("cq")), col("n2"),
-              c.getField("cn2")).as("cos_c"),
-            (-c.getField("cid")).as("neg_cid"),
-            c.getField("cid").as("cid")))))
-        .select(col("vec_id"), col("best.cid").as("cid"))
-      // PQ encode (pq01's map-side shape): shared broadcast codebook,
-      // per-row argmin per subspace
-      val cbArr = qv.filter(col("vec_id") < K)
-        .agg(sort_array(collect_list(struct(
-          col("vec_id").cast(IntegerType).as("k"), col("q").as("cq"))))
-          .as("cbs"))
-      def subDist(vq: Column, cq: Column, m: Int): Column =
-        aggregate(
-          zip_with(slice(vq, m * SUB + 1, SUB), slice(cq, m * SUB + 1, SUB),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
-      val coded = qv.crossJoin(broadcast(cbArr)).select(
-        col("vec_id") +:
-          (0 until M).map(m => array_min(transform(col("cbs"), c =>
-            struct(subDist(col("q"), c.getField("cq"), m).as("dist"),
-              c.getField("k").as("k"))))
-            .getField("k").as(s"code$m")): _*)
+      // coarse assignment + PQ encode — the hoisted shared kernels
+      val asg = pqCoarseAsg(qv)
+      val cbArr = pqSeedBooks(qv)
+      val coded = pqEncode(qv, cbArr)
       // the serving STATE: (vec_id, cid, code0..3) — n·M code bytes +
       // a cell id per vector; pinned because the shortlist join and
       // nothing else reads it (raw q is fetched only at rerank)
@@ -2747,7 +2787,7 @@ object IvfQueries {
         .select(
           col("vec_id").as("query_id") +:
             (0 until M).map(m => transform(col("cbs"),
-              c => subDist(col("q"), c.getField("cq"), m)).as(s"dt$m")): _*)
+              c => pqSubDist(col("q"), c.getField("cq"), m)).as(s"dt$m")): _*)
       val qa = asg.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("cid").as("qcid"))
         .join(broadcast(qd), Seq("query_id"))
@@ -2758,25 +2798,7 @@ object IvfQueries {
           (0 until M).map(m =>
             element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
             .as("adc"))
-      val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
-        Seq(col("query_id")), struct(col("adc"), col("cand_id")),
-        k = C, desc = false)
-      // exact rerank on raw quantized vectors — NQ·C fetch rows only
-      val rer = shortlist
-        .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
-          col("n2").as("qn2")), Seq("query_id"))
-        .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
-          col("n2").as("cn2")), Seq("cand_id"))
-        .select(col("query_id"), col("cand_id"), col("adc"),
-          qcos(qdot(col("qq"), col("cq")), col("qn2"), col("cn2"))
-            .as("qcos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("qcos").desc, col("cand_id"))
-      rer.withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("cand_id"), col("adc"), col("qcos"),
-          col("rn"))
-        .orderBy("query_id", "rn")
+      pqShortlistRerank(scored, qv)
     }
   }
 
@@ -2805,18 +2827,8 @@ object IvfQueries {
     * tables — the oracle's own shape — instead of positional
     * element_at. */
   val pq03TrainedPq: GraftQuery = {
-    val M = 4
-    val K = 8
-    val SUB = Dim / M
-    val NQ = 3
-    val C = 20
+    import PqSql.{M, K, SUB, NQ}
     val ITERS = 2
-    def sqlQDot(a: String, b: String): String =
-      (1 to Dim).map(i => s"$a.q[$i] * $b.q[$i]").mkString("(", " + ", ")")
-    def sqlQN2(a: String): String =
-      (1 to Dim).map(i => s"$a.q[$i] * $a.q[$i]").mkString("(", " + ", ")")
-    def sqlQCos(a: String, b: String): String =
-      s"CAST(${sqlQDot(a, b)} AS DOUBLE) / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))"
     // Σ (v.q[m·SUB+i] − c.c_i)² — vector row vs a book row's c1..c16
     def sqlBookDist(v: String, c: String, m: Int): String =
       (1 to SUB).map(i =>
@@ -2848,46 +2860,21 @@ object IvfQueries {
       }.mkString(",\n")
       s"$init,\n$rounds"
     }
-    val codesCtes = (0 until M).map { m =>
-      s"""codes$m AS MATERIALIZED (
-         |  SELECT vec_id, k AS code$m FROM (
-         |    SELECT v.vec_id, c.k,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${sqlBookDist("v", "c", m)} ASC, c.k) AS r
-         |    FROM qv v CROSS JOIN cb${ITERS}x$m c) WHERE r = 1)""".stripMargin
-    }.mkString(",\n")
     val qdCtes = (0 until M).map { m =>
       s"""qd$m AS MATERIALIZED (
          |  SELECT v.vec_id AS query_id, c.k,
          |    ${sqlBookDist("v", "c", m)} AS t$m
          |  FROM qv v CROSS JOIN cb${ITERS}x$m c WHERE v.vec_id < $NQ)""".stripMargin
     }.mkString(",\n")
-    val codesJoin = (1 until M)
-      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
     val qdJoins = (1 until M).map(m =>
       s"JOIN qd$m q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
       .mkString("\n  ")
     q("pq03_trained_pq",
       s"IVF-PQ serving from TRAINED per-subspace codebooks: M=$M independent $ITERS-round Lloyd loops, then probe-1 + ADC + exact rerank",
-      s"""WITH qv AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding,
-         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |qvn AS MATERIALIZED (
-         |  SELECT vec_id, q, ${sqlQN2("qv")} AS n2 FROM qv),
-         |cents AS MATERIALIZED (
-         |  SELECT vec_id AS cid, q, n2 FROM qvn WHERE vec_id < $CELLS),
-         |asg0 AS (
-         |  SELECT v.vec_id, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${sqlQCos("v", "c")} DESC, c.cid) AS rc
-         |  FROM qvn v CROSS JOIN cents c),
-         |asg AS MATERIALIZED (SELECT vec_id, cid FROM asg0 WHERE rc = 1),
+      s"""WITH ${PqSql.sqlPrefix},
          |${(0 until M).map(sqlTrain).mkString(",\n")},
-         |$codesCtes,
-         |codes AS MATERIALIZED (
-         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
-         |  FROM codes0 $codesJoin),
+         |${PqSql.sqlCodesCtes("qv", m => s"cb${ITERS}x$m", sqlBookDist)},
+         |${PqSql.sqlCodes},
          |$qdCtes,
          |qa AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < $NQ),
          |cand0 AS (
@@ -2898,30 +2885,8 @@ object IvfQueries {
          |  JOIN qa ON qa.cid = ax.cid AND x.vec_id <> qa.query_id
          |  JOIN qd0 q0 ON q0.query_id = qa.query_id AND q0.k = x.code0
          |  $qdJoins),
-         |shortlist AS (
-         |  SELECT query_id, cand_id, adc FROM (
-         |    SELECT query_id, cand_id, adc,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY adc, cand_id) AS rc
-         |    FROM cand0) WHERE rc <= $C),
-         |rer AS (
-         |  SELECT t.query_id, t.cand_id, t.adc,
-         |    ${sqlQCos("vq", "vc")} AS qcos
-         |  FROM shortlist t
-         |  JOIN qvn vq ON vq.vec_id = t.query_id
-         |  JOIN qvn vc ON vc.vec_id = t.cand_id)
-         |SELECT query_id, cand_id, adc, qcos, rn FROM (
-         |  SELECT query_id, cand_id, adc, qcos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
-         |  FROM rer) WHERE rn <= 5
-         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+         |${PqSql.sqlTail}""".stripMargin) { (s, d) =>
       val qv = quantizedDf(s, d) // (vec_id, q, n2)
-      def qdot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      def qcos(da: Column, na: Column, nb: Column): Column =
-        da.cast(DoubleType) /
-          (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
       // exact int64 squared L2 between a SUB-dim slice of q and a
       // SUB-dim codeword
       def bookDist(sq: Column, cq: Column): Column =
@@ -2956,18 +2921,8 @@ object IvfQueries {
         }
         cb
       }
-      // coarse probe-1 assignment — pq02's broadcast-argmax verbatim
-      val centArr = qv.filter(col("vec_id") < CELLS)
-        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
-      val asg = qv.crossJoin(broadcast(centArr))
-        .withColumn("best", array_max(transform(col("cents"), c =>
-          struct(
-            qcos(qdot(col("q"), c.getField("cq")), col("n2"),
-              c.getField("cn2")).as("cos_c"),
-            (-c.getField("cid")).as("neg_cid"),
-            c.getField("cid").as("cid")))))
-        .select(col("vec_id"), col("best.cid").as("cid"))
+      // coarse probe-1 assignment — the hoisted shared kernel
+      val asg = pqCoarseAsg(qv)
       // ONE broadcast row per trained book: a k-sorted (k, cq) struct
       // array — the scalar-join idiom every encode/lookup below rides
       val bookArrs = (0 until M).map(m => train(m)
@@ -3005,24 +2960,7 @@ object IvfQueries {
         (acc, m) => acc.join(broadcast(qds(m)), Seq("query_id", s"code$m"))
       }.select(col("query_id"), col("vec_id").as("cand_id"),
         (0 until M).map(m => col(s"t$m")).reduce(_ + _).as("adc"))
-      val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
-        Seq(col("query_id")), struct(col("adc"), col("cand_id")),
-        k = C, desc = false)
-      val rer = shortlist
-        .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
-          col("n2").as("qn2")), Seq("query_id"))
-        .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
-          col("n2").as("cn2")), Seq("cand_id"))
-        .select(col("query_id"), col("cand_id"), col("adc"),
-          qcos(qdot(col("qq"), col("cq")), col("qn2"), col("cn2"))
-            .as("qcos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("qcos").desc, col("cand_id"))
-      rer.withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("cand_id"), col("adc"), col("qcos"),
-          col("rn"))
-        .orderBy("query_id", "rn")
+      pqShortlistRerank(scored, qv)
     }
   }
 
@@ -3049,52 +2987,16 @@ object IvfQueries {
     * (the 16-row centroid fetch) on the encode pass, nothing else
     * changes. */
   val pq04ResidualPq: GraftQuery = {
-    val M = 4
-    val K = 8
-    val SUB = Dim / M
-    val NQ = 3
-    val C = 20
-    def sqlQDot(a: String, b: String): String =
-      (1 to Dim).map(i => s"$a.q[$i] * $b.q[$i]").mkString("(", " + ", ")")
-    def sqlQN2(a: String): String =
-      (1 to Dim).map(i => s"$a.q[$i] * $a.q[$i]").mkString("(", " + ", ")")
-    def sqlQCos(a: String, b: String): String =
-      s"CAST(${sqlQDot(a, b)} AS DOUBLE) / (SQRT(CAST($a.n2 AS DOUBLE)) * SQRT(CAST($b.n2 AS DOUBLE)))"
+    import PqSql.{M, K, NQ}
     // Σ (v.r_i − c.r_i)² over subspace m — residual-column variant
     def sqlRDist(v: String, c: String, m: Int): String =
-      (m * SUB + 1 to (m + 1) * SUB).map(i =>
+      (m * PqSql.SUB + 1 to (m + 1) * PqSql.SUB).map(i =>
         s"($v.r$i - $c.r$i) * ($v.r$i - $c.r$i)")
         .mkString("(", " + ", ")")
     val rcols = (1 to Dim).map(i => s"r$i").mkString(", ")
-    val codesCtes = (0 until M).map { m =>
-      s"""codes$m AS MATERIALIZED (
-         |  SELECT vec_id, k AS code$m FROM (
-         |    SELECT v.vec_id, c.k,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${sqlRDist("v", "c", m)} ASC, c.k) AS r
-         |    FROM res v CROSS JOIN cbr c) WHERE r = 1)""".stripMargin
-    }.mkString(",\n")
-    val codesJoin = (1 until M)
-      .map(m => s"JOIN codes$m USING (vec_id)").mkString(" ")
-    val qdJoins = (1 until M).map(m =>
-      s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
-      .mkString("\n  ")
     q("pq04_residual_pq",
       s"IVF-PQ with RESIDUAL encoding: codes quantize v - centroid(cell), query ADC on its own residual, exact rerank to top-5",
-      s"""WITH qv AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(embedding,
-         |    e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |qvn AS MATERIALIZED (
-         |  SELECT vec_id, q, ${sqlQN2("qv")} AS n2 FROM qv),
-         |cents AS MATERIALIZED (
-         |  SELECT vec_id AS cid, q, n2 FROM qvn WHERE vec_id < $CELLS),
-         |asg0 AS (
-         |  SELECT v.vec_id, c.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${sqlQCos("v", "c")} DESC, c.cid) AS rc
-         |  FROM qvn v CROSS JOIN cents c),
-         |asg AS MATERIALIZED (SELECT vec_id, cid FROM asg0 WHERE rc = 1),
+      s"""WITH ${PqSql.sqlPrefix},
          |res AS MATERIALIZED (
          |  SELECT v.vec_id, a.cid,
          |    ${(1 to Dim).map(i => s"v.q[$i] - c.q[$i] AS r$i").mkString(", ")}
@@ -3103,10 +3005,8 @@ object IvfQueries {
          |cbr AS MATERIALIZED (
          |  SELECT vec_id - $CELLS AS k, $rcols FROM res
          |  WHERE vec_id >= $CELLS AND vec_id < ${CELLS + K}),
-         |$codesCtes,
-         |codes AS MATERIALIZED (
-         |  SELECT codes0.vec_id, ${(0 until M).map(m => s"code$m").mkString(", ")}
-         |  FROM codes0 $codesJoin),
+         |${PqSql.sqlCodesCtes("res", _ => "cbr", sqlRDist)},
+         |${PqSql.sqlCodes},
          |qd AS MATERIALIZED (
          |  SELECT v.vec_id AS query_id, c.k,
          |    ${(0 until M).map(m => s"${sqlRDist("v", "c", m)} AS t$m").mkString(", ")}
@@ -3119,48 +3019,11 @@ object IvfQueries {
          |  JOIN asg ax ON ax.vec_id = x.vec_id
          |  JOIN qa ON qa.cid = ax.cid AND x.vec_id <> qa.query_id
          |  JOIN qd q0 ON q0.query_id = qa.query_id AND q0.k = x.code0
-         |  $qdJoins),
-         |shortlist AS (
-         |  SELECT query_id, cand_id, adc FROM (
-         |    SELECT query_id, cand_id, adc,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY adc, cand_id) AS rc
-         |    FROM cand0) WHERE rc <= $C),
-         |rer AS (
-         |  SELECT t.query_id, t.cand_id, t.adc,
-         |    ${sqlQCos("vq", "vc")} AS qcos
-         |  FROM shortlist t
-         |  JOIN qvn vq ON vq.vec_id = t.query_id
-         |  JOIN qvn vc ON vc.vec_id = t.cand_id)
-         |SELECT query_id, cand_id, adc, qcos, rn FROM (
-         |  SELECT query_id, cand_id, adc, qcos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
-         |  FROM rer) WHERE rn <= 5
-         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+         |  ${PqSql.sqlQdJoins}),
+         |${PqSql.sqlTail}""".stripMargin) { (s, d) =>
       val qv = quantizedDf(s, d) // (vec_id, q, n2)
-      def qdot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      def qcos(da: Column, na: Column, nb: Column): Column =
-        da.cast(DoubleType) /
-          (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
-      def subDist(vq: Column, cq: Column, m: Int): Column =
-        aggregate(
-          zip_with(slice(vq, m * SUB + 1, SUB), slice(cq, m * SUB + 1, SUB),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)
-      // coarse probe-1 assignment — pq02's broadcast-argmax verbatim
-      val centArr = qv.filter(col("vec_id") < CELLS)
-        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
-      val asg = qv.crossJoin(broadcast(centArr))
-        .withColumn("best", array_max(transform(col("cents"), c =>
-          struct(
-            qcos(qdot(col("q"), c.getField("cq")), col("n2"),
-              c.getField("cn2")).as("cos_c"),
-            (-c.getField("cid")).as("neg_cid"),
-            c.getField("cid").as("cid")))))
-        .select(col("vec_id"), col("best.cid").as("cid"))
+      // coarse probe-1 assignment — the hoisted shared kernel
+      val asg = pqCoarseAsg(qv)
       // residuals: v − centroid(cell(v)), one 16-row broadcast fetch
       val centQ = qv.filter(col("vec_id") < CELLS)
         .select(col("vec_id").as("cid"), col("q").as("centq"))
@@ -3178,7 +3041,7 @@ object IvfQueries {
       val coded = res.crossJoin(broadcast(cbArr)).select(
         col("vec_id") +: col("cid") +:
           (0 until M).map(m => array_min(transform(col("cbs"), c =>
-            struct(subDist(col("r"), c.getField("cr"), m).as("dist"),
+            struct(pqSubDist(col("r"), c.getField("cr"), m).as("dist"),
               c.getField("k").as("k"))))
             .getField("k").as(s"code$m")): _*)
       val index = coded.pinned
@@ -3186,7 +3049,7 @@ object IvfQueries {
         .select(
           col("vec_id").as("query_id") +:
             (0 until M).map(m => transform(col("cbs"),
-              c => subDist(col("r"), c.getField("cr"), m)).as(s"dt$m")): _*)
+              c => pqSubDist(col("r"), c.getField("cr"), m)).as(s"dt$m")): _*)
       val qa = asg.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("cid").as("qcid"))
         .join(broadcast(qd), Seq("query_id"))
@@ -3196,24 +3059,7 @@ object IvfQueries {
           (0 until M).map(m =>
             element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
             .as("adc"))
-      val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
-        Seq(col("query_id")), struct(col("adc"), col("cand_id")),
-        k = C, desc = false)
-      val rer = shortlist
-        .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
-          col("n2").as("qn2")), Seq("query_id"))
-        .join(qv.select(col("vec_id").as("cand_id"), col("q").as("cq"),
-          col("n2").as("cn2")), Seq("cand_id"))
-        .select(col("query_id"), col("cand_id"), col("adc"),
-          qcos(qdot(col("qq"), col("cq")), col("qn2"), col("cn2"))
-            .as("qcos"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("qcos").desc, col("cand_id"))
-      rer.withColumn("rn", row_number().over(w).cast(LongType))
-        .filter(col("rn") <= 5)
-        .select(col("query_id"), col("cand_id"), col("adc"), col("qcos"),
-          col("rn"))
-        .orderBy("query_id", "rn")
+      pqShortlistRerank(scored, qv)
     }
   }
 
