@@ -2512,6 +2512,23 @@ object IvfQueries {
       (m * SUB + 1 to (m + 1) * SUB).map(i =>
         s"($v.q[$i] - $c.q[$i]) * ($v.q[$i] - $c.q[$i])")
         .mkString("(", " + ", ")")
+    // Σ (v.r_i − c.r_i)² over subspace m — residual-column variant
+    def sqlRDist(v: String, c: String, m: Int): String =
+      (m * SUB + 1 to (m + 1) * SUB).map(i =>
+        s"($v.r$i - $c.r$i) * ($v.r$i - $c.r$i)")
+        .mkString("(", " + ", ")")
+    /** corpus residuals + the dense-rekeyed residual codebook (pq04's
+      * convention: seeds skip the coarse centroids, whose own residual
+      * is the zero vector). */
+    def sqlResidual: String =
+      s"""res AS MATERIALIZED (
+         |  SELECT v.vec_id, a.cid,
+         |    ${(1 to Dim).map(i => s"v.q[$i] - c.q[$i] AS r$i").mkString(", ")}
+         |  FROM qv v JOIN asg a ON a.vec_id = v.vec_id
+         |  JOIN cents c ON c.cid = a.cid),
+         |cbr AS MATERIALIZED (
+         |  SELECT vec_id - $CELLS AS k, ${(1 to Dim).map(i => s"r$i").mkString(", ")} FROM res
+         |  WHERE vec_id >= $CELLS AND vec_id < ${CELLS + K})""".stripMargin
     /** qv → qvn → cents → asg: quantize, norm, seed cells, probe-1
       * coarse assignment (ties → smallest cid). */
     def sqlPrefix: String =
@@ -2552,16 +2569,18 @@ object IvfQueries {
     def sqlQdJoins: String = (1 until M).map(m =>
       s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.k = x.code$m")
       .mkString("\n  ")
-    /** shortlist (top-C by ADC over cand0) → exact rerank on the raw
-      * quantized vectors → final top-5 readout. */
-    def sqlTail: String =
+    /** top-C-by-ADC shortlist over cand0 (probe-1's per-query cut). */
+    def sqlShortlist: String =
       s"""shortlist AS (
          |  SELECT query_id, cand_id, adc FROM (
          |    SELECT query_id, cand_id, adc,
          |      ROW_NUMBER() OVER (PARTITION BY query_id
          |        ORDER BY adc, cand_id) AS rc
-         |    FROM cand0) WHERE rc <= $C),
-         |rer AS (
+         |    FROM cand0) WHERE rc <= $C)""".stripMargin
+    /** exact rerank of a `shortlist` CTE on the raw quantized vectors
+      * → final top-5 readout. */
+    def sqlRerank: String =
+      s"""rer AS (
          |  SELECT t.query_id, t.cand_id, t.adc,
          |    ${sqlQCos("vq", "vc")} AS qcos
          |  FROM shortlist t
@@ -2573,6 +2592,9 @@ object IvfQueries {
          |      ORDER BY qcos DESC, cand_id) AS BIGINT) AS rn
          |  FROM rer) WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin
+    /** shortlist (top-C by ADC over cand0) → exact rerank on the raw
+      * quantized vectors → final top-5 readout. */
+    def sqlTail: String = s"$sqlShortlist,\n$sqlRerank"
   }
 
   /** exact int64 dot of two quantized vectors (left-associated fold —
@@ -2628,13 +2650,44 @@ object IvfQueries {
             c.getField("k").as("k"))))
           .getField("k").as(s"code$m")): _*)
 
+  /** residuals: v − centroid(cell(v)), one 16-row broadcast fetch —
+    * exact int64 on the ×1000 grid (a difference of integers). */
+  private def pqResiduals(qv: DataFrame, asg: DataFrame): DataFrame = {
+    val centQ = qv.filter(col("vec_id") < CELLS)
+      .select(col("vec_id").as("cid"), col("q").as("centq"))
+    qv.select(col("vec_id"), col("q")).join(asg, Seq("vec_id"))
+      .join(broadcast(centQ), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("q"), col("centq"), (x, y) => x - y).as("r"))
+  }
+
+  /** residual codebook: first K NON-CENTROID vectors' residuals,
+    * re-keyed dense (a centroid's own residual is the zero vector, so
+    * the vec_id < K convention would seed K degenerate codewords). */
+  private def pqResidualBooks(res: DataFrame): DataFrame =
+    res.filter(col("vec_id") >= CELLS && col("vec_id") < CELLS + PqSql.K)
+      .agg(sort_array(collect_list(struct(
+        (col("vec_id") - CELLS).cast(IntegerType).as("k"),
+        col("r").as("cr")))).as("cbs"))
+
+  /** residual encode: (vec_id, cid, code0..M−1) — pq01's map-side
+    * argmin over the residual columns, cell id carried for probing. */
+  private def pqResidualEncode(res: DataFrame, cbArr: DataFrame): DataFrame =
+    res.crossJoin(broadcast(cbArr)).select(
+      col("vec_id") +: col("cid") +:
+        (0 until PqSql.M).map(m => array_min(transform(col("cbs"), c =>
+          struct(pqSubDist(col("r"), c.getField("cr"), m).as("dist"),
+            c.getField("k").as("k"))))
+          .getField("k").as(s"code$m")): _*)
+
   /** top-C ADC shortlist through the k-bounded heap operator, then the
     * exact rerank on raw quantized vectors (NQ·C fetch rows only) and
     * the final top-5 readout — the serving tail every IVF-PQ variant
     * shares. */
-  private def pqShortlistRerank(scored: DataFrame, qv: DataFrame): DataFrame = {
+  private def pqShortlistRerank(scored: DataFrame, qv: DataFrame,
+      groups: Seq[Column] = Seq(col("query_id"))): DataFrame = {
     val shortlist = graft.plans.TopKPerGroup.perGroup(scored,
-      Seq(col("query_id")), struct(col("adc"), col("cand_id")),
+      groups, struct(col("adc"), col("cand_id")),
       k = PqSql.C, desc = false)
     val rer = shortlist
       .join(qv.select(col("vec_id").as("query_id"), col("q").as("qq"),
@@ -2987,29 +3040,16 @@ object IvfQueries {
     * (the 16-row centroid fetch) on the encode pass, nothing else
     * changes. */
   val pq04ResidualPq: GraftQuery = {
-    import PqSql.{M, K, NQ}
-    // Σ (v.r_i − c.r_i)² over subspace m — residual-column variant
-    def sqlRDist(v: String, c: String, m: Int): String =
-      (m * PqSql.SUB + 1 to (m + 1) * PqSql.SUB).map(i =>
-        s"($v.r$i - $c.r$i) * ($v.r$i - $c.r$i)")
-        .mkString("(", " + ", ")")
-    val rcols = (1 to Dim).map(i => s"r$i").mkString(", ")
+    import PqSql.{M, NQ}
     q("pq04_residual_pq",
       s"IVF-PQ with RESIDUAL encoding: codes quantize v - centroid(cell), query ADC on its own residual, exact rerank to top-5",
       s"""WITH ${PqSql.sqlPrefix},
-         |res AS MATERIALIZED (
-         |  SELECT v.vec_id, a.cid,
-         |    ${(1 to Dim).map(i => s"v.q[$i] - c.q[$i] AS r$i").mkString(", ")}
-         |  FROM qv v JOIN asg a ON a.vec_id = v.vec_id
-         |  JOIN cents c ON c.cid = a.cid),
-         |cbr AS MATERIALIZED (
-         |  SELECT vec_id - $CELLS AS k, $rcols FROM res
-         |  WHERE vec_id >= $CELLS AND vec_id < ${CELLS + K}),
-         |${PqSql.sqlCodesCtes("res", _ => "cbr", sqlRDist)},
+         |${PqSql.sqlResidual},
+         |${PqSql.sqlCodesCtes("res", _ => "cbr", PqSql.sqlRDist)},
          |${PqSql.sqlCodes},
          |qd AS MATERIALIZED (
          |  SELECT v.vec_id AS query_id, c.k,
-         |    ${(0 until M).map(m => s"${sqlRDist("v", "c", m)} AS t$m").mkString(", ")}
+         |    ${(0 until M).map(m => s"${PqSql.sqlRDist("v", "c", m)} AS t$m").mkString(", ")}
          |  FROM res v CROSS JOIN cbr c WHERE v.vec_id < $NQ),
          |qa AS (SELECT vec_id AS query_id, cid FROM asg WHERE vec_id < $NQ),
          |cand0 AS (
@@ -3022,29 +3062,11 @@ object IvfQueries {
          |  ${PqSql.sqlQdJoins}),
          |${PqSql.sqlTail}""".stripMargin) { (s, d) =>
       val qv = quantizedDf(s, d) // (vec_id, q, n2)
-      // coarse probe-1 assignment — the hoisted shared kernel
+      // coarse assignment, residuals, books, encode — shared kernels
       val asg = pqCoarseAsg(qv)
-      // residuals: v − centroid(cell(v)), one 16-row broadcast fetch
-      val centQ = qv.filter(col("vec_id") < CELLS)
-        .select(col("vec_id").as("cid"), col("q").as("centq"))
-      val res = qv.select(col("vec_id"), col("q")).join(asg, Seq("vec_id"))
-        .join(broadcast(centQ), Seq("cid"))
-        .select(col("vec_id"), col("cid"),
-          zip_with(col("q"), col("centq"), (x, y) => x - y).as("r"))
-      // residual codebook: first K NON-CENTROID vectors' residuals,
-      // re-keyed dense (a centroid's own residual is the zero vector)
-      val cbArr = res
-        .filter(col("vec_id") >= CELLS && col("vec_id") < CELLS + K)
-        .agg(sort_array(collect_list(struct(
-          (col("vec_id") - CELLS).cast(IntegerType).as("k"),
-          col("r").as("cr")))).as("cbs"))
-      val coded = res.crossJoin(broadcast(cbArr)).select(
-        col("vec_id") +: col("cid") +:
-          (0 until M).map(m => array_min(transform(col("cbs"), c =>
-            struct(pqSubDist(col("r"), c.getField("cr"), m).as("dist"),
-              c.getField("k").as("k"))))
-            .getField("k").as(s"code$m")): _*)
-      val index = coded.pinned
+      val res = pqResiduals(qv, asg)
+      val cbArr = pqResidualBooks(res)
+      val index = pqResidualEncode(res, cbArr).pinned
       val qd = res.filter(col("vec_id") < NQ).crossJoin(broadcast(cbArr))
         .select(
           col("vec_id").as("query_id") +:
@@ -3060,6 +3082,113 @@ object IvfQueries {
             element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
             .as("adc"))
       pqShortlistRerank(scored, qv)
+    }
+  }
+
+  /** MULTI-PROBE RESIDUAL IVF-PQ (Jégou et al. 2011 §IV; FAISS
+    * `IndexIVFPQ` at `nprobe > 1` — the standard high-cell-count
+    * operating point). pq04's recall ceiling is its cell hit rate: a
+    * probe-1 query never sees a true neighbor that landed one Voronoi
+    * cell over. pq05 composes pq04's residual path with ivf04's
+    * multi-probe: each query probes its P=2 nearest coarse cells,
+    * forms a SEPARATE residual against each probed cell's centroid
+    * (both sides of the ADC stay offsets from the SAME centroid —
+    * residual codes are only comparable within their cell), ADC-scores
+    * each probed cell's candidates against that cell's own distance
+    * table, keeps a top-C shortlist PER PROBED CELL (FAISS scans each
+    * inverted list independently — and per-cell cuts are what make the
+    * recall law provable: cell 1's shortlist is exactly pq04's, so the
+    * merged rerank pool strictly contains pq04's, and an exact rerank
+    * over a superset can only displace a true neighbor with a truer
+    * one), then exact-reranks the merged pool (≤ P·C rows; a candidate
+    * appears exactly once — its own cell) to the final top-5.
+    *
+    * Scale shape: query-side state grows to NQ·P residuals and
+    * distance tables (still a broadcast — P is a serving knob, never
+    * corpus-order); the candidate equi-join fans to P cells' inverted
+    * lists, exactly ivf04's bound; everything else (one 16-row
+    * centroid fetch, 4-byte codes, NQ·C rerank fetch) is pq04's.
+    * IvfSpec pins recall(pq05, nprobe=2) ≥ recall(pq04, probe-1) on
+    * the filtered ground truth both rank by. */
+  val pq05MultiprobeResidual: GraftQuery = {
+    import PqSql.{M, NQ}
+    val P = 2 // probed cells per query
+    q("pq05_multiprobe_residual",
+      s"multi-probe residual IVF-PQ: P=$P cells per query, per-cell query residuals + ADC, merged shortlist, exact rerank to top-5",
+      s"""WITH ${PqSql.sqlPrefix},
+         |${PqSql.sqlResidual},
+         |${PqSql.sqlCodesCtes("res", _ => "cbr", PqSql.sqlRDist)},
+         |${PqSql.sqlCodes},
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, cid FROM asg0
+         |  WHERE rc <= $P AND vec_id < $NQ),
+         |qres AS MATERIALIZED (
+         |  SELECT p.query_id, p.cid,
+         |    ${(1 to Dim).map(i => s"v.q[$i] - c.q[$i] AS r$i").mkString(", ")}
+         |  FROM probes p JOIN qv v ON v.vec_id = p.query_id
+         |  JOIN cents c ON c.cid = p.cid),
+         |qd AS MATERIALIZED (
+         |  SELECT v.query_id, v.cid, c.k,
+         |    ${(0 until M).map(m => s"${PqSql.sqlRDist("v", "c", m)} AS t$m").mkString(", ")}
+         |  FROM qres v CROSS JOIN cbr c),
+         |cand0 AS (
+         |  SELECT q0.query_id, ax.cid, x.vec_id AS cand_id,
+         |    ${(0 until M).map(m => s"q$m.t$m").mkString(" + ")} AS adc
+         |  FROM codes x
+         |  JOIN asg ax ON ax.vec_id = x.vec_id
+         |  JOIN qd q0 ON q0.cid = ax.cid AND q0.k = x.code0
+         |    AND x.vec_id <> q0.query_id
+         |  ${(1 until M).map(m =>
+              s"JOIN qd q$m ON q$m.query_id = q0.query_id AND q$m.cid = q0.cid AND q$m.k = x.code$m")
+              .mkString("\n  ")}),
+         |shortlist AS (
+         |  SELECT query_id, cand_id, adc FROM (
+         |    SELECT query_id, cand_id, adc,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id, cid
+         |        ORDER BY adc, cand_id) AS rc
+         |    FROM cand0) WHERE rc <= ${PqSql.C}),
+         |${PqSql.sqlRerank}""".stripMargin) { (s, d) =>
+      val qv = quantizedDf(s, d) // (vec_id, q, n2)
+      val asg = pqCoarseAsg(qv)
+      val res = pqResiduals(qv, asg)
+      val cbArr = pqResidualBooks(res)
+      // the serving STATE is pq04's verbatim: (vec_id, cid, code0..3)
+      val index = pqResidualEncode(res, cbArr).pinned
+      // top-P cells per query — ivf04's probedDf idiom in the
+      // quantized space: desc-sort the per-centroid struct array,
+      // slice P, explode (NQ·P rows, zero corpus shuffle)
+      val centArr = qv.filter(col("vec_id") < CELLS)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
+      val probes = qv.filter(col("vec_id") < NQ)
+        .crossJoin(broadcast(centArr))
+        .withColumn("probe", explode(slice(reverse(array_sort(
+          transform(col("cents"), c => struct(
+            qcosCol(qdotCol(col("q"), c.getField("cq")), col("n2"),
+              c.getField("cn2")).as("cos_c"),
+            (-c.getField("cid")).as("neg_cid"),
+            c.getField("cid").as("cid"),
+            c.getField("cq").as("centq"))))), 1, P)))
+        .select(col("vec_id").as("query_id"), col("q"),
+          col("probe.cid").as("qcid"),
+          // the query's residual against THIS probed cell's centroid
+          zip_with(col("q"), col("probe.centq"), (x, y) => x - y).as("qr"))
+      // per-(query, probed cell) ADC tables over the query residual
+      val qa = probes.crossJoin(broadcast(cbArr)).select(
+        col("query_id") +: col("qcid") +:
+          (0 until M).map(m => transform(col("cbs"),
+            c => pqSubDist(col("qr"), c.getField("cr"), m)).as(s"dt$m")): _*)
+      // candidates meet a query ONLY via the probed-cell equi-join; a
+      // candidate carries one cid, so the P probes never duplicate it
+      val scored = index.join(broadcast(qa),
+          col("cid") === col("qcid") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qcid"), col("vec_id").as("cand_id"),
+          (0 until M).map(m =>
+            element_at(col(s"dt$m"), col(s"code$m") + 1)).reduce(_ + _)
+            .as("adc"))
+      // per-(query, probed cell) top-C — the provable-dominance cut
+      pqShortlistRerank(scored, qv,
+        groups = Seq(col("query_id"), col("qcid")))
     }
   }
 
@@ -3168,5 +3297,5 @@ object IvfQueries {
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
       hn02GraphServing, hn03HnswAnn, hn04HnswUpsert, hn05LadderUpsert,
       hn06LadderDelete, pq01AdcSearch, pq02IvfPqSearch, pq03TrainedPq,
-      pq04ResidualPq, tm01TripletMining)
+      pq04ResidualPq, pq05MultiprobeResidual, tm01TripletMining)
 }

@@ -217,10 +217,16 @@ class IvfSpec extends AnyFunSuite {
     val seeded = rec("pq02_ivfpq_search")
     val trained = rec("pq03_trained_pq")
     val residual = rec("pq04_residual_pq")
+    val multiprobe = rec("pq05_multiprobe_residual")
     assert(trained >= seeded,
       s"trained codebooks must not lose recall: trained=$trained seeded=$seeded")
     assert(residual >= seeded,
       s"residual encoding must not lose recall: residual=$residual raw=$seeded")
+    // probing P=2 cells can only widen the candidate pool pq04 ranks —
+    // the probe-1 cell is always among the P (ivf04's law, composed
+    // onto the residual path)
+    assert(multiprobe >= residual,
+      s"multi-probe must not lose recall: nprobe2=$multiprobe probe1=$residual")
     assert(trained > 0.0 && residual > 0.0, "PQ serving found none of the true top-5")
   }
 
