@@ -3192,6 +3192,206 @@ object IvfQueries {
     }
   }
 
+  // ------------------------------------------------------ filtered ANN
+  /** FILTERED ANN, pre-filter plan (FAISS `IDSelector` semantics —
+    * the capability every production vector query actually needs:
+    * top-k OF THE FILTERED SET, with a metadata predicate fused into
+    * the index probe instead of bolted onto its output). fa01 is the
+    * selective-filter plan shape: the predicate is applied to the
+    * probed cell's inverted list DURING the scan — the candidate side
+    * filters before any distance is computed, so the scored pair set
+    * is |cell ∩ filter| per query, never |cell|. The label predicate
+    * reaches the parquet scan (PushedFilters); the probe stays the
+    * ivf02 equi-join on cid. A probe-1 pre-filter can under-return
+    * when the filter starves the cell — that regime is exactly what
+    * fa02's adaptive plan exists for; fa01 reports what the probed
+    * cell honestly contains (rows < k possible, the FAISS probe-1
+    * behavior).
+    *
+    * 100 TB: filter selectivity multiplies the scanned list length
+    * DOWN — pre-filtering is strictly cheaper than post-filtering at
+    * every scale, and the plan is one broadcast equi-join + one
+    * pushed predicate. */
+  val fa01FilteredAnn: GraftQuery = {
+    val NQ = 5
+    val LabelLt = 3 // ~30% selective on the 0..9 uniform label
+    q("fa01_filtered_ann",
+      s"filtered ANN (IDSelector pre-filter): probe-1 cell, candidates filtered to label < $LabelLt during the list scan, exact top-5 of the filtered cell",
+      s"""WITH $sqlAssign,
+         |pairs AS (
+         |  SELECT qa.vec_id AS query_id, ca.vec_id AS cand_id,
+         |    CAST(l.label AS BIGINT) AS label,
+         |    ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS cosine
+         |  FROM assigned qa JOIN normed q ON q.vec_id = qa.vec_id
+         |  JOIN assigned ca ON ca.cid = qa.cid AND ca.vec_id <> qa.vec_id
+         |  JOIN embeddings l ON l.vec_id = ca.vec_id AND l.label < $LabelLt
+         |  JOIN normed c ON c.vec_id = ca.vec_id
+         |  WHERE qa.vec_id < $NQ),
+         |ranked AS (
+         |  SELECT query_id, cand_id, label, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+         |  FROM pairs)
+         |SELECT query_id, cand_id, label, cosine, rn FROM ranked WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      val assigned = assignedDf(s, d).pinned // query side + candidate side
+      val qv = assigned.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("cid"))
+      // the predicate joins in BEFORE scoring: label < 3 is pushed to
+      // the embeddings scan and prunes the inverted list pre-distance
+      val lab = Tables.embeddings(s, d)
+        .filter(col("label") < LabelLt)
+        .select(col("vec_id").as("cand_id"),
+          col("label").cast(LongType).as("label"))
+      val cv = assigned
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("cid").as("ccid"))
+        .join(lab, Seq("cand_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))
+      broadcast(qv)
+        .join(cv, col("cid") === col("ccid") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id"), col("label"),
+          VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cosine"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    }
+  }
+
+  /** FILTERED ANN, adaptive-shortlist plan — the under-return-proof
+    * composition the pre-filter probe can't give: a query probes its
+    * cells in proximity order (cos desc, cid — the full per-query cell
+    * ranking the coarse quantizer already produces) and STOPS at the
+    * first prefix whose cumulative filtered-survivor count covers k —
+    * computed from a per-cell survivor census (index metadata:
+    * O(cells) rows, maintained like nsum), not by scanning lists and
+    * hoping. The guarantee is structural: if the filtered corpus
+    * (excluding the query itself — counted via its own always-probed
+    * rank-1 cell) holds ≥ k candidates, the chosen prefix holds ≥ k,
+    * so the query NEVER under-returns — the failure mode of a fixed
+    * shortlist under a selective filter (pq02's C=20 silently starves
+    * at 90% selectivity); in the worst case the prefix is every cell
+    * and the answer degrades gracefully to exact brute force over the
+    * filtered set, which is the correct semantics. `n_probed` is
+    * reported per query, so the adaptivity is itself oracle-checked.
+    *
+    * 100 TB: the survivor census is O(cells) broadcast metadata per
+    * predicate family; probed mass tracks filter selectivity instead
+    * of a guessed constant; every query-side frame is NQ·cells rows.
+    * The candidate fetch stays the IVF equi-join on cid. */
+  val fa02FilteredAnnAdaptive: GraftQuery = {
+    val NQ = 5
+    val K = 5
+    val LabelEq = 7 // ~10% selective: the cell-starving regime fa02 exists for
+    q("fa02_filtered_ann_adaptive",
+      s"filtered ANN (adaptive probe): per-query cell prefix sized by a filtered-survivor census so k results are guaranteed whenever they exist; exact top-$K of the probed filtered set + n_probed",
+      s"""WITH $sqlAssign,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |surv AS (
+         |  SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_surv
+         |  FROM assigned a JOIN lab l ON l.vec_id = a.vec_id
+         |  WHERE l.label = $LabelEq GROUP BY a.cid),
+         |qrank AS (
+         |  SELECT vec_id AS query_id, cid, rc FROM scored WHERE vec_id < $NQ),
+         |cum AS (
+         |  SELECT q.query_id, q.cid, q.rc,
+         |    SUM(COALESCE(s.n_surv, 0)) OVER (PARTITION BY q.query_id
+         |      ORDER BY q.rc) AS cum_surv
+         |  FROM qrank q LEFT JOIN surv s ON s.cid = q.cid),
+         |qself AS (
+         |  SELECT vec_id AS query_id,
+         |    CASE WHEN label = $LabelEq THEN 1 ELSE 0 END AS self
+         |  FROM embeddings WHERE vec_id < $NQ),
+         |pick AS (
+         |  SELECT c.query_id,
+         |    COALESCE(MIN(CASE WHEN c.cum_surv - qs.self >= $K
+         |      THEN c.rc END), $CELLS) AS n_probed
+         |  FROM cum c JOIN qself qs ON qs.query_id = c.query_id
+         |  GROUP BY c.query_id),
+         |probed AS (
+         |  SELECT c.query_id, c.cid, p.n_probed
+         |  FROM cum c JOIN pick p ON p.query_id = c.query_id
+         |  WHERE c.rc <= p.n_probed),
+         |pairs AS (
+         |  SELECT pr.query_id, pr.n_probed, ca.vec_id AS cand_id,
+         |    CAST(l.label AS BIGINT) AS label,
+         |    ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS cosine
+         |  FROM probed pr
+         |  JOIN normed q ON q.vec_id = pr.query_id
+         |  JOIN assigned ca ON ca.cid = pr.cid AND ca.vec_id <> pr.query_id
+         |  JOIN lab l ON l.vec_id = ca.vec_id AND l.label = $LabelEq
+         |  JOIN normed c ON c.vec_id = ca.vec_id),
+         |ranked AS (
+         |  SELECT query_id, n_probed, cand_id, label, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+         |  FROM pairs)
+         |SELECT query_id, n_probed, cand_id, label, cosine, rn
+         |FROM ranked WHERE rn <= $K
+         |ORDER BY query_id, rn""".stripMargin) { (s, d) =>
+      VectorExpressions.register(s)
+      val e = Tables.embeddings(s, d)
+      val assigned = assignedDf(s, d).pinned
+      val lab = e.select(col("vec_id"), col("label"))
+      // per-cell filtered-survivor census — O(cells) index metadata
+      val surv = assigned.join(lab.filter(col("label") === LabelEq), Seq("vec_id"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_surv"))
+      // full per-query cell ranking (cos desc, cid) — the coarse pass
+      // ivf04 slices P from, posexploded whole: NQ·cells rows
+      val centArr = e.filter(col("vec_id") < CELLS)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cemb")))).as("cents"))
+      val qrank = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centArr))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          posexplode(reverse(array_sort(transform(col("cents"), c =>
+            struct(
+              VectorExpressions.cosine_similarity(col("embedding"),
+                c.getField("cemb")).as("cos_c"),
+              (-c.getField("cid")).as("neg_cid"),
+              c.getField("cid").as("cid")))))))
+        .select(col("query_id"), col("qe"), (col("pos") + 1).as("rc"),
+          col("col.cid").as("cid"))
+      // cumulative survivors along the proximity order, self-corrected
+      // (the query's own cell is always rank 1, so its self-count is
+      // subtracted exactly once when its label matches)
+      val wc = Window.partitionBy(col("query_id")).orderBy(col("rc"))
+      val cum = qrank.join(broadcast(surv), Seq("cid"), "left")
+        .na.fill(0L, Seq("n_surv"))
+        .withColumn("cum_surv", sum(col("n_surv")).over(wc))
+      val qself = lab.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"),
+          when(col("label") === LabelEq, 1L).otherwise(0L).as("self"))
+      val pick = cum.join(broadcast(qself), Seq("query_id"))
+        .groupBy(col("query_id"))
+        .agg(coalesce(min(when(col("cum_surv") - col("self") >= K,
+          col("rc"))), lit(CELLS.toLong)).as("n_probed"))
+      val probed = cum.join(broadcast(pick), Seq("query_id"))
+        .filter(col("rc") <= col("n_probed"))
+        .select(col("query_id"), col("qe"), col("cid"), col("n_probed"))
+      // candidate fetch: the IVF equi-join, filter fused pre-distance
+      val cv = assigned
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("cid").as("ccid"))
+        .join(lab.filter(col("label") === LabelEq)
+          .select(col("vec_id").as("cand_id"),
+            col("label").cast(LongType).as("label")), Seq("cand_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id"))
+      broadcast(probed)
+        .join(cv, col("cid") === col("ccid") && col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("n_probed"), col("cand_id"),
+          col("label"),
+          VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cosine"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= K)
+        .orderBy("query_id", "rn")
+    }
+  }
+
   /** HARD-EXAMPLE TRIPLET MINING — the contrastive-training data op
     * (FaceNet/SimCLR-style batch construction): for each anchor, the
     * HARD POSITIVE (same label, LOWEST cosine — the most distant
@@ -3297,5 +3497,6 @@ object IvfQueries {
       dc02SemanticDecontam, cl01ClusterLabels, ann01Recall, hn01GraphAnn,
       hn02GraphServing, hn03HnswAnn, hn04HnswUpsert, hn05LadderUpsert,
       hn06LadderDelete, pq01AdcSearch, pq02IvfPqSearch, pq03TrainedPq,
-      pq04ResidualPq, pq05MultiprobeResidual, tm01TripletMining)
+      pq04ResidualPq, pq05MultiprobeResidual, fa01FilteredAnn,
+      fa02FilteredAnnAdaptive, tm01TripletMining)
 }

@@ -230,6 +230,61 @@ class IvfSpec extends AnyFunSuite {
     assert(trained > 0.0 && residual > 0.0, "PQ serving found none of the true top-5")
   }
 
+  test("fa02: filtered ANN never under-returns and dominates post-filtering an unfiltered shortlist") {
+    VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // filtered ground truth: exact top-5 over the label=7 candidate set
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = e.filter(col("label") === 7)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val gt: Map[Long, Set[Long]] = broadcast(q)
+      .join(c, col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        VectorExpressions.cosine_similarity(col("qe"), col("ce")).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recOn(byQ: Map[Long, Set[Long]]): Double =
+      gt.map { case (qid, t) =>
+        byQ.getOrElse(qid, Set.empty).count(t.contains).toDouble / t.size
+      }.sum / gt.size
+    val fa = SparkEntry.queries("fa02_filtered_ann_adaptive")(spark, sf)
+      .collect()
+    val faByQ = fa.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // the under-return guarantee: every query returns min(5, available)
+    val filteredIds = e.filter(col("label") === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    (0L until 5L).foreach { qid =>
+      val available = (filteredIds - qid).size
+      assert(faByQ.getOrElse(qid, Set.empty).size == math.min(5, available),
+        s"query $qid returned ${faByQ.getOrElse(qid, Set.empty).size} " +
+          s"of min(5, $available) filtered candidates — the adaptive " +
+          "prefix under-returned")
+    }
+    // the baseline fa02 exists to beat: post-filter the UNFILTERED
+    // probe-1 top-5 (a fixed shortlist starves under a selective
+    // filter — most of its 5 slots go to non-matching labels)
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val postFiltered = resultPairs("ivf02_probe_search")
+      .filter { case (_, cand) => labels(cand) == 7 }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val faRec = recOn(faByQ)
+    val pfRec = recOn(postFiltered)
+    assert(faRec >= pfRec,
+      s"filtered search must dominate post-filtering: fa02=$faRec post=$pfRec")
+    assert(faRec > 0.0, "filtered search found none of the filtered top-5")
+    // the adaptive path actually engaged on this corpus: at least one
+    // query needed more than its rank-1 cell to cover k survivors
+    assert(fa.map(_.getLong(1)).max > 1L,
+      "no query probed past its first cell — the starving regime is untested")
+  }
+
   test("ladder edge store: delete ∘ insert ≡ identity on the per-layer edge checksum") {
     val (dir, lmax) = IvfQueries.h5IndexDir(spark, sf)
     def chks(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] =

@@ -219,6 +219,26 @@ class PlanSpec extends AnyFunSuite {
       "exactly one shuffle keys events by user\n" + p.take(3000))
   }
 
+  test("fa01/fa02: filtered ANN probes on an equi-join with the label filter pushed to the scan") {
+    // the assignedDf build inside the cached relation carries the
+    // intentional 1-row broadcast-centroid cross (BNLJ with a bounded
+    // build side — the registry-wide rule tolerates it); what must
+    // hold is that the CANDIDATE probe is a hash equi-join on cid and
+    // nothing plans a CartesianProduct
+    for (name <- Seq("fa01_filtered_ann", "fa02_filtered_ann_adaptive")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name: no shuffle-replicating join\n" + p.take(3000))
+      assert(p.contains("BroadcastHashJoin [cid"),
+        s"$name: the probe must stay a hash equi-join on cid\n" + p.take(3000))
+      // the label predicate reaches the parquet scan: pre-filtering the
+      // inverted list is the point of IDSelector semantics
+      assert("(LessThan\\(label|EqualTo\\(label)".r.findFirstIn(p).isDefined,
+        s"$name: label predicate must be pushed to the embeddings scan\n" +
+          p.take(3000))
+    }
+  }
+
   test("no registry query plans a CartesianProduct") {
     // crossJoin against a broadcast 1-row aggregate plans as
     // BroadcastNestedLoopJoin (fine — the big side streams once); a
