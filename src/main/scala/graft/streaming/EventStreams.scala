@@ -701,4 +701,99 @@ object EventStreams {
       } finally { members.unpersist(); () }
     } finally { delta.unpersist(); () }
   }
+
+  /** Streaming CDC index maintenance — [[ladderUpsert]] completed with
+    * the delete half: each micro-batch carries op-typed rows
+    * (vec_id, embedding, op ∈ {insert, delete}), deletes flow through
+    * hn06's affected-bucket discipline, inserts through the existing
+    * path, and both land via [[graft.operators.IvfQueries
+    * .ladderEdgeUpsert]]'s partition overwrite — guard-before-write
+    * preserved. An id must carry ONE op per micro-batch (CDC upstream
+    * sequencing); a delete of an unindexed id is a harmless no-op
+    * (its buckets recompute to what they already hold).
+    *
+    * Replay purity is why deletes RE-ASSIGN from the frozen quantizer
+    * instead of looking up their stored rows: bucket membership and
+    * level are pure per-node functions of (codebook, hash), identical
+    * to what the store holds — and a store lookup would break the
+    * crash window (a replayed batch whose first attempt already
+    * removed the rows could no longer name the affected buckets).
+    * Every write below is a pure function of the PRE-mutation store
+    * and the batch, so a replay at any crash point rewrites identical
+    * bytes: edges first (the carry anti-joins recomputed rows back
+    * out), then the node store — the batch=<id> partition gets the
+    * inserts, and exactly the old partitions holding a touched id are
+    * rewritten with their survivors (O(touched partitions), never the
+    * node table; partitions emptied by the deletion are removed the
+    * way [[graft.operators.IvfQueries.ladderEdgeUpsert]] removes
+    * emptied edge groups). StreamingSpec pins stream ≡ batch over
+    * (base ∪ inserts) ∖ deletes on the per-layer edge checksum,
+    * through a checkpointed restart AND a replayed mixed batch. */
+  def ladderCdc(deltaOps: DataFrame, indexRoot: String, lmax: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deltaOps.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      ladderCdcBatch(batch, id, indexRoot, lmax)
+    }
+
+  private[graft] def ladderCdcBatch(batch: DataFrame, id: Long,
+      indexRoot: String, lmax: Int): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$indexRoot/cents")
+    def assign(op: String) = graft.operators.IvfQueries.ladderAssignDelta(
+      batch.filter(col("op") === op).select(col("vec_id"), col("embedding")),
+      cents, lmax).persist()
+    val ins = assign("insert")
+    val del = assign("delete")
+    try {
+      val storedAll = spark.read.parquet(s"$indexRoot/nodes")
+        .withColumn("batch", col("batch").cast("long"))
+      val stored = storedAll
+        .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"))
+      val touchedIds = ins.select(col("vec_id"))
+        .unionByName(del.select(col("vec_id")))
+      // surviving membership: stored ∖ touched ∪ inserts (the anti-join
+      // also makes a replayed batch count each vector once)
+      val nodes = stored
+        .join(broadcast(touchedIds), Seq("vec_id"), "left_anti")
+        .unionByName(ins)
+      val (members, affected, rec) = graft.operators.IvfQueries
+        .ladderRecompute(nodes, ins.unionByName(del))
+      try {
+        graft.operators.LadderGuard.check(spark, "ladderCdc",
+          members.count(),
+          stored.agg(coalesce(sum(col("lvl").cast("long") + 1L),
+            lit(0L))).head().getLong(0))
+        // edges BEFORE nodes — the ladderUpsertBatch replay ordering
+        graft.operators.IvfQueries.ladderEdgeUpsert(spark,
+          s"$indexRoot/edges", affected, rec)
+        // node-store delta: the new batch partition + exactly the old
+        // partitions holding a touched id, rewritten with survivors
+        val touchedParts = storedAll
+          .join(broadcast(touchedIds), Seq("vec_id"), "left_semi")
+          .select(col("batch")).distinct().collect().map(_.getLong(0))
+        val survivors = storedAll
+          .filter(col("batch").isInCollection(touchedParts.toSeq :+ Long.MinValue))
+          .join(broadcast(touchedIds), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"),
+            col("batch"))
+        val out = ins.withColumn("batch", lit(id))
+          .unionByName(survivors)
+          // one writing task per target dir, then materialize out of
+          // the plan so the overwrite doesn't read its own input
+          .repartition(col("batch"))
+          .localCheckpoint(true)
+        val written = out.select(col("batch")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$indexRoot/nodes")
+        val fs = new org.apache.hadoop.fs.Path(s"$indexRoot/nodes")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touchedParts.filterNot(written).foreach { p =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$indexRoot/nodes/batch=$p"), true); ()
+        }
+      } finally { members.unpersist(); () }
+    } finally { ins.unpersist(); del.unpersist(); () }
+  }
 }

@@ -742,6 +742,96 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed ladder diverged from the batch twin: ${second._3} vs $want")
   }
 
+  test("streaming CDC ladder: inserts+deletes ≡ batch ladder over (base ∪ ins) ∖ del; restart-safe; mixed-batch replay idempotent") {
+    graft.plans.VectorExpressions.register(spark)
+    val root = Files.createTempDirectory("graft-ladder-cdc").toString
+    val (idxDir, lmax) = graft.operators.IvfQueries.h5IndexDir(spark, sf)
+    spark.read.parquet(s"$idxDir/nodes").withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").parquet(s"$root/idx/nodes")
+    spark.read.parquet(s"$idxDir/edges")
+      .write.partitionBy("layer", "egrp").parquet(s"$root/idx/edges")
+    spark.read.parquet(s"$idxDir/cents").write.parquet(s"$root/idx/cents")
+    // inserts: the staged %211 ingest batch; deletes: hn06's base
+    // slice (%211 == 105) — ids disjoint by construction
+    val ins = spark.read.parquet(s"$idxDir/delta_src")
+      .withColumn("op", lit("insert")).cache()
+    val del = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 211 === 105)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("op", lit("delete")).cache()
+    val insIds = ins.select("vec_id").collect().map(_.getLong(0)).sorted
+    val delIds = del.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(insIds.length >= 2 && delIds.length >= 2,
+      "need ≥2 inserts and ≥2 deletes to stage a mixed batch")
+    // three staged files: pure inserts, MIXED (inserts + deletes),
+    // pure deletes — the mixed one is the replay target
+    def stage(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.coalesce(1).write.mode("append").parquet(s"$root/in")
+      Thread.sleep(5)
+    }
+    val insHead = insIds.take(insIds.length / 2).toSet
+    val delHead = delIds.take(delIds.length / 2).toSet
+    stage(ins.filter(col("vec_id").isInCollection(insHead)))
+    stage(ins.filter(!col("vec_id").isInCollection(insHead))
+      .unionByName(del.filter(col("vec_id").isInCollection(delHead))))
+    def run(): Unit = {
+      val src = spark.readStream.schema(ins.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = EventStreams.ladderCdc(src, s"$root/idx", lmax)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // batches 0 (inserts), 1 (mixed)
+    stage(del.filter(!col("vec_id").isInCollection(delHead)))
+    run() // RESTART: only the new pure-delete file admits as batch 2
+    def snapshot(): (Set[Long], Map[Int, (Long, Long)]) = {
+      val n = spark.read.parquet(s"$root/idx/nodes")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val e = spark.read.parquet(s"$root/idx/edges")
+        .groupBy(col("layer").cast("int").as("layer"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
+            .cast("long").as("chk"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      (n, e)
+    }
+    val (gotIds, gotEdges) = snapshot()
+    // node membership: (base ∪ inserts) ∖ deletes, each exactly once
+    val base = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 211 =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val wantIds = base ++ insIds -- delIds
+    assert(gotIds == wantIds,
+      s"CDC membership diverged: ${gotIds.size} vs ${wantIds.size} ids")
+    // edge store ≡ the from-scratch rebuild over the surviving
+    // membership: ladderRecompute with touched = every node recomputes
+    // every bucket — the full per-layer rebuild by construction
+    val nodesF = spark.read.parquet(s"$root/idx/nodes")
+      .select(col("vec_id"), col("embedding"), col("cid"), col("lvl"))
+    val (m, _, recAll) =
+      graft.operators.IvfQueries.ladderRecompute(nodesF, nodesF)
+    val want = recAll
+      .groupBy(col("layer").cast("int").as("layer"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("src") * lit(1000003L) + col("dst")) % lit(1000000007L))
+          .cast("long").as("chk"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    m.unpersist()
+    assert(gotEdges == want,
+      s"CDC edge store diverged from the full rebuild: $gotEdges vs $want")
+    // REPLAY the committed MIXED batch (id 1) directly — the crash
+    // window between sink write and offset commit: the store must be
+    // byte-stable (same membership, same checksums)
+    val mixed = ins.filter(!col("vec_id").isInCollection(insHead))
+      .unionByName(del.filter(col("vec_id").isInCollection(delHead)))
+    EventStreams.ladderCdcBatch(mixed, 1L, s"$root/idx", lmax)
+    val (replayIds, replayEdges) = snapshot()
+    assert(replayIds == gotIds && replayEdges == gotEdges,
+      "replaying the committed mixed batch mutated the store")
+    ins.unpersist(); del.unpersist()
+  }
+
   test("streaming MV refresh: foreachBatch γ-merges ≡ batch γ of all ingested rows; restart-safe") {
     val root = Files.createTempDirectory("graft-mvstream").toString
     val li = Tables.lineitem(spark, sf).cache()
