@@ -2280,18 +2280,31 @@ object IvfQueries {
           // (its sampling pass re-executed the live assignment plan,
           // +420 s at 2M vectors — the r14 negative result) and no
           // change to the primary store any other path reads.
-          val cw = math.max(1L, (ncells + H5NodeGroups - 1) / H5NodeGroups)
-          s.read.parquet(s"$dir/nodes")
-            .withColumn("cgrp", expr(s"cid div $cw"))
-            .repartition(col("cgrp"))
-            .write.mode("overwrite").partitionBy("cgrp")
-            .parquet(s"$dir/nodes_grp")
-          val gfs = new org.apache.hadoop.fs.Path(s"$dir/nodes_grp")
-            .getFileSystem(s.sparkContext.hadoopConfiguration)
-          val ndirs = gfs.listStatus(
-            new org.apache.hadoop.fs.Path(s"$dir/nodes_grp"))
-            .count(_.getPath.getName.startsWith("cgrp=")).toLong
-          h5Grp.put((s, d, mod), (cw, ndirs))
+          // built only when pruning can ever engage (small corpora —
+          // the three harness SFs at ncells = 16 — cover every group
+          // with any delta and always take the full fallback; skipping
+          // the build keeps default sweeps free of the extra corpus
+          // read+shuffle+write and the ~2× node-store disk).
+          // Partitioned by (LEVEL, cid-group): the node mass is
+          // hash-geometric in level, so levels 0–2 (~98% of rows) get
+          // narrow cid-range dirs a sparse delta can skip, and each
+          // deep level (≤ n/64 rows total) lands in one dir read
+          // whole. `plvl` duplicates lvl as the partition key so the
+          // data files keep the lvl column the recompute needs.
+          if (ncells >= 256) {
+            val cw = math.max(1L, (ncells + H5NodeGroups - 1) / H5NodeGroups)
+            s.read.parquet(s"$dir/nodes")
+              .withColumn("plvl", col("lvl"))
+              .withColumn("cgrp",
+                when(col("lvl") <= 2, expr(s"cid div $cw"))
+                  .otherwise(lit(-1L)))
+              .repartition(col("plvl"), col("cgrp"))
+              .write.mode("overwrite").partitionBy("plvl", "cgrp")
+              .parquet(s"$dir/nodes_grp")
+            val ndirs = s.read.parquet(s"$dir/nodes_grp")
+              .select(col("plvl"), col("cgrp")).distinct().count()
+            h5Grp.put((s, d, mod), (cw, ndirs))
+          }
           // the staged ingest batch the timed path admits
           Tables.embeddings(s, d).filter(col("vec_id") % mod === 0)
             .select(col("vec_id"), col("embedding"))
@@ -2379,32 +2392,39 @@ object IvfQueries {
         val nodes = s.read.parquet(s"$dir/nodes")
         val nsum = s.read.parquet(s"$dir/nsum")
         // Member-fetch FILE PRUNING (mf01's explicit-list idiom over
-        // the secondary bucket-range-grouped store): the fetch reads
-        // only the group dirs the delta's top-layer bucket intervals
-        // intersect. Correct by interval nesting: a node matching an
-        // affected bucket at ANY layer l ≤ lmax agrees with some delta
-        // cid at layer lmax ((a div m) div n = a div m·n), so the
-        // top-interval dirs cover every affected member and the
-        // semi-join inside ladderRecompute still filters exactly.
-        // Falls back to the full scan when the delta's intervals cover
-        // most groups — the uniform/dense regime, where pruning would
-        // read the same bytes through more file opens (the harness's
-        // %211 split lands here, so oracle runs take the full path);
-        // spark.graft.hn05.prune=false forces the fallback for A/B
-        // probes.
+        // the (level, cid-group) secondary store): a level-lv node can
+        // match an affected bucket at any layer l ≤ min(lv, lmax), and
+        // bucket agreement at layer l means cid agreement within a
+        // width-4^l interval ((a div m) div n = a div m·n) — so for
+        // levels 0–2 the fetch reads only the group dirs covering the
+        // delta cids' width-4^min(lv,2) intervals, and deep levels
+        // (≥ 3, hash-geometric ≤ n/64 of the mass) read whole. The
+        // semi-join inside ladderRecompute still filters exactly over
+        // this superset. Falls back to the full scan when the cover
+        // spans most dirs — the uniform/dense regime, where pruning
+        // would read the same bytes through more file opens (the
+        // harness's %211 split lands here, so oracle runs take the
+        // full path); spark.graft.hn05.prune=false forces the
+        // fallback for A/B probes.
         val fetch = h5Grp.get((s, d, h5Mod(s))) match {
           case Some((cw, ndirs))
               if s.conf.get("spark.graft.hn05.prune", "true").toBoolean =>
-            val iw = math.pow(4, lmax).toLong
-            val tops = delta.select(expr(s"cid div $iw").as("tb"))
-              .distinct().collect().map(_.getLong(0))
-            val grps = tops.flatMap(tb =>
-              (tb * iw) / cw to (tb * iw + iw - 1) / cw).distinct
-            if (grps.length * 2L >= ndirs) nodes
+            val cids = delta.select(col("cid")).distinct()
+              .collect().map(_.getLong(0))
+            val shallow = (0 to math.min(2, lmax)).flatMap { lv =>
+              val w = math.pow(4, lv).toLong
+              cids.flatMap { c =>
+                val lo = (c / w) * w
+                (lo / cw to (lo + w - 1) / cw).map(g => (lv, g))
+              }.distinct
+            }
+            val deep = (3 to lmax).map(lv => (lv, -1L))
+            if ((shallow.length + deep.length) * 2L >= ndirs) nodes
             else {
               val gfs = new org.apache.hadoop.fs.Path(s"$dir/nodes_grp")
                 .getFileSystem(s.sparkContext.hadoopConfiguration)
-              val dirs = grps.map(g => s"$dir/nodes_grp/cgrp=$g")
+              val dirs = (shallow ++ deep)
+                .map { case (lv, g) => s"$dir/nodes_grp/plvl=$lv/cgrp=$g" }
                 .filter(p => gfs.exists(new org.apache.hadoop.fs.Path(p)))
               if (dirs.isEmpty) nodes.limit(0)
               else s.read.schema(nodes.schema).parquet(dirs.toSeq: _*)
@@ -2535,9 +2555,14 @@ object IvfQueries {
       val nsum = s.read.parquet(s"$dir/nsum")
       val (members, affected, rec) = ladderRecompute(remaining, del)
       try {
+        // post-operation mass on BOTH guard sides (survivor members ÷
+        // surviving total) — the population convention every caller
+        // shares; summaries make it O(buckets): stored mass − deleted
+        // exploded mass
         LadderGuard.check(s, "hn06_ladder_delete",
           members.count(),
-          nsum.agg(sum(col("n"))).head().getLong(0))
+          nsum.agg(sum(col("n"))).head().getLong(0)
+            - ladderByLayer(del).count())
         // a bucket whose members ALL died: affected but absent from the
         // surviving member set — it leaves the bucket census
         val emptied = affected.join(
@@ -2682,13 +2707,19 @@ object IvfQueries {
         (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Coarse probe-1 assignment in the quantized space: ONE broadcast
-    * row of seed (cid, cq, cn2) structs, per-row argmax — assignedDf's
-    * idiom (zero corpus shuffle; ties to the smallest cid). */
-  private def pqCoarseAsg(qv: DataFrame): DataFrame = {
-    val centArr = qv.filter(col("vec_id") < CELLS)
+  /** ONE broadcast row of seed (cid, cq, cn2) structs — the quantized
+    * centroid array [[pqCoarseAsg]] argmaxes over and pq05's
+    * multi-probe ranks over. */
+  private def pqCentArr(qv: DataFrame): DataFrame =
+    qv.filter(col("vec_id") < CELLS)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
         col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
+
+  /** Coarse probe-1 assignment in the quantized space: per-row argmax
+    * over [[pqCentArr]] — assignedDf's idiom (zero corpus shuffle;
+    * ties to the smallest cid). */
+  private def pqCoarseAsg(qv: DataFrame): DataFrame = {
+    val centArr = pqCentArr(qv)
     qv.crossJoin(broadcast(centArr))
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(
@@ -3224,9 +3255,7 @@ object IvfQueries {
       // top-P cells per query — ivf04's probedDf idiom in the
       // quantized space: desc-sort the per-centroid struct array,
       // slice P, explode (NQ·P rows, zero corpus shuffle)
-      val centArr = qv.filter(col("vec_id") < CELLS)
-        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-          col("q").as("cq"), col("n2").as("cn2")))).as("cents"))
+      val centArr = pqCentArr(qv)
       val probes = qv.filter(col("vec_id") < NQ)
         .crossJoin(broadcast(centArr))
         .withColumn("probe", explode(slice(reverse(array_sort(

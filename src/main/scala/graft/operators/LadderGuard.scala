@@ -25,19 +25,22 @@ import org.apache.spark.sql.SparkSession
   * batches set ~0.25–0.5; both sides of the mass ratio are lazy
   * by-name arguments, so a disabled guard costs zero actions.
   *
-  * Ratio semantics (threshold guidance): the NUMERATOR is the
-  * affected buckets' post-operation member mass — for an admit it
-  * INCLUDES the incoming delta's exploded rows, for a delete it
-  * counts survivors — while the DENOMINATOR is the PRE-operation
-  * stored mass. The two populations differ by the delta itself, so
-  * for a delta that is large relative to the store the measured
-  * fraction skews HIGH on admits (a conservative bias: the guard
-  * refuses slightly early, never late) and can exceed 1.0 outright
-  * when the delta outweighs the base. Thresholds calibrated from the
-  * 1000× receipts (where |delta| ≪ |store|, skew ≈ 0) transfer
-  * directly to the sparse-ingest regime they describe; for
-  * bulk-load-sized deltas the rebuild path is the right tool anyway,
-  * and the early refusal says so.
+  * Ratio semantics: BOTH sides measure the POST-operation ladder —
+  * the numerator is the affected buckets' post-operation member mass
+  * (admits include the delta's exploded rows, deletes count
+  * survivors), the denominator the post-operation TOTAL mass (every
+  * caller: hn05 nsum+delta, hn06 nsum−deleted, the streaming faces
+  * Σ lvl+1 over the computed membership). One population on both
+  * sides keeps the ratio ≤ 1 and — because the post-operation
+  * membership is a pure function of (pre-mutation store, batch) —
+  * REPLAY-STABLE: a streaming micro-batch admitted once measures the
+  * identical ratio when replayed after a crash at any point of the
+  * two-store commit, so the guard can never crash-loop a committed
+  * batch (a pre-operation denominator breaks exactly there for
+  * delete-heavy batches: the replay would re-measure against the
+  * already-shrunk store and refuse). Thresholds calibrated from the
+  * 1000× receipts (|delta| ≪ |store|) transfer directly to the
+  * sparse-ingest regime they describe.
   */
 object LadderGuard {
   val ConfKey = "spark.graft.ladder.maxAffectedFrac"

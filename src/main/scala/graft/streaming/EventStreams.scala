@@ -673,12 +673,15 @@ object EventStreams {
         // (node write included), or the admitted-nodes/stale-edges
         // half-state would silently break stream ≡ batch. The
         // total-mass denominator is one column-pruned aggregate over
-        // the UNEXPLODED store (Σ lvl+1 ≡ the exploded count), never
-        // a 3× explode — and it only evaluates when the guard conf
-        // is set below 1.0.
+        // the UNEXPLODED post-operation membership (Σ lvl+1 ≡ the
+        // exploded count), never a 3× explode — and it only evaluates
+        // when the guard conf is set below 1.0. POST-operation on both
+        // sides: the ratio is then a pure function of (pre-mutation
+        // store, batch), so a replayed batch measures the identical
+        // value at any crash point.
         graft.operators.LadderGuard.check(spark, "ladderUpsert",
           members.count(),
-          stored.agg(coalesce(sum(col("lvl").cast("long") + 1L),
+          nodes.agg(coalesce(sum(col("lvl").cast("long") + 1L),
             lit(0L))).head().getLong(0))
         // EDGES BEFORE NODES. The edge upsert is what materializes the
         // recompute, and the recompute's member fetch reads the node
@@ -739,12 +742,24 @@ object EventStreams {
       indexRoot: String, lmax: Int): Unit = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$indexRoot/cents")
-    def assign(op: String) = graft.operators.IvfQueries.ladderAssignDelta(
-      batch.filter(col("op") === op).select(col("vec_id"), col("embedding")),
-      cents, lmax).persist()
-    val ins = assign("insert")
-    val del = assign("delete")
+    // ONE hierarchical assignment over the whole micro-batch, the op
+    // carried back in by a batch-sized self-join — not one assignment
+    // pass per op on the hot streaming path
+    val assigned = graft.operators.IvfQueries.ladderAssignDelta(
+        batch.select(col("vec_id"), col("embedding")), cents, lmax)
+      .join(batch.select(col("vec_id"), col("op")), Seq("vec_id"))
+      .persist()
     try {
+      // fail fast on vocabulary drift: a row whose op is neither
+      // insert nor delete would otherwise fall out of BOTH filters and
+      // silently diverge the index from the stream
+      val bad = assigned.filter(!col("op").isin("insert", "delete"))
+        .select(col("op")).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"ladderCdc: unknown op '${bad.head.getString(0)}' in batch $id " +
+          "(want insert | delete) — refusing to silently drop CDC rows")
+      val ins = assigned.filter(col("op") === "insert").drop("op")
+      val del = assigned.filter(col("op") === "delete").drop("op")
       val storedAll = spark.read.parquet(s"$indexRoot/nodes")
         .withColumn("batch", col("batch").cast("long"))
       val stored = storedAll
@@ -759,9 +774,16 @@ object EventStreams {
       val (members, affected, rec) = graft.operators.IvfQueries
         .ladderRecompute(nodes, ins.unionByName(del))
       try {
+        // the denominator is the POST-operation membership mass — a
+        // pure function of (pre-mutation store, batch), so a REPLAYED
+        // batch measures the identical ratio at any crash point. A
+        // pre-op denominator breaks exactly there: a delete-heavy
+        // batch admitted once would re-measure against the already-
+        // shrunk store on replay and could refuse — a permanent
+        // crash-loop on a committed batch.
         graft.operators.LadderGuard.check(spark, "ladderCdc",
           members.count(),
-          stored.agg(coalesce(sum(col("lvl").cast("long") + 1L),
+          nodes.agg(coalesce(sum(col("lvl").cast("long") + 1L),
             lit(0L))).head().getLong(0))
         // edges BEFORE nodes — the ladderUpsertBatch replay ordering
         graft.operators.IvfQueries.ladderEdgeUpsert(spark,
@@ -794,6 +816,6 @@ object EventStreams {
             s"$indexRoot/nodes/batch=$p"), true); ()
         }
       } finally { members.unpersist(); () }
-    } finally { ins.unpersist(); del.unpersist(); () }
+    } finally { assigned.unpersist(); () }
   }
 }
