@@ -2291,7 +2291,8 @@ object IvfQueries {
           // deep level (≤ n/64 rows total) lands in one dir read
           // whole. `plvl` duplicates lvl as the partition key so the
           // data files keep the lvl column the recompute needs.
-          if (ncells >= 256) {
+          if (ncells >= 256 &&
+              s.conf.get("spark.graft.hn05.prune", "false").toBoolean) {
             val cw = math.max(1L, (ncells + H5NodeGroups - 1) / H5NodeGroups)
             s.read.parquet(s"$dir/nodes")
               .withColumn("plvl", col("lvl"))
@@ -2400,15 +2401,20 @@ object IvfQueries {
         // delta cids' width-4^min(lv,2) intervals, and deep levels
         // (≥ 3, hash-geometric ≤ n/64 of the mass) read whole. The
         // semi-join inside ladderRecompute still filters exactly over
-        // this superset. Falls back to the full scan when the cover
-        // spans most dirs — the uniform/dense regime, where pruning
-        // would read the same bytes through more file opens (the
-        // harness's %211 split lands here, so oracle runs take the
-        // full path); spark.graft.hn05.prune=false forces the
-        // fallback for A/B probes.
+        // this superset (byte-identical census proven at the 100×
+        // sparse probe). OFF BY DEFAULT — a measured NEGATIVE result
+        // on this box (SCALING.md r15): the many-small-dir read cost
+        // more than the scan bytes it saved at both 100× (16.2 s vs
+        // 7.5 s full) and 1000× sparse (96.8 s vs 87.9 s same-day
+        // full), because the member fetch is a minor term of the
+        // upsert and leaf-dir fan-out dominates the savings. Kept
+        // behind spark.graft.hn05.prune=true for layouts where the
+        // node store is remote/columnar-cold and bytes dominate
+        // opens; also falls back when the cover spans most dirs (the
+        // uniform/dense %211 regime).
         val fetch = h5Grp.get((s, d, h5Mod(s))) match {
           case Some((cw, ndirs))
-              if s.conf.get("spark.graft.hn05.prune", "true").toBoolean =>
+              if s.conf.get("spark.graft.hn05.prune", "false").toBoolean =>
             val cids = delta.select(col("cid")).distinct()
               .collect().map(_.getLong(0))
             val shallow = (0 to math.min(2, lmax)).flatMap { lv =>
