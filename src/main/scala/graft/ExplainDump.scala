@@ -36,6 +36,12 @@ object ExplainDump {
       "Trained product quantization: M=4 independent per-subspace Lloyd loops — each round is ONE map-side assignment pass against a broadcast 8-row codebook plus a K-row aggregation (rounded-mean recompute) — then pq02's serving pipeline under the trained books with a sparse-id-safe per-(m,k) ADC join; training cost is 2M corpus passes with zero corpus shuffle.",
     "pq04_residual_pq" ->
       "Residual IVF-PQ: one extra 16-row broadcast equi-join fetches each vector's cell centroid, residuals are a zip_with in the same map pass, and everything downstream is pq02's shape — codes bound WHAT is read per candidate, the probed cell bounds WHICH candidates are read, and both ADC sides are offsets from the SAME centroid.",
+    "pq05_multiprobe_residual" ->
+      "Multi-probe residual IVF-PQ (nprobe=2): the query side fans to NQ·P broadcast rows — a SEPARATE residual and ADC table per probed cell, built from the same one-row centroid broadcast — while the corpus side is pq04's serving state untouched; candidates meet queries only via the probed-cell hash equi-join, the shortlist is cut per (query, cell) through the k-bounded heap (cell 1's cut is exactly pq04's, which is what makes the recall law provable), and the merged ≤ P·C rows exact-rerank to top-5.",
+    "fa01_filtered_ann" ->
+      "Filtered ANN, pre-filter plan (IDSelector semantics): the label predicate is PUSHED to the embeddings parquet scan (PushedFilters) and joins the candidate side BEFORE any distance is computed, so the scored pair set is |cell ∩ filter| — selectivity multiplies the scanned list DOWN; the probe itself stays the ivf02 broadcast hash equi-join on cid.",
+    "fa02_filtered_ann_adaptive" ->
+      "Filtered ANN, adaptive probe: every query-side frame is NQ·cells rows — the full per-query cell ranking (one broadcast-centroid map pass, posexploded), a per-cell filtered-survivor census (O(cells) broadcast index metadata), a cumulative window over cell rank, and the minimal-prefix pick — so the under-return-proof prefix costs nothing corpus-sized; the candidate fetch is the same broadcast cid equi-join with the label filter fused pre-distance, and the worst case (ultra-selective filter) degrades structurally to exact brute force over the filtered set.",
     "q33_topk_operator" ->
       "The custom k-bounded TopKPerGroup physical operator replaces window-rank-filter: per-partition k-heaps, no full-group sort, k rows per group cross the exchange.",
     "dd10_production_lsh" ->
