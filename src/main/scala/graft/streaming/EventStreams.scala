@@ -752,8 +752,10 @@ object EventStreams {
     try {
       // fail fast on vocabulary drift: a row whose op is neither
       // insert nor delete would otherwise fall out of BOTH filters and
-      // silently diverge the index from the stream
-      val bad = assigned.filter(!col("op").isin("insert", "delete"))
+      // silently diverge the index from the stream. Checked on the RAW
+      // batch (one subtree, no join) so the check cannot itself be
+      // blinded by a source whose evaluation order varies.
+      val bad = batch.filter(!col("op").isin("insert", "delete"))
         .select(col("op")).limit(1).collect()
       if (bad.nonEmpty) throw new IllegalArgumentException(
         s"ladderCdc: unknown op '${bad.head.getString(0)}' in batch $id " +

@@ -832,6 +832,54 @@ class StreamingSpec extends AnyFunSuite {
     ins.unpersist(); del.unpersist()
   }
 
+  test("CDC guard + op validation: enabled guard is replay-stable on a delete-heavy batch; unknown ops fail fast") {
+    graft.plans.VectorExpressions.register(spark)
+    val root = Files.createTempDirectory("graft-cdc-guard").toString
+    val (idxDir, lmax) = graft.operators.IvfQueries.h5IndexDir(spark, sf)
+    spark.read.parquet(s"$idxDir/nodes").withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").parquet(s"$root/idx/nodes")
+    spark.read.parquet(s"$idxDir/edges")
+      .write.partitionBy("layer", "egrp").parquet(s"$root/idx/edges")
+    spark.read.parquet(s"$idxDir/cents").write.parquet(s"$root/idx/cents")
+    // an op outside {insert, delete} must fail the batch loudly, not
+    // silently fall out of both filters and diverge the index
+    val badBatch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("op", lit("Upsert"))
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.ladderCdcBatch(badBatch, 0L, s"$root/idx", lmax)
+    }
+    assert(ex.getMessage.contains("Upsert") &&
+      ex.getMessage.contains("insert | delete"),
+      s"diagnostic must name the bad op and the vocabulary: ${ex.getMessage}")
+    // a DELETE-HEAVY batch under an ENABLED guard: the ratio must
+    // measure identically on the replay (post-operation denominator) —
+    // a pre-op denominator re-measured against the already-shrunk
+    // store and crash-looped exactly here
+    val mixed = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 211 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("op", lit("insert"))
+      .unionByName(Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 211 === 105)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("op", lit("delete")))
+    val key = graft.operators.LadderGuard.ConfKey
+    try {
+      // measure the batch's true post-op ratio first (guard off), then
+      // enable the guard just above it so the first attempt ADMITS
+      EventStreams.ladderCdcBatch(mixed, 1L, s"$root/idx", lmax)
+      val edges1 = spark.read.parquet(s"$root/idx/edges").count()
+      spark.conf.set(key, "0.9999")
+      // REPLAY with the guard enabled: must admit again (identical
+      // ratio), not refuse the committed batch
+      EventStreams.ladderCdcBatch(mixed, 1L, s"$root/idx", lmax)
+      assert(spark.read.parquet(s"$root/idx/edges").count() == edges1,
+        "guarded replay mutated the edge store")
+    } finally spark.conf.unset(key)
+  }
+
   test("streaming MV refresh: foreachBatch γ-merges ≡ batch γ of all ingested rows; restart-safe") {
     val root = Files.createTempDirectory("graft-mvstream").toString
     val li = Tables.lineitem(spark, sf).cache()
