@@ -2723,9 +2723,13 @@ object IvfQueries {
 
   /** Coarse probe-1 assignment in the quantized space: per-row argmax
     * over [[pqCentArr]] — assignedDf's idiom (zero corpus shuffle;
-    * ties to the smallest cid). */
-  private def pqCoarseAsg(qv: DataFrame): DataFrame = {
-    val centArr = pqCentArr(qv)
+    * ties to the smallest cid). Callers that also rank cells (pq05's
+    * multi-probe) pass the centArr they already built so the 1-row
+    * aggregate runs once. */
+  private def pqCoarseAsg(qv: DataFrame): DataFrame =
+    pqCoarseAsgOver(qv, pqCentArr(qv))
+
+  private def pqCoarseAsgOver(qv: DataFrame, centArr: DataFrame): DataFrame = {
     qv.crossJoin(broadcast(centArr))
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(
@@ -3253,7 +3257,8 @@ object IvfQueries {
          |    FROM cand0) WHERE rc <= ${PqSql.C}),
          |${PqSql.sqlRerank}""".stripMargin) { (s, d) =>
       val qv = quantizedDf(s, d) // (vec_id, q, n2)
-      val asg = pqCoarseAsg(qv)
+      val centArr = pqCentArr(qv)
+      val asg = pqCoarseAsgOver(qv, centArr)
       val res = pqResiduals(qv, asg)
       val cbArr = pqResidualBooks(res)
       // the serving STATE is pq04's verbatim: (vec_id, cid, code0..3)
@@ -3261,7 +3266,6 @@ object IvfQueries {
       // top-P cells per query — ivf04's probedDf idiom in the
       // quantized space: desc-sort the per-centroid struct array,
       // slice P, explode (NQ·P rows, zero corpus shuffle)
-      val centArr = pqCentArr(qv)
       val probes = qv.filter(col("vec_id") < NQ)
         .crossJoin(broadcast(centArr))
         .withColumn("probe", explode(slice(reverse(array_sort(
