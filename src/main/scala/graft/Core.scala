@@ -210,7 +210,11 @@ object Sessions {
   def child(parent: SparkSession, overrides: (String, String)*): SparkSession = {
     val s = parent.newSession()
     parent.conf.getAll.foreach { case (k, v) =>
-      try s.conf.set(k, v) catch { case _: Exception => () }
+      // static confs refuse a runtime set (AnalysisException — they
+      // cannot differ within one context anyway); anything ELSE that
+      // fails to copy must surface, not silently vanish from the child
+      try s.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     overrides.foreach { case (k, v) => s.conf.set(k, v) }
     s
