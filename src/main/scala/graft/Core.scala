@@ -76,7 +76,18 @@ object Tables {
     * not a job. */
   def fanout(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    if (df.rdd.getNumPartitions < parallelism)
+      // HASH repartition on the leading column (every corpus table
+      // leads with its high-cardinality key), NOT round-robin
+      // repartition(n): a keyless repartition first pays a local sort
+      // of its whole input (sortBeforeRepartition, SPARK-23207 — so
+      // retried tasks reproduce the same row placement), and that sort
+      // runs inside the ONE scan task this helper exists to relieve —
+      // measured 1.7x slower than the hash route on the widest-row
+      // caller (av01). A deterministic key column gives retry-safe
+      // placement with no sort, the optimization guide's own
+      // recommendation (§2.5).
+      df.repartition(parallelism, col(df.columns.head))
     else df
   }
 

@@ -131,7 +131,10 @@ object AnalyticsQueries {
       |FROM sums ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val qty = dec2(col("l_quantity"))
     val price = dec2(col("l_extendedprice"))
-    val sums = Tables.lineitem(s, d)
+    // fanout: five exact-decimal products per row ran serial on the
+    // one-task single-file scan; conditional repartition spreads the
+    // map work, no-op at cluster scale (see Tables.fanout)
+    val sums = Tables.fanout(Tables.lineitem(s, d))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).cast(DoubleType).as("n"),
         sum(qty).cast(DoubleType).as("sx"),
@@ -248,7 +251,10 @@ object AnalyticsQueries {
       |  UNION ALL SELECT 'o_orderstatus', 'count', CAST(COUNT(o_orderstatus) AS DOUBLE) FROM orders
       |  UNION ALL SELECT 'o_orderstatus', 'distinct', CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) FROM orders) t
       |ORDER BY col_name, metric""".stripMargin) { (s, d) =>
-    val wide = Tables.orders(s, d).agg(
+    // fanout: the 4-way multi-distinct plans as a ×4 Expand above the
+    // one-task single-file scan — conditional repartition spreads the
+    // replicated rows; no-op at cluster scale (see Tables.fanout)
+    val wide = Tables.fanout(Tables.orders(s, d)).agg(
       count(col("o_orderkey")).cast(DoubleType).as("ok_count"),
       countDistinct(col("o_orderkey")).cast(DoubleType).as("ok_distinct"),
       min(col("o_orderkey")).cast(DoubleType).as("ok_min"),
@@ -443,6 +449,9 @@ object AnalyticsQueries {
     * over the 3-value flag (that plan sorts the whole table in 3 tasks;
     * flagged as the round-3 scale-killer) — then one broadcast of the
     * 3-row cut-point table and one partial+final agg. */
+  // (fanout below: both lineitem passes — the rank shuffle feed and
+  // the clip+sum join side — were serial at the one-task single-file
+  // scan; conditional repartition is a no-op at cluster scale)
   val ws01Winsorize: GraftQuery = q(
     "ws01_winsorize",
     "winsorized mean via discrete integer-rank percentiles — robust stats, deterministic",
@@ -464,7 +473,7 @@ object AnalyticsQueries {
       |FROM lineitem JOIN k ON l_returnflag = flag
       |GROUP BY flag, p05, p95
       |ORDER BY flag""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
+    val li = Tables.fanout(Tables.lineitem(s, d))
     val k = Rank.discretePercentiles(
       li.select(col("l_returnflag").as("flag"), col("l_extendedprice").as("p")),
       "flag", "p", Seq("p05" -> 5, "p95" -> 95))
@@ -772,7 +781,9 @@ object AnalyticsQueries {
       |JOIN freq fa ON fa.l_partkey = part_a
       |JOIN freq fb ON fb.l_partkey = part_b
       |ORDER BY n_pair DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
-    val items = Tables.lineitem(s, d)
+    // fanout: the one-task single-file scan fed the partial-distinct
+    // serially; conditional repartition spreads it (no-op at scale)
+    val items = Tables.fanout(Tables.lineitem(s, d))
       .select("l_orderkey", "l_partkey").distinct().pinned // 3 consumers
     val nBaskets = items.agg(
       countDistinct(col("l_orderkey")).as("n_baskets"))
@@ -1131,6 +1142,9 @@ object AnalyticsQueries {
       |  CAST(COALESCE(m.n_mismatch, 0) AS BIGINT) AS n_mismatch
       |FROM a_new a LEFT JOIN mism m ON m.pri = a.pri AND m.yr = a.yr
       |ORDER BY a.pri, a.yr""".stripMargin) { (s, d) =>
+    // (no fanout here: the EXCEPT ALL audit shuffles FULL-width order
+    // rows, so an extra spread exchange of the same width measured
+    // net-negative — r16 probe; the γ map sides are cheap sums)
     val orders = Tables.orders(s, d)
     val purged = col("o_orderpriority") === "1-URGENT" &&
       year(col("o_orderdate")) === 1996

@@ -754,6 +754,13 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("psc")).as("psum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("psum div n_bigrams").cast(LongType).as("score"))
+      // pinned: BOTH tails (low and high TakeOrdered) consume ds —
+      // unpinned, each re-derived the vocab joins + the bigram-stream
+      // join + the per-doc aggregate from scratch (bif's cache only
+      // reached the explode; the unigram DOCS RESCAN and both
+      // corpus-stream shuffles ran twice). One doc-count-bounded
+      // cache row set serves both heaps.
+      .pinned
     val low = ds.orderBy(col("score"), col("doc_id")).limit(10)
       .select(lit("low").as("tail"), col("doc_id"), col("n_bigrams"), col("score"))
     val high = ds.orderBy(col("score").desc, col("doc_id")).limit(10)

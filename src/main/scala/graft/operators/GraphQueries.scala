@@ -546,6 +546,8 @@ object GraphQueries {
   /** gr04/gr06's top-D-sparsified co-purchase edge list, CANONICAL
     * (child u > parent v), distinct. Shared by the component family. */
   def sparsifiedEdges(s: SparkSession, d: String): DataFrame = {
+    // (no fanout here: the 2-column partial-distinct is cheap map
+    // work and the added exchange measured net-negative — r16 probe)
     val items = Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey").distinct()
     val ia = items.select(col("l_orderkey"), col("l_partkey").as("a"))

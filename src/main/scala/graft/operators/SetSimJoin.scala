@@ -90,6 +90,17 @@ object SetSimJoin {
     // the rank-attach join — pin it or it is recomputed from the scan
     val tok = elements.pinned
     val tf = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+    // Rarity rank over the VOCAB (never the corpus stream). The
+    // no-partition row_number window funnels the vocab through one
+    // task — at true corpus vocab sizes the scale-correct form is
+    // [[Rank.globalRowNumber]] (range partition + zipWithIndex, the
+    // dd15 machinery) — but that form was MEASURED 2.4× slower here
+    // (r16 probe, ss01 1.0→2.4 s even with tf pinned: three extra
+    // vocab-frame evaluations + an RDD Row round-trip vs one in-task
+    // sort), so the window stays for harness scales. A deployment
+    // whose shingle vocab outgrows one task's sort should swap this
+    // line for globalRowNumber(tf, Seq(col("tf"), col("tok"))) —
+    // ranks are identical by construction.
     val ord = tf.withColumn("srank",
       row_number().over(Window.orderBy(col("tf"), col("tok"))).cast(LongType))
       .select("tok", "srank")

@@ -187,13 +187,16 @@ class CurationSpec extends AnyFunSuite {
     // the inference itself must be a pure Project over the scan: the
     // ONLY exchanges allowed are the rangepartitioning of the final
     // deterministic ORDER BY (which a pipeline consumer would drop)
-    // and the conditional ingest fan-out (RoundRobin, fires only when
-    // the scan under-parallelizes — small testdata files). AQE prints
-    // final + initial plans; count the final section only.
+    // and the conditional ingest fan-out (fires only when the scan
+    // under-parallelizes — small testdata files; r16: hash on the
+    // table's leading key doc_id, previously RoundRobin — see
+    // Tables.fanout). AQE prints final + initial plans; count the
+    // final section only.
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val exchanges = plan.linesIterator
-      .filter(l => l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
+      .filter(l => l.contains("Exchange") && !l.contains("RoundRobinPartitioning")
+        && !l.contains("hashpartitioning(doc_id"))
       .size
     assert(exchanges <= 1, s"expected at most the order-by exchange, got:\n$plan")
     assert(!plan.contains("Generate"), "no explode in classifier inference")

@@ -119,9 +119,12 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("rp01_random_projection")
     // the constant sign matrix lives in the plan as literals: the whole
     // projection must pipeline inside the scan stage (the final ORDER BY
-    // on vec_id is the only exchange allowed)
-    assert(!p.contains("hashpartitioning"),
-      "projection must not shuffle\n" + p.take(3000))
+    // on vec_id and the conditional ingest fan-out — r16: hash on the
+    // leading key vec_id, see Tables.fanout — are the only exchanges
+    // allowed)
+    assert(!p.replace("hashpartitioning(vec_id", "FANOUT(vec_id")
+      .contains("hashpartitioning"),
+      "projection must not shuffle beyond the ingest fan-out\n" + p.take(3000))
     assert(!p.contains("Window") && !p.toLowerCase.contains("join"),
       "projection is per-row arithmetic only\n" + p.take(3000))
   }
