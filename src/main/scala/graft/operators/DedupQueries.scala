@@ -21,6 +21,16 @@ import org.apache.spark.sql.types._
   * in the DuckDB oracle.
   */
 object DedupQueries {
+  /** Input-sized shuffle width for incidence-bounded loop spans
+    * ([[graft.Sessions.sized]]; the gr06/gr07 discipline). Document
+    * count memoized per (session, dir) — static-input metadata. */
+  private val docCounts =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
+
+  private def sizedChild(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Sessions.sizedFor(s, s"docs:$d",
+      docCounts.getOrElseUpdate((s, d), Tables.documents(s, d).count()))
+
 
   private def q(name: String, doc: String, sql: String)(
       build: (SparkSession, String) => DataFrame): GraftQuery =
@@ -292,7 +302,8 @@ object DedupQueries {
        |l$k AS MATERIALIZED (SELECT i.doc_id, MIN(b.blbl) AS lbl
        |  FROM inc i JOIN b$k b USING (bucket) GROUP BY i.doc_id)""").mkString
       + s"""
-       |SELECT doc_id, lbl AS cluster_id FROM l30 ORDER BY doc_id""").stripMargin) { (s, d) =>
+       |SELECT doc_id, lbl AS cluster_id FROM l30 ORDER BY doc_id""").stripMargin) { (s0, d) =>
+    val s = sizedChild(s0, d) // incidence-sized width for the label loop
     val inc0 = Tables.documents(s, d)
       .select(col("doc_id"), explode(array(
         concat(lit("1:"), TextFunctions.lshBand(col("text"), 0, 2)),
@@ -1156,7 +1167,13 @@ object DedupQueries {
       // — Rank.globalRowNumber's range-partition + local-sort +
       // zipWithIndex; partition-count-invariant. Pinned: both sides of
       // the self-join read the ranked frame — without the pin the
-      // range-sort + zipWithIndex runs twice.
+      // range-sort + zipWithIndex runs twice. (r16 measured negative:
+      // ranking the narrow (sk, doc_id) frame and re-attaching the
+      // word arrays by equi-join — §2.3's move-payloads-once — was
+      // 1.1–1.2× SLOWER here; the arrays are small enough that the
+      // extra join dominates what the narrower sort saves. At
+      // payload sizes where arrays dominate, that split is the shape
+      // to revisit.)
       val ranked = Rank.globalRowNumber(
         base, Seq(col("sk"), col("doc_id")), "rn").pinned
       val a = ranked
@@ -1406,7 +1423,8 @@ object DedupQueries {
        |l$k AS MATERIALIZED (SELECT i.doc_id, MIN(b.blbl) AS lbl
        |  FROM inc i JOIN b$k b USING (bucket) GROUP BY i.doc_id)""").mkString
       + s"""
-       |SELECT doc_id, lbl AS cluster_id FROM l30 ORDER BY doc_id""").stripMargin) { (s, d) =>
+       |SELECT doc_id, lbl AS cluster_id FROM l30 ORDER BY doc_id""").stripMargin) { (s0, d) =>
+    val s = sizedChild(s0, d) // incidence-sized width for the whole span
     val docs = Tables.documents(s, d)
     val inc0 = docs
       .select(col("doc_id"), explode(array(

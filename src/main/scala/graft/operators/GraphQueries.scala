@@ -320,7 +320,7 @@ object GraphQueries {
         |GROUP BY d ORDER BY d""".stripMargin
     q("gr05_recursive_bfs",
       "BFS as a single recursive CTE (WITH RECURSIVE / UnionLoop) — engine-iterated, DISTINCT-per-level, depth-guarded",
-      body.replace("%LI%", "lineitem").replace("%ORD%", "orders")) { (s, d) =>
+      body.replace("%LI%", "lineitem").replace("%ORD%", "orders")) { (s0, d) =>
       // UnionLoop re-evaluates every CTE the recursive step references
       // ON EACH ITERATION — the engine loop has no equivalent of
       // gr03's pinned edge frame (measured: 4.0 s vs gr03's ~0.5 s at
@@ -347,6 +347,7 @@ object GraphQueries {
       // getOption would report the registered DEFAULT (1M) as if it
       // had been set, and "restoring" it would pin the default as an
       // explicit session value — getAll carries only explicit settings
+      val s = sizedChild(s0, d) // input-sized width for the recursion
       val prevLimit = s.conf.getAll.get("spark.sql.cteRecursionRowLimit")
       s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       try {
@@ -537,11 +538,32 @@ object GraphQueries {
          |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM und)
          |${(1 to ROUNDS).map(lblSql).mkString}
-         |SELECT node AS part, lbl AS comp FROM l$ROUNDS ORDER BY part""".stripMargin) { (s, d) =>
+         |SELECT node AS part, lbl AS comp FROM l$ROUNDS ORDER BY part""".stripMargin) { (s0, d) =>
+      val s = sizedChild(s0, d) // input-sized width for the whole span
       val (labels, _) = starContraction(sparsifiedEdges(s, d).pinned)
       labels.select(col("node").as("part"), col("comp")).orderBy("part")
     }
   }
+
+  /** Input-sized shuffle width for the component/BFS query span — the
+    * starContraction loop-sizing rule (rows/50k + 1, capped at the
+    * session width) extended to the WHOLE query via a child session
+    * (the hn03/ad02 conf-isolation idiom, so nothing leaks to later
+    * registry queries). These queries run ~10–40 micro-stages over
+    * frames bounded by the distinct-pair/vertex size, and at the
+    * session's fact-table width each stage fans into near-empty tasks
+    * whose fixed scheduling cost never amortizes (measured 17–33% of
+    * gr05/gr06/gr07 at sf0.1). Scale-adaptive by construction: the
+    * width follows the INPUT's row count, so a 100 TB corpus keeps
+    * the full session width and nothing corpus-sized narrows. The
+    * count is static-input metadata, memoized per (session, dir) like
+    * hn03's fixtures. */
+  private val liCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def sizedChild(s: SparkSession, d: String): SparkSession =
+    graft.Sessions.sizedFor(s, s"graph:$d",
+      liCounts.getOrElseUpdate((s, d), Tables.lineitem(s, d).count()))
 
   /** gr04/gr06's top-D-sparsified co-purchase edge list, CANONICAL
     * (child u > parent v), distinct. Shared by the component family. */
@@ -634,8 +656,9 @@ object GraphQueries {
          |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM und)
          |${(1 to ROUNDS).map(lblSql).mkString}
-         |SELECT node AS part, lbl AS comp FROM l$ROUNDS ORDER BY part""".stripMargin) { (s, d) =>
-      val dir = gr07BaseDir(s, d)
+         |SELECT node AS part, lbl AS comp FROM l$ROUNDS ORDER BY part""".stripMargin) { (s0, d) =>
+      val dir = gr07BaseDir(s0, d) // base state builds under the parent
+      val s = sizedChild(s0, d) // input-sized width for the warm span
       val baseLabels = s.read.parquet(s"$dir/base_labels")
       val delta = s.read.parquet(s"$dir/delta")
       // warm start: base labels as canonical star edges (roots' (x,x)

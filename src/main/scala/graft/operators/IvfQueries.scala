@@ -2086,14 +2086,15 @@ object IvfQueries {
       .filter(partCond) // literal partition predicate → static pruning
       .join(broadcast(affected), Seq("layer", "bkt"), "left_anti")
       .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst"))
-    val out = carried
+    val out = graft.Pin.cut(carried
       .unionByName(rec.withColumn("egrp", h5EdgeGrp(col("bkt")))
         .select(col("layer"), col("egrp"), col("bkt"), col("src"), col("dst")))
       // cluster by target partition (one writing task per dir — the
       // small-file guard the base build documents), then materialize
       // out of the plan so the overwrite doesn't read its own output
-      .repartition(col("layer"), col("egrp"))
-      .localCheckpoint(true)
+      // (graft.Pin.cut: reliable checkpoint when a checkpoint dir is
+      // set — the cluster-grade seam — local blocks otherwise)
+      .repartition(col("layer"), col("egrp")))
     val written = out.select(col("layer"), col("egrp")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -3597,6 +3598,38 @@ object IvfQueries {
     }
   }
 
+  /** Input-sized shuffle width for the embeddings-bounded serving
+    * family ([[graft.Sessions.sizedFor]] — the gr06/dd08 discipline):
+    * every shuffled frame in these queries is bounded by the
+    * embeddings table (assignments, codes, per-query candidate sets),
+    * so the width derives from ITS row count — full session width at
+    * production corpus sizes, a handful of partitions at harness
+    * scales where the fixed per-task scheduling cost dominated
+    * (same-set min-of-5 probe at width 1: median 0.89×, no
+    * regressions; total 10.5→9.0 s across the 24-query family). The
+    * child is memoized per (session, dir) so the per-session index/
+    * fixture memoizers keep their keys across a bench's timed runs.
+    * hn01–hn06 are deliberately NOT wrapped: their salted
+    * within-bucket kNN measured WORSE under a narrow width (r16
+    * probe, 1.08–1.14×) — the pair-generation joins need it. */
+  private val embCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private[operators] def embSized(s: SparkSession, d: String): SparkSession =
+    graft.Sessions.sizedFor(s, s"emb:$d",
+      embCounts.getOrElseUpdate((s, d), Tables.embeddings(s, d).count()))
+
+  private def sizedEmb(g: GraftQuery): GraftQuery =
+    g.copy(build = (s0, d) => g.build(embSized(s0, d), d))
+
+  private val SizedNames: Set[String] = Set(
+    "ivf01_assign", "ivf02_probe_search", "ivf03_kmeans_train",
+    "ivf04_multiprobe", "ivf05_trained_search", "ivf06_persisted_index",
+    "ivf07_index_upsert", "sd01_semdedup", "dc02_semantic_decontam",
+    "pq01_pq_adc_search", "pq02_ivfpq_search", "pq03_trained_pq",
+    "pq04_residual_pq", "pq05_multiprobe_residual", "fa01_filtered_ann",
+    "fa02_filtered_ann_adaptive", "tm01_triplet_mining")
+
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,
       ivf06PersistedIndex, ivf07IndexUpsert, sd01SemDedup,
@@ -3605,4 +3638,5 @@ object IvfQueries {
       hn06LadderDelete, pq01AdcSearch, pq02IvfPqSearch, pq03TrainedPq,
       pq04ResidualPq, pq05MultiprobeResidual, fa01FilteredAnn,
       fa02FilteredAnnAdaptive, tm01TripletMining)
+      .map(g => if (SizedNames(g.name)) sizedEmb(g) else g)
 }

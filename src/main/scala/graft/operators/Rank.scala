@@ -90,6 +90,12 @@ object Rank {
     // executor loss; see graft.Pin for the checkpoint/local modes).
     // At scale this is the temp table any selection pass keeps, priced
     // at one write of two columns instead of three re-evaluations.
+    // (no fanout here: spreading the narrow (g, v) projection before
+    // the pin measured net-negative — r16 probe, ap01 0.48→0.71 s vs
+    // q30's −0.07 — the selection passes over the cached 2-column
+    // frame are cheap enough that the extra keyed exchange dominates;
+    // callers that feed a genuinely expensive map side fan out
+    // themselves, as ws01 does)
     val base = df.select(col(groupCol).as("g"), col(valCol).as("v"))
       .pinned
     val ext = base.groupBy("g")

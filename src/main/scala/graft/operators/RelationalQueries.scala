@@ -47,6 +47,11 @@ object RelationalQueries {
        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    // (no fanout: MetricsSpec pins q01's one exchange to carry ONLY
+    // the partial-aggregate rows — the engine's flagship map-side-
+    // combine witness — and a conditional ingest spread would put the
+    // corpus on the wire at harness scales; the serial-scan cost here
+    // is one decimal-sum pass, measured ~0.1 s)
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -276,7 +281,9 @@ object RelationalQueries {
        |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, d) =>
-    Tables.lineitem(s, d)
+    // fanout: ROLLUP plans as Expand (×3 row replication) above the
+    // one-task scan; spread first (no-op at cluster scale)
+    Tables.fanout(Tables.lineitem(s, d))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().cast(LongType).as("gid"),
         count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
@@ -297,7 +304,8 @@ object RelationalQueries {
        |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY gid, orderstatus, orderpriority""".stripMargin) { (s, d) =>
-    Tables.orders(s, d)
+    // fanout: CUBE = Expand ×4 above the one-task scan (see q13)
+    Tables.fanout(Tables.orders(s, d))
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().cast(LongType).as("gid"),
         count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
@@ -554,7 +562,9 @@ object RelationalQueries {
     def cond(flag: String) =
       sum(when(col("l_returnflag") === flag, dec2(col("l_quantity")))
         .otherwise(lit(0).cast(DecimalType(12, 2)))).cast(DoubleType)
-    Tables.lineitem(s, d)
+    // fanout: three conditional decimal sums per row above the
+    // one-task scan (see q44); no-op at cluster scale
+    Tables.fanout(Tables.lineitem(s, d))
       .groupBy(col("l_linestatus"))
       .agg(cond("A").as("qty_a"), cond("N").as("qty_n"), cond("R").as("qty_r"))
       .orderBy("l_linestatus")
@@ -571,6 +581,9 @@ object RelationalQueries {
        |FROM lineitem
        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+    // (no fanout: the count-only ×3 Expand over two narrow columns is
+    // cheap map work — the added exchange measured 1.5× net-negative,
+    // r16 probe)
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
     s.sql(
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -1012,8 +1025,14 @@ object RelationalQueries {
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val out = graft.Scratch.dir("graft_q47_")
     graft.Phases.timed("q47_write_roundtrip", "write") {
+      // repartition by the partition column before the partitioned
+      // write (guide §6: cluster by partition key): one writing task
+      // per year directory instead of ONE task writing every
+      // directory sequentially off the single-file scan — same file
+      // count (one per year), parallel write
       graft.sources.Formats.write(
-        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+          .repartition(col("o_year")),
         "parquet", out, partitionBy = Seq("o_year"))
     }
     graft.sources.Formats.read(s, "parquet", out)
@@ -1973,9 +1992,14 @@ object RelationalQueries {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     val out = graft.Scratch.dir("graft_q54_")
     graft.Phases.timed("q54_orc_roundtrip", "write") {
+      // fanout: the single-file parquet scan is one task, so the ORC
+      // write was serial AND produced one single-stripe file that
+      // read back serial too — the spread parallelizes both sides of
+      // the round trip (no-op at cluster scale; no file-count
+      // contract here, only aggregate fidelity)
       graft.sources.Formats.write(
-        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus",
-          "l_extendedprice", "l_quantity"),
+        Tables.fanout(Tables.lineitem(s, d)).select("l_returnflag",
+          "l_linestatus", "l_extendedprice", "l_quantity"),
         "orc", out)
     }
     graft.sources.Formats.read(s, "orc", out)

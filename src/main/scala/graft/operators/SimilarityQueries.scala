@@ -582,8 +582,20 @@ object SimilarityQueries {
     }
   }
 
+  /** Input-sized width for the embeddings-bounded sm/kn queries —
+    * see IvfQueries.embSized (same probe, same rule; rp01/rr01/rr02
+    * left at session width: map-only or probe-uncovered). */
+  private def sizedEmb(g: GraftQuery): GraftQuery =
+    g.copy(build = (s0, d) => g.build(IvfQueries.embSized(s0, d), d))
+
+  private val SizedNames: Set[String] = Set(
+    "sm01_cosine_topk", "sm02_simhash_buckets", "sm03_ann_bucketed",
+    "sm04_vector_norms", "sm05_int8_quantize", "sm06_quantized_topk",
+    "kn01_knn_classifier")
+
   val all: Seq[GraftQuery] = Seq(
     sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,
     sm05Int8Quantize, sm06QuantizedTopK, rp01RandomProjection, rr01RrfFusion,
     rr02MmrRerank, kn01KnnClassifier)
+    .map(g => if (SizedNames(g.name)) sizedEmb(g) else g)
 }

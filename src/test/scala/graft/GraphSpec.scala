@@ -93,7 +93,11 @@ class GraphSpec extends AnyFunSuite {
     // result eagerly (the cteRecursionRowLimit raise is scoped to the
     // build — ConfHygieneSpec), so the RETURNED frame's plan is the
     // checkpoint scan; pin the loop on the recursion text itself over
-    // the same edge view the build registered.
+    // a local edge view (r16: the build registers its view on the
+    // input-sized CHILD session — Sessions.sized — so this session
+    // provides its own; only the plan SHAPE is under test).
+    spark.range(1).selectExpr("id AS src", "id AS dst")
+      .createOrReplaceTempView("edges_rc")
     val recPlan = spark.sql(
       """WITH RECURSIVE walk(node, d) AS (
         |  SELECT CAST(2 AS BIGINT) AS node, 0 AS d

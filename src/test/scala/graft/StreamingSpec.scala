@@ -853,6 +853,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Upsert") &&
       ex.getMessage.contains("insert | delete"),
       s"diagnostic must name the bad op and the vocabulary: ${ex.getMessage}")
+    // a NULL op must fail the same way: isin() evaluates to NULL (not
+    // true) for a NULL input, so a predicate without the explicit
+    // isNull arm silently passed null-op rows into the drop-out path
+    val nullBatch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("op", lit(null).cast("string"))
+    val exN = intercept[IllegalArgumentException] {
+      EventStreams.ladderCdcBatch(nullBatch, 0L, s"$root/idx", lmax)
+    }
+    assert(exN.getMessage.contains("<null>") &&
+      exN.getMessage.contains("insert | delete"),
+      s"diagnostic must name the null op distinctly: ${exN.getMessage}")
     // a DELETE-HEAVY batch under an ENABLED guard: the ratio must
     // measure identically on the replay (post-operation denominator) —
     // a pre-op denominator re-measured against the already-shrunk
