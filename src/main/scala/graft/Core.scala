@@ -251,13 +251,37 @@ object Sessions {
     * memoize per-session state (index dirs, collected fixtures — all
     * keyed by session) need the SAME session across a bench's timed
     * runs or every run would rebuild its setup state. `rows` is
-    * by-name so the input count runs once, on first use. */
+    * by-name so the input count runs once, on first use. The parent's
+    * runtime confs are RE-COPIED on every access (then the width
+    * override re-applied): a conf set on the parent after the child
+    * was created — a guard key, a probe override — must still reach
+    * the wrapped query, exactly as it would an unwrapped one. */
   private val sizedChildren = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), SparkSession]
 
   def sizedFor(parent: SparkSession, key: String, rows: => Long): SparkSession =
     sizedChildren.synchronized {
-      sizedChildren.getOrElseUpdate((parent, key), sized(parent, rows))
+      val cur = parent.conf.get("spark.sql.shuffle.partitions").toLong
+      val parts = math.max(1L, math.min(cur, rows / 50000L + 1L))
+      if (parts >= cur) parent
+      else {
+        val c = sizedChildren.getOrElseUpdate((parent, key), parent.newSession())
+        val pc = parent.conf.getAll
+        // removals must propagate too: a key UNSET on the parent (a
+        // test's guard/probe conf restored in its finally) would
+        // otherwise stay live in the child forever — observed as a
+        // stale hn05 deltaMod tripping the oracle pin a suite later
+        c.conf.getAll.keys.filterNot(pc.contains).foreach { k =>
+          try c.conf.unset(k)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+        pc.foreach { case (k, v) =>
+          try c.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+        c.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        c
+      }
     }
 
   def child(parent: SparkSession, overrides: (String, String)*): SparkSession = {

@@ -3606,12 +3606,15 @@ object IvfQueries {
     * production corpus sizes, a handful of partitions at harness
     * scales where the fixed per-task scheduling cost dominated
     * (same-set min-of-5 probe at width 1: median 0.89×, no
-    * regressions; total 10.5→9.0 s across the 24-query family). The
-    * child is memoized per (session, dir) so the per-session index/
-    * fixture memoizers keep their keys across a bench's timed runs.
-    * hn01–hn06 are deliberately NOT wrapped: their salted
-    * within-bucket kNN measured WORSE under a narrow width (r16
-    * probe, 1.08–1.14×) — the pair-generation joins need it. */
+    * regressions; total 10.5→9.0 s across the 24-query family; a
+    * second quiet-box probe added hn04 0.83× / hn05 0.87× / hn06
+    * ~1.0× — an earlier contended probe had mis-read the hn family
+    * as regressing). The child is memoized per (session, dir) so the
+    * per-session index/fixture memoizers keep their keys across a
+    * bench's timed runs, with parent confs re-copied per access
+    * (Sessions.sizedFor). hn01–hn03 stay unwrapped: hn03 already
+    * runs its search on its own 4-partition child, and hn01/hn02
+    * were not probe-covered. */
   private val embCounts =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
@@ -3628,7 +3631,8 @@ object IvfQueries {
     "ivf07_index_upsert", "sd01_semdedup", "dc02_semantic_decontam",
     "pq01_pq_adc_search", "pq02_ivfpq_search", "pq03_trained_pq",
     "pq04_residual_pq", "pq05_multiprobe_residual", "fa01_filtered_ann",
-    "fa02_filtered_ann_adaptive", "tm01_triplet_mining")
+    "fa02_filtered_ann_adaptive", "tm01_triplet_mining", "ann01_recall",
+    "hn04_hnsw_upsert", "hn05_ladder_upsert", "hn06_ladder_delete")
 
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,

@@ -882,11 +882,17 @@ object RelationalQueries {
     * engine-specific state (like hll01), so it records the weaker
     * rows-only check by design — ad01 IS its exact-side oracle. */
   private def adDistincts(s: SparkSession, d: String): DataFrame =
-    // fanout: the multi-distinct plans as Expand (×2 row replication)
-    // + partial agg ABOVE the scan, and a single-file table scans as
-    // one task — the 2n-row Expand ran serial. Conditional repartition
-    // spreads it; no-op at cluster scale (see Tables.fanout).
-    Tables.fanout(Tables.lineitem(s, d))
+    // fanout on the EXACT path only: the multi-distinct plans as
+    // Expand (×2 row replication) + hash-set partial agg ABOVE the
+    // scan, and a single-file table scans as one task — the 2n-row
+    // Expand ran serial (measured 0.65× with the spread). Under the
+    // ad02 flag the injected rule swaps both distincts to HLL++ whose
+    // per-row partial is a hash + register update — there the spread
+    // exchange is pure overhead (measured 1.85× — r16 probe), so the
+    // sketched face keeps the bare scan.
+    (if (s.conf.get("spark.graft.approxDistinct", "false").toBoolean)
+       Tables.lineitem(s, d)
+     else Tables.fanout(Tables.lineitem(s, d)))
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"))
