@@ -3632,7 +3632,12 @@ object IvfQueries {
     "pq01_pq_adc_search", "pq02_ivfpq_search", "pq03_trained_pq",
     "pq04_residual_pq", "pq05_multiprobe_residual", "fa01_filtered_ann",
     "fa02_filtered_ann_adaptive", "tm01_triplet_mining", "ann01_recall",
-    "hn04_hnsw_upsert", "hn05_ladder_upsert", "hn06_ladder_delete")
+    "hn04_hnsw_upsert", "hn05_ladder_upsert", "hn06_ladder_delete",
+    // cl01 quiet probe at width 1: 1.18 -> 1.00 min-of-5 (0.85x). Its
+    // token-stream join is documents-bounded, a constant factor above
+    // the embeddings count, and the rule saturates to session width at
+    // scale, so the emb-count derivation stays safe.
+    "cl01_cluster_labels")
 
   val all: Seq[GraftQuery] =
     Seq(ivf01Assign, ivf02Probe, ivf03Train, ivf04Multiprobe, ivf05TrainedSearch,

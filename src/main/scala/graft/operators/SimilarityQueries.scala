@@ -583,15 +583,17 @@ object SimilarityQueries {
   }
 
   /** Input-sized width for the embeddings-bounded sm/kn queries —
-    * see IvfQueries.embSized (same probe, same rule; rp01/rr01/rr02
-    * left at session width: map-only or probe-uncovered). */
+    * see IvfQueries.embSized (same probe, same rule). r16 quiet probe
+    * at width 1 (min-of-5, sf0.1): rp01 0.74x, rr02 0.89x — wrapped;
+    * rr01 measured 1.26x WORSE (its per-ranker TopK fan-out wants the
+    * width) and stays at session width. */
   private def sizedEmb(g: GraftQuery): GraftQuery =
     g.copy(build = (s0, d) => g.build(IvfQueries.embSized(s0, d), d))
 
   private val SizedNames: Set[String] = Set(
     "sm01_cosine_topk", "sm02_simhash_buckets", "sm03_ann_bucketed",
     "sm04_vector_norms", "sm05_int8_quantize", "sm06_quantized_topk",
-    "kn01_knn_classifier")
+    "kn01_knn_classifier", "rp01_random_projection", "rr02_mmr_rerank")
 
   val all: Seq[GraftQuery] = Seq(
     sm01CosineTopK, sm02SimhashBuckets, sm03AnnBucketed, sm04Norms,

@@ -297,5 +297,16 @@ object SpectralQueries {
       .limit(20)
   }
 
-  val all: Seq[GraftQuery] = Seq(pc01PowerIteration, em01DimStats, em02CentroidOutliers)
+  /** Input-sized shuffle width for the embeddings-bounded em01 — the
+    * IvfQueries.embSized rule. r16 quiet probe at width 1 (min-of-5,
+    * sf0.1): em01 0.74x — its posexplode partials collapse map-side so
+    * only #partitions x 64 rows shuffle, and near-empty reduce tasks
+    * were pure scheduling cost. em02 measured neutral (0.96x) and
+    * pc01 1.46x WORSE (the iteration's matrix-vector join wants the
+    * width) — both stay at session width. */
+  private def sizedEmb(g: GraftQuery): GraftQuery =
+    g.copy(build = (s0, d) => g.build(IvfQueries.embSized(s0, d), d))
+
+  val all: Seq[GraftQuery] =
+    Seq(pc01PowerIteration, sizedEmb(em01DimStats), em02CentroidOutliers)
 }
