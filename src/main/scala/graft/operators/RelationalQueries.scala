@@ -995,13 +995,15 @@ object RelationalQueries {
       |FROM r GROUP BY rf, ls, yr
       |ORDER BY l_returnflag, l_linestatus, yr""".stripMargin) { (s, d) =>
     graft.plans.VectorExpressions.register(s)
-    // fanout: per-row sketch inserts are the map cost and the
-    // single-file scan is one task — conditional repartition spreads
-    // the partial-sketch build; no-op at cluster scale. Result is
-    // partitioning-invariant here: k=32768 exceeds every per-group
-    // count at harness SFs, so no compaction fires (SketchSpec's
-    // exactness law) and the merged sketch is the exact rank set.
-    Tables.fanout(Tables.lineitem(s, d))
+    // NO fanout (probed and reverted, r16): spreading the scan looked
+    // neutral in a first probe but two independent same-box A/Bs vs
+    // the pre-change tree measured 1.21x WORSE (0.92->1.11 min-of-5) —
+    // each extra partition builds its own k=32768 TypedImperative
+    // sketch per group, so the fanout multiplies serialize+merge cost
+    // of big sketch states while the per-row insert it parallelizes is
+    // cheap. (Result would stay identical either way: k exceeds every
+    // per-group count at harness SFs, SketchSpec's exactness law.)
+    Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"),
         year(col("l_shipdate")).cast(LongType).as("yr"))
       .agg(graft.plans.VectorExpressions
