@@ -86,7 +86,12 @@ object Tables {
       // measured 1.7x slower than the hash route on the widest-row
       // caller (av01). A deterministic key column gives retry-safe
       // placement with no sort, the optimization guide's own
-      // recommendation (§2.5).
+      // recommendation (§2.5). CONTRACT: callers pass BASE TABLE
+      // frames, whose leading column is the high-cardinality key —
+      // fanout(df.select(...)) with a low-cardinality lead (a flag, a
+      // label) would hash into as many non-empty partitions as the
+      // lead has values and silently defeat the spread. Project AFTER
+      // fanout, never before.
       df.repartition(parallelism, col(df.columns.head))
     else df
   }
@@ -205,11 +210,25 @@ object Pin {
     * deployment set a checkpoint dir (an executor loss mid-write then
     * recovers instead of failing the batch — the round-15 verdict's
     * cluster-grade seam), executor-local blocks otherwise (local
-    * mode; batch-replay idempotence covers the remaining window). */
+    * mode; batch-replay idempotence covers the remaining window).
+    *
+    * The reliable branch persists THROUGH the checkpoint: RDD
+    * checkpointing writes its files in a separate job that would
+    * otherwise recompute the whole plan a second time (the RDD API
+    * doc's own warning) — cache, checkpoint (the write job reads the
+    * cache), release. The returned frame reads the checkpoint files,
+    * so the unpersist cannot starve it. Retention: Spark only deletes
+    * reliable checkpoint dirs when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    * default) — a deployment that sets a checkpoint dir for this seam
+    * should set that too, or reap the dir operationally. */
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached =
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint(eager = true)
+      finally { cached.unpersist(blocking = false); () }
+    } else df.localCheckpoint(eager = true)
 
   /** Postfix syntax at call sites: `df.pinned` / `df.pinnedLazily`. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
@@ -239,15 +258,9 @@ object Sessions {
     * fact-table width; deriving the width from the INPUT keeps it
     * scale-adaptive — a 100 TB input saturates the cap and nothing
     * narrows. Returns the parent unchanged when the estimate already
-    * fills the width. */
-  def sized(parent: SparkSession, rows: Long): SparkSession = {
-    val cur = parent.conf.get("spark.sql.shuffle.partitions").toLong
-    val parts = math.max(1L, math.min(cur, rows / 50000L + 1L))
-    if (parts >= cur) parent
-    else child(parent, "spark.sql.shuffle.partitions" -> parts.toString)
-  }
-
-  /** ONE sized child per (parent, key), memoized: builders that
+    * fills the width.
+    *
+    * ONE sized child per (parent, key), memoized: builders that
     * memoize per-session state (index dirs, collected fixtures — all
     * keyed by session) need the SAME session across a bench's timed
     * runs or every run would rebuild its setup state. `rows` is

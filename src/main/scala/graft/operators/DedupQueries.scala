@@ -22,14 +22,17 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
   /** Input-sized shuffle width for incidence-bounded loop spans
-    * ([[graft.Sessions.sized]]; the gr06/gr07 discipline). Document
+    * ([[graft.Sessions.sizedFor]]; the gr06/gr07 discipline). Document
     * count memoized per (session, dir) — static-input metadata. */
   private val docCounts =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
 
   private def sizedChild(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Sessions.sizedFor(s, s"docs:$d",
-      docCounts.getOrElseUpdate((s, d), Tables.documents(s, d).count()))
+      // raw scan, not Tables.documents: the loader wraps fanout and the
+      // sizing count would pay that repartition's shuffle for a footer
+      // row count
+      docCounts.getOrElseUpdate((s, d), Tables.t(s, d, "documents").count()))
 
 
   private def q(name: String, doc: String, sql: String)(

@@ -371,9 +371,7 @@ object GraphQueries {
             |  MIN(node) AS min_node, MAX(node) AS max_node
             |FROM (SELECT node, MIN(d) AS d FROM walk GROUP BY node)
             |GROUP BY d ORDER BY d""".stripMargin)
-        if (s.sparkContext.getCheckpointDir.isDefined)
-          out.checkpoint(eager = true)
-        else out.localCheckpoint(eager = true)
+        graft.Pin.cut(out)
       } finally prevLimit match {
         case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
         case None => s.conf.unset("spark.sql.cteRecursionRowLimit")
@@ -743,10 +741,7 @@ object GraphQueries {
     // partitions through the whole round chain next iteration). One
     // eager full pass per round, then every later read hits stored
     // blocks.
-    def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    def truncate(df: DataFrame): DataFrame = graft.Pin.cut(df)
     // Size the loop's exchanges to the edge frame, not the session
     // default: each round is ~8 shuffle stages over a frame the
     // callers BOUND (top-D sparsification, ≤2-per-doc incidence), and

@@ -3620,7 +3620,10 @@ object IvfQueries {
 
   private[operators] def embSized(s: SparkSession, d: String): SparkSession =
     graft.Sessions.sizedFor(s, s"emb:$d",
-      embCounts.getOrElseUpdate((s, d), Tables.embeddings(s, d).count()))
+      // count the RAW scan: Tables.embeddings wraps fanout, and the
+      // sizing count would pay that repartition's full shuffle just to
+      // read a row count the parquet footers already hold
+      embCounts.getOrElseUpdate((s, d), Tables.t(s, d, "embeddings").count()))
 
   private def sizedEmb(g: GraftQuery): GraftQuery =
     g.copy(build = (s0, d) => g.build(embSized(s0, d), d))

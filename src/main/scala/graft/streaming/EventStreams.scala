@@ -746,16 +746,23 @@ object EventStreams {
     // observe() metric (r16, the round-15 verdict's accumulator
     // suggestion): the old raw-batch probe cost a dedicated
     // limit(1).collect() driver action that RE-SCANNED the source
-    // every micro-batch even on well-formed streams. The observation
-    // node sits ON the joined frame every downstream row flows
-    // through, so no bad row can bypass it; `op IS NULL` counts as bad
-    // explicitly — isin() evaluates to NULL (not true) for a NULL op,
-    // which previously let a null-op row slip the check and silently
-    // drop out of both ins/del filters (the exact divergence the check
-    // exists to stop). The metric is forced by the same count that
-    // eagerly populates the batch cache (one clean execution — a
-    // broadcast sub-execution can resolve the observation with an
-    // empty map), strictly before any compute or store write.
+    // every micro-batch even on well-formed streams. `op IS NULL`
+    // counts as bad explicitly — isin() evaluates to NULL (not true)
+    // for a NULL op, which previously let a null-op row slip the check
+    // and silently drop out of both ins/del filters (the exact
+    // divergence the check exists to stop). The metric is forced by
+    // the same count that eagerly populates the batch cache (one clean
+    // execution — a broadcast sub-execution can resolve the
+    // observation with an empty map), strictly before any compute or
+    // store write.
+    //
+    // The op side joins back RIGHT OUTER so the observation keeps the
+    // raw-batch property the old probe had: a batch row the assignment
+    // DROPS (a corrupt/empty cents table nulls the coarse group and an
+    // inner join would discard every row) still flows through the
+    // observe node, and `n_unassigned` fail-fasts on it — an inner
+    // join here would blind both checks and turn an op-typed batch
+    // into a silent no-op against a broken index.
     val badOp = col("op").isNull || !col("op").isin("insert", "delete")
     val obs = org.apache.spark.sql.Observation(s"ladderCdc_ops_$id")
     // ONE hierarchical assignment over the whole micro-batch, the op
@@ -763,10 +770,11 @@ object EventStreams {
     // pass per op on the hot streaming path
     val assigned = graft.operators.IvfQueries.ladderAssignDelta(
         batch.select(col("vec_id"), col("embedding")), cents, lmax)
-      .join(batch.select(col("vec_id"), col("op")), Seq("vec_id"))
+      .join(batch.select(col("vec_id"), col("op")), Seq("vec_id"), "right")
       .observe(obs,
         sum(badOp.cast("long")).as("n_bad"),
-        max(when(badOp, coalesce(col("op"), lit("<null>")))).as("bad_op"))
+        max(when(badOp, coalesce(col("op"), lit("<null>")))).as("bad_op"),
+        sum(col("cid").isNull.cast("long")).as("n_unassigned"))
       .persist()
     try {
       assigned.count() // populate the cache + fire the observation
@@ -775,6 +783,11 @@ object EventStreams {
         throw new IllegalArgumentException(
           s"ladderCdc: unknown op '${m("bad_op")}' in batch $id " +
             "(want insert | delete) — refusing to silently drop CDC rows")
+      if (m.get("n_unassigned").exists(v => v != null && v.asInstanceOf[Long] > 0L))
+        throw new IllegalStateException(
+          s"ladderCdc: ${m("n_unassigned")} row(s) in batch $id failed " +
+            "hierarchical assignment (corrupt or empty cents table at " +
+            s"$indexRoot/cents?) — refusing to silently drop CDC rows")
       val ins = assigned.filter(col("op") === "insert").drop("op")
       val del = assigned.filter(col("op") === "delete").drop("op")
       val storedAll = spark.read.parquet(s"$indexRoot/nodes")

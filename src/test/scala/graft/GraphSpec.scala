@@ -94,7 +94,7 @@ class GraphSpec extends AnyFunSuite {
     // build — ConfHygieneSpec), so the RETURNED frame's plan is the
     // checkpoint scan; pin the loop on the recursion text itself over
     // a local edge view (r16: the build registers its view on the
-    // input-sized CHILD session — Sessions.sized — so this session
+    // input-sized CHILD session — Sessions.sizedFor — so this session
     // provides its own; only the plan SHAPE is under test).
     spark.range(1).selectExpr("id AS src", "id AS dst")
       .createOrReplaceTempView("edges_rc")

@@ -122,9 +122,13 @@ class PlanSpec extends AnyFunSuite {
     // on vec_id and the conditional ingest fan-out — r16: hash on the
     // leading key vec_id, see Tables.fanout — are the only exchanges
     // allowed)
-    assert(!p.replace("hashpartitioning(vec_id", "FANOUT(vec_id")
-      .contains("hashpartitioning"),
-      "projection must not shuffle beyond the ingest fan-out\n" + p.take(3000))
+    // at most ONE vec_id-keyed exchange (the conditional fan-out) and
+    // zero others — a blanket vec_id exclusion would also mask a future
+    // accidental vec_id-keyed shuffle (r16 review finding)
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    val fanoutEx = "hashpartitioning\\(vec_id".r.findAllIn(p).size
+    assert(fanoutEx <= 1 && hashEx == fanoutEx,
+      "projection must not shuffle beyond the one ingest fan-out\n" + p.take(3000))
     assert(!p.contains("Window") && !p.toLowerCase.contains("join"),
       "projection is per-row arithmetic only\n" + p.take(3000))
   }

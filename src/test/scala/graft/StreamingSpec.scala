@@ -866,6 +866,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(exN.getMessage.contains("<null>") &&
       exN.getMessage.contains("insert | delete"),
       s"diagnostic must name the null op distinctly: ${exN.getMessage}")
+    // a batch the ASSIGNMENT drops (empty/corrupt cents nulls the
+    // coarse group) must fail loudly too: the op carry-back joins
+    // RIGHT OUTER so the guard observation sees every raw row — an
+    // inner join here turned a valid batch into a silent no-op against
+    // a broken index (r16 review finding)
+    val root2 = Files.createTempDirectory("graft-cdc-nocents").toString
+    spark.read.parquet(s"$idxDir/nodes").withColumn("batch", lit(-1L))
+      .write.partitionBy("batch").parquet(s"$root2/idx/nodes")
+    spark.read.parquet(s"$idxDir/edges")
+      .write.partitionBy("layer", "egrp").parquet(s"$root2/idx/edges")
+    spark.read.parquet(s"$idxDir/cents").limit(0)
+      .write.parquet(s"$root2/idx/cents")
+    val okBatch = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("op", lit("insert"))
+    val exU = intercept[IllegalStateException] {
+      EventStreams.ladderCdcBatch(okBatch, 0L, s"$root2/idx", lmax)
+    }
+    assert(exU.getMessage.contains("failed hierarchical assignment"),
+      s"diagnostic must name the assignment failure: ${exU.getMessage}")
     // a DELETE-HEAVY batch under an ENABLED guard: the ratio must
     // measure identically on the replay (post-operation denominator) —
     // a pre-op denominator re-measured against the already-shrunk

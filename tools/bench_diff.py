@@ -13,10 +13,15 @@ rows = [(k, om[k], nm[k], nm[k] - om[k], (nm[k] / om[k]) if om[k] > 0 else float
         for k in common]
 rows.sort(key=lambda r: r[3])
 print(f"{'query':38s} {'old':>8s} {'new':>8s} {'delta':>8s} {'ratio':>6s}")
-for k, o, n, d, r in rows[:top]:
+# head/tail must not overlap when there are fewer than 2*top rows,
+# or every middle row would print twice as a phantom second set
+head = rows[:top]
+tail = rows[len(head):][-top:]
+for k, o, n, d, r in head:
     print(f"{k:38s} {o:8.3f} {n:8.3f} {d:+8.3f} {r:6.2f}")
-print("...")
-for k, o, n, d, r in rows[-top:]:
+if tail:
+    print("...")
+for k, o, n, d, r in tail:
     print(f"{k:38s} {o:8.3f} {n:8.3f} {d:+8.3f} {r:6.2f}")
 tot_o = sum(om[k] for k in common)
 tot_n = sum(nm[k] for k in common)
